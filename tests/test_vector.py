@@ -1,0 +1,62 @@
+"""raster<->vector round-trip tests (reference keeps polygons in colData,
+R/main.R:191-193; engine synthesizes them in closed form)."""
+
+import json
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from seraster_spark import rasterize, vector
+from seraster_spark.bbox import grid_spec_for
+from seraster_spark.grid import point_in_polygon
+
+
+def test_tiles_with_wkt(spark, docs):
+    spec = grid_spec_for(docs, 100.0, square=True)
+    tiles = rasterize.rasterize_cell_type(docs, 100.0, fun="sum", spec=spec)
+    wkts = vector.tiles_with_wkt(tiles, spec).select("cell_id", "geometry_wkt").distinct()
+    pdf = wkts.toPandas()
+    assert pdf["geometry_wkt"].str.startswith("POLYGON ((").all()
+    # one WKT per tile
+    assert pdf["cell_id"].nunique() == len(pdf)
+
+
+def test_geojson_export(spark, docs):
+    spec = grid_spec_for(docs, 200.0, square=False)
+    tiles = (
+        rasterize.rasterize_cell_type(docs, 200.0, spec=spec, fun="sum")
+        .select("cell_id", "num_cell")
+        .distinct()
+    )
+    gj = json.loads(vector.tiles_geojson(tiles, spec))
+    assert gj["type"] == "FeatureCollection"
+    assert len(gj["features"]) == tiles.count()
+    f0 = gj["features"][0]
+    ring = f0["geometry"]["coordinates"][0]
+    assert len(ring) == 7 and ring[0] == ring[-1]  # closed hex
+    assert "num_cell" in f0["properties"]
+
+
+def test_filter_by_polygon_vs_oracle(spark, docs, docs_pdf):
+    spec = grid_spec_for(docs, 100.0, square=True)
+    ring = [(500.0, 300.0), (1500.0, 400.0), (1400.0, 1500.0), (600.0, 1300.0)]
+    with_cell = rasterize.assign_tiles(docs, spec)
+    got = set(
+        r[0]
+        for r in vector.filter_by_polygon(with_cell, ring, spec).select("doc_id").collect()
+    )
+    closed = np.array(ring + [ring[0]], dtype=float)
+    inside = point_in_polygon(
+        docs_pdf.x.to_numpy(), docs_pdf.y.to_numpy(), closed
+    )
+    exp = set(docs_pdf.doc_id[inside])
+    assert got == exp
+
+
+def test_coarse_filter_superset(spark, docs):
+    spec = grid_spec_for(docs, 100.0, square=True)
+    ring = [(500.0, 300.0), (1500.0, 400.0), (1400.0, 1500.0), (600.0, 1300.0)]
+    with_cell = rasterize.assign_tiles(docs, spec)
+    coarse = vector.filter_by_polygon(with_cell, ring, spec, exact=False)
+    exact = vector.filter_by_polygon(with_cell, ring, spec, exact=True)
+    assert exact.join(coarse, "doc_id", "left_anti").count() == 0

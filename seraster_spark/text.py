@@ -1,0 +1,327 @@
+"""Large-scale training-data text operators: dedup (exact, MinHash-LSH,
+SimHash, n-gram Jaccard), language ID, quality scoring, token counting,
+document fingerprinting.
+
+Not part of the reference (SEraster is spatial-omics only) — these are the
+first-class pipeline ops a 100 TB document corpus needs. Everything stays
+JVM-side: hashing via ``xxhash64``/``md5``, shingling via higher-order array
+functions (``transform``/``array_min``), SimHash bit counting via 64 grouped
+aggregate expressions — no Python in the hot path at all.
+
+Scale shape:
+* exact dedup — one hash groupBy (map-side combine, AQE-skew safe);
+* MinHash-LSH — signatures map-side, candidate generation is an equi-join on
+  (band, band_hash) i.e. the classic shuffle-once LSH bucket join; exact
+  Jaccard verification only touches candidate pairs;
+* SimHash — map-side bit votes + one groupBy; banding join for candidates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window as W, functions as F
+
+# ---------------------------------------------------------------------------
+# tokenization / fingerprint primitives (all Column expressions)
+
+
+def tokens_expr(text: Column) -> Column:
+    """Whitespace tokenization of trimmed, lowercased text."""
+    return F.split(F.trim(F.lower(text)), r"\s+")
+
+
+def token_count(df: DataFrame, text_col: str = "text", out: str = "n_tokens") -> DataFrame:
+    return df.withColumn(
+        out,
+        F.when(F.length(F.trim(F.col(text_col))) == 0, F.lit(0)).otherwise(
+            F.size(tokens_expr(F.col(text_col)))
+        ),
+    )
+
+
+def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic quality features + a composite score in [0,1]:
+    length band, mean word length band, alpha ratio, repetition
+    (distinct/total token ratio)."""
+    t = F.col(text_col)
+    toks = tokens_expr(t)
+    n_tok = F.size(toks)
+    n_chars = F.length(t)
+    alpha_ratio = (n_chars - F.length(F.regexp_replace(t, r"[A-Za-z ]", ""))) / F.greatest(
+        n_chars, F.lit(1)
+    )
+    distinct_ratio = F.size(F.array_distinct(toks)) / F.greatest(n_tok, F.lit(1))
+    mean_wordlen = (n_chars - (n_tok - 1)) / F.greatest(n_tok, F.lit(1))
+    len_ok = F.when((n_tok >= 5) & (n_tok <= 100000), 1.0).otherwise(0.0)
+    wordlen_ok = F.when((mean_wordlen >= 2.0) & (mean_wordlen <= 12.0), 1.0).otherwise(0.0)
+    score = (
+        F.lit(0.25) * len_ok
+        + F.lit(0.25) * wordlen_ok
+        + F.lit(0.25) * alpha_ratio
+        + F.lit(0.25) * distinct_ratio
+    )
+    return (
+        df.withColumn("n_tokens", n_tok)
+        .withColumn("alpha_ratio", alpha_ratio)
+        .withColumn("distinct_token_ratio", distinct_ratio)
+        .withColumn("mean_word_len", mean_wordlen)
+        .withColumn("quality_score", score)
+    )
+
+
+_LANG_MARKERS = {
+    "en": ["the", "and", "of", "is", "to"],
+    "de": ["der", "die", "und", "ist", "das"],
+    "fr": ["le", "la", "et", "est", "les"],
+    "es": ["el", "la", "que", "de", "es"],
+}
+
+
+def lang_id(df: DataFrame, text_col: str = "text", out: str = "lang_guess") -> DataFrame:
+    """Stopword-marker language heuristic: count marker-token hits per
+    language over the token array; argmax with 'und' (undetermined) fallback.
+    Pure array built-ins — no UDF."""
+    toks = tokens_expr(F.col(text_col))
+    scores = []
+    for lang, markers in _LANG_MARKERS.items():
+        hits = F.size(
+            F.filter(toks, lambda tk: tk.isin(markers))  # noqa: B023
+        )
+        scores.append(F.struct(hits.alias("hits"), F.lit(lang).alias("lang")))
+    best = F.array_max(F.array(*scores))
+    return df.withColumn(
+        out, F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und"))
+    )
+
+
+def fingerprint(df: DataFrame, text_col: str = "text", out: str = "fp64") -> DataFrame:
+    """64-bit rolling document fingerprint: xxhash64 of the normalized token
+    stream (whitespace-canonical, lowercase) — robust to whitespace noise."""
+    return df.withColumn(
+        out, F.xxhash64(F.array_join(tokens_expr(F.col(text_col)), " "))
+    )
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+
+
+def exact_dedup(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Exact duplicate detection by content hash. Adds ``content_hash``,
+    ``dup_group_size`` and ``is_canonical`` (the min id per group survives).
+    One shuffle on the hash; map-side combine shrinks it."""
+    h = F.md5(F.col(text_col))
+    with_h = df.withColumn("content_hash", h)
+    w = W.partitionBy("content_hash")
+    return (
+        with_h.withColumn("dup_group_size", F.count(F.lit(1)).over(w))
+        .withColumn("_min_id", F.min(id_col).over(w))
+        .withColumn("is_canonical", F.col(id_col) == F.col("_min_id"))
+        .drop("_min_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# shingles + MinHash + LSH
+
+
+def shingles_expr(text: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles via sequence/transform (JVM-side)."""
+    toks = tokens_expr(text)
+    k = F.size(toks) - F.lit(n - 1)
+    # sequence(0, k-1) is DESCENDING for k<=0 — guard short/empty texts
+    idx = F.when(k > 0, F.sequence(F.lit(0), k - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    gram = F.transform(
+        idx, lambda i: F.array_join(F.slice(toks, i + 1, n), " ")
+    )
+    return F.array_distinct(gram)
+
+
+def minhash_signature(shingles: Column, num_perm: int = 32) -> Column:
+    """num_perm-wide MinHash signature: per permutation p, min over shingles
+    of xxhash64(p || shingle). array<long>."""
+    sigs = [
+        F.array_min(
+            F.transform(shingles, lambda s, p=p: F.xxhash64(F.concat(F.lit(f"{p}|"), s)))
+        )
+        for p in range(num_perm)
+    ]
+    return F.array(*sigs)
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_perm: int = 32,
+    bands: int = 8,
+    verify_threshold: float | None = 0.5,
+) -> DataFrame:
+    """MinHash+LSH near-duplicate candidate pairs.
+
+    shingle → minhash → band → bucket self-join (the one shuffle), then
+    exact Jaccard on the candidates only (array_intersect/union on the
+    distinct shingle sets). Returns (id_a, id_b, jaccard) with id_a < id_b.
+    """
+    rows = num_perm // bands
+    base = df.select(
+        F.col(id_col).alias("_id"), shingles_expr(F.col(text_col), n).alias("_sh")
+    ).filter(F.size("_sh") > 0)
+    sig = base.withColumn("_sig", minhash_signature(F.col("_sh"), num_perm))
+    banded = sig.select(
+        "_id",
+        "_sh",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            F.concat_ws(
+                                ",", *[F.element_at("_sig", b * rows + r + 1) for r in range(rows)]
+                            )
+                        ).alias("bhash"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("_b"),
+    ).select("_id", "_sh", F.col("_b.band").alias("band"), F.col("_b.bhash").alias("bhash"))
+    left = banded.alias("l")
+    right = banded.alias("r")
+    pairs = (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bhash") == F.col("r.bhash"))
+            & (F.col("l._id") < F.col("r._id")),
+        )
+        .select(
+            F.col("l._id").alias("id_a"),
+            F.col("r._id").alias("id_b"),
+            F.col("l._sh").alias("sh_a"),
+            F.col("r._sh").alias("sh_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
+    out = pairs.withColumn("jaccard", inter / union).select("id_a", "id_b", "jaccard")
+    if verify_threshold is not None:
+        out = out.filter(F.col("jaccard") >= verify_threshold)
+    return out
+
+
+def ngram_jaccard(
+    df_a: DataFrame,
+    df_b: DataFrame | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact all-pairs n-gram Jaccard above a threshold, pruned by a shared-
+    shingle inverted-index join (a pair must share ≥1 shingle — no cross
+    join). For corpus-scale use minhash_lsh_candidates instead."""
+    df_b = df_b if df_b is not None else df_a
+    a = df_a.select(F.col(id_col).alias("id_a"), shingles_expr(F.col(text_col), n).alias("sh_a"))
+    b = df_b.select(F.col(id_col).alias("id_b"), shingles_expr(F.col(text_col), n).alias("sh_b"))
+    ia = a.select("id_a", F.explode("sh_a").alias("g")).dropDuplicates()
+    ib = b.select("id_b", F.explode("sh_b").alias("g")).dropDuplicates()
+    cand = (
+        ia.join(ib, "g")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .dropDuplicates()
+    )
+    j = cand.join(a, "id_a").join(b, "id_b")
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
+    return (
+        j.withColumn("jaccard", inter / union)
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+
+
+def simhash(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 64
+) -> DataFrame:
+    """64-bit SimHash per document, computed without any UDF:
+    explode tokens → xxhash64 → per-bit ±1 votes summed in ONE groupBy
+    (64 aggregate expressions, all codegen) → sign bits reassembled."""
+    tok = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(tokens_expr(F.col(text_col))).alias("_t"),
+    )
+    h = tok.withColumn("_h", F.xxhash64("_t"))
+    votes = [
+        F.sum(
+            F.when(F.shiftrightunsigned("_h", b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"_v{b}")
+        for b in range(bits)
+    ]
+    agg = h.groupBy("_id").agg(*votes)
+    sim = None
+    for b in range(bits):
+        bit = F.when(F.col(f"_v{b}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        term = F.shiftleft(bit, b)
+        sim = term if sim is None else sim.bitwiseOR(term)
+    return agg.select(F.col("_id").alias(id_col), sim.alias("simhash"))
+
+
+def simhash_candidates(
+    sim_df: DataFrame, id_col: str = "doc_id", max_hamming: int = 3, bands: int = 4
+) -> DataFrame:
+    """Near-dup candidates from SimHash by band-join (pigeonhole: hamming ≤
+    bands-1 guarantees one identical 16-bit band), verified with exact
+    popcount hamming distance."""
+    width = 64 // bands
+    mask = (1 << width) - 1
+    banded = sim_df.select(
+        F.col(id_col).alias("_id"),
+        F.col("simhash"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftrightunsigned("simhash", b * width)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("bval"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("_b"),
+    ).select("_id", "simhash", F.col("_b.band").alias("band"), F.col("_b.bval").alias("bval"))
+    l, r = banded.alias("l"), banded.alias("r")
+    pairs = (
+        l.join(
+            r,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bval") == F.col("r.bval"))
+            & (F.col("l._id") < F.col("r._id")),
+        )
+        .select(
+            F.col("l._id").alias("id_a"),
+            F.col("r._id").alias("id_b"),
+            F.col("l.simhash").alias("sa"),
+            F.col("r.simhash").alias("sb"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    hamming = F.bit_count(F.col("sa").bitwiseXOR(F.col("sb")))
+    return (
+        pairs.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

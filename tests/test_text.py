@@ -1,0 +1,136 @@
+"""Text-pipeline operator tests with independent python oracles."""
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from seraster_spark import text as X
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rows = [
+        ("d00", "the quick brown fox jumps over the lazy dog"),
+        ("d01", "the quick brown fox jumps over the lazy cat"),  # near-dup of d00
+        ("d02", "der schnelle braune fuchs springt und ist da"),
+        ("d03", "completely different words about spark shuffles"),
+        ("d04", "the quick brown fox jumps over the lazy dog"),  # exact dup of d00
+        ("d05", ""),
+        ("d06", "le chat est sur la table et le chien est la"),
+        ("d07", "aaa aaa aaa aaa aaa aaa aaa aaa"),
+        ("d08", "completely different words about spark shuffle"),  # near-dup of d03
+    ]
+    return spark.createDataFrame(rows, "doc_id string, text string").cache()
+
+
+def test_token_count(spark, corpus):
+    got = {r["doc_id"]: r["n_tokens"] for r in X.token_count(corpus).collect()}
+    exp = {
+        "d00": 9, "d01": 9, "d02": 8, "d03": 6, "d04": 9,
+        "d05": 0, "d06": 11, "d07": 8, "d08": 6,
+    }
+    assert got == exp
+
+
+def test_exact_dedup(spark, corpus):
+    got = X.exact_dedup(corpus).collect()
+    by_id = {r["doc_id"]: r for r in got}
+    assert by_id["d00"]["dup_group_size"] == 2
+    assert by_id["d04"]["dup_group_size"] == 2
+    assert by_id["d00"]["is_canonical"] and not by_id["d04"]["is_canonical"]
+    assert by_id["d01"]["dup_group_size"] == 1
+    # md5 matches hashlib
+    assert by_id["d03"]["content_hash"] == hashlib.md5(
+        b"completely different words about spark shuffles"
+    ).hexdigest()
+
+
+def test_shingles(spark, corpus):
+    row = corpus.filter(F.col("doc_id") == "d03").select(
+        X.shingles_expr(F.col("text"), 3).alias("sh")
+    ).collect()[0]
+    toks = "completely different words about spark shuffles".split()
+    exp = {" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)}
+    assert set(row["sh"]) == exp
+
+
+def test_minhash_lsh_finds_near_dups(spark, corpus):
+    pairs = X.minhash_lsh_candidates(corpus, verify_threshold=0.3).collect()
+    found = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert ("d00", "d04") in found  # exact dup always collides
+    assert ("d00", "d01") in found or ("d01", "d04") in found  # near dup
+    # jaccard of exact dup is 1.0
+    j = {(r["id_a"], r["id_b"]): r["jaccard"] for r in pairs}
+    assert j[("d00", "d04")] == 1.0
+    # no false accepts below threshold survive verification
+    assert all(r["jaccard"] >= 0.3 for r in pairs)
+
+
+def test_ngram_jaccard_oracle(spark, corpus):
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in X.ngram_jaccard(corpus, n=3, threshold=0.1).collect()
+    }
+
+    def sh(t):
+        toks = t.lower().split()
+        return {" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)}
+
+    texts = {r["doc_id"]: r["text"] for r in corpus.collect()}
+    import itertools
+
+    for a, b in itertools.combinations(sorted(texts), 2):
+        sa, sb = sh(texts[a]), sh(texts[b])
+        if not sa or not sb:
+            assert (a, b) not in got
+            continue
+        jac = len(sa & sb) / len(sa | sb)
+        if jac >= 0.1:
+            assert got[(a, b)] == pytest.approx(jac)
+        else:
+            assert (a, b) not in got
+
+
+def test_simhash_properties(spark, corpus):
+    sim = {r["doc_id"]: r["simhash"] for r in X.simhash(corpus.filter(F.col("text") != "")).collect()}
+    # identical text -> identical simhash
+    assert sim["d00"] == sim["d04"]
+    # near-dup pairs closer than unrelated pairs
+    def ham(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    assert ham(sim["d00"], sim["d01"]) < ham(sim["d00"], sim["d03"])
+    cands = X.simhash_candidates(
+        spark.createDataFrame(
+            [(k, v) for k, v in sim.items()], "doc_id string, simhash long"
+        ),
+        max_hamming=10,
+    ).collect()
+    found = {(r["id_a"], r["id_b"]) for r in cands}
+    assert ("d00", "d04") in found
+
+
+def test_quality_score(spark, corpus):
+    got = {r["doc_id"]: r for r in X.quality_score(corpus).collect()}
+    assert got["d07"]["distinct_token_ratio"] == pytest.approx(1 / 8)
+    assert got["d00"]["quality_score"] > got["d07"]["quality_score"]
+    assert 0.0 <= got["d05"]["quality_score"] <= 1.0
+
+
+def test_lang_id(spark, corpus):
+    got = {r["doc_id"]: r["lang_guess"] for r in X.lang_id(corpus).collect()}
+    assert got["d00"] == "en"
+    assert got["d02"] == "de"
+    assert got["d06"] == "fr"
+    assert got["d07"] == "und"
+
+
+def test_fingerprint_whitespace_robust(spark):
+    df = spark.createDataFrame(
+        [("a", "hello  world"), ("b", "hello world"), ("c", "HELLO WORLD "), ("d", "goodbye world")],
+        "doc_id string, text string",
+    )
+    fp = {r["doc_id"]: r["fp64"] for r in X.fingerprint(df).collect()}
+    assert fp["a"] == fp["b"] == fp["c"]
+    assert fp["d"] != fp["a"]

@@ -1,0 +1,805 @@
+"""Driver-contract queries: each entry pairs an engine-API Spark query with
+an ANSI-SQL DuckDB oracle over the same /root/testdata parquet tables.
+
+The testdata ``documents`` table has no coordinates (TESTDATA.md), so planar
+coords are DERIVED deterministically from ``doc_id`` by integer modular
+arithmetic — bit-identical in both engines:
+
+    x = (doc_id * 7919)   % 3000   (integer-valued double)
+    y = (doc_id * 104729) % 2000
+    kind = 'ct' || (doc_id % 16)
+
+Integer-valued doubles make every aggregate exact (order-independent sums),
+and trig/sqrt/floor were verified bit-identical between Spark's JVM and
+DuckDB's libm in this environment, so even rotation + re-binning round-trips
+hash-match. Every computed column is aliased identically on both sides
+(driver compares by sorted column name).
+"""
+
+from __future__ import annotations
+
+import math
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from . import expressions as X
+from . import knn as K
+from . import rasterize as R
+from . import text as TX
+from .bbox import BBox
+from .grid import SQRT3, GridSpec
+from .io import read_table
+from .permutate import permutate_by_rotation
+
+RES = 100.0
+
+
+# ---------------------------------------------------------------------------
+# shared derivations
+
+def docs_with_coords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        "text",
+        "source",
+        F.col("n_chars").cast("double").alias("val"),
+        ((F.col("doc_id") * 7919) % 3000).cast("double").alias("x"),
+        ((F.col("doc_id") * 104729) % 2000).cast("double").alias("y"),
+        F.concat(F.lit("ct"), (F.col("doc_id") % 16).cast("string")).alias("kind"),
+    )
+
+
+_SQL_DOCS = """
+d AS (
+  SELECT doc_id, text, source, CAST(n_chars AS DOUBLE) AS val,
+         CAST((doc_id * 7919) % 3000 AS DOUBLE) AS x,
+         CAST((doc_id * 104729) % 2000 AS DOUBLE) AS y,
+         'ct' || CAST(doc_id % 16 AS VARCHAR) AS kind
+  FROM documents
+)"""
+
+_SQL_BBOX = """
+b AS (
+  SELECT floor(min(x) - 50.0) AS xmin, floor(min(y) - 50.0) AS ymin,
+         ceil(max(x) + 50.0) AS xmax, ceil(max(y) + 50.0) AS ymax
+  FROM d
+)"""
+
+# square binning with the lowest-index boundary tie-break (R/main.R:134-135)
+_SQL_SQ_CELLS = """
+c AS (
+  SELECT d.*, b.xmin, b.ymin, b.xmax, b.ymax,
+         CAST(CASE WHEN (x - b.xmin) = floor((x - b.xmin) / 100.0) * 100.0
+                        AND floor((x - b.xmin) / 100.0) > 0
+                   THEN floor((x - b.xmin) / 100.0) - 1
+                   ELSE floor((x - b.xmin) / 100.0) END AS BIGINT) AS col_i,
+         CAST(CASE WHEN (y - b.ymin) = floor((y - b.ymin) / 100.0) * 100.0
+                        AND floor((y - b.ymin) / 100.0) > 0
+                   THEN floor((y - b.ymin) / 100.0) - 1
+                   ELSE floor((y - b.ymin) / 100.0) END AS BIGINT) AS row_i
+  FROM d, b
+)"""
+
+
+def _sq_tiles(spark: SparkSession, sf_dir: str, res: float = RES) -> tuple[DataFrame, GridSpec]:
+    """Docs with cell_id + unpacked row_i/col_i on the padded common grid."""
+    d = docs_with_coords(spark, sf_dir)
+    from .bbox import grid_spec_for
+
+    spec = grid_spec_for(d, res, square=True)
+    with_cell = R.assign_tiles(d, spec)
+    row, col = X.unpack_rowcol(F.col("cell_id"))
+    return (
+        with_cell.withColumn("row_i", row.cast("long")).withColumn("col_i", col.cast("long")),
+        spec,
+    )
+
+
+# ---------------------------------------------------------------------------
+# query implementations
+
+
+def q_bbox_pad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = docs_with_coords(spark, sf_dir)
+    return d.agg(
+        F.floor(F.min("x") - 50.0).cast("double").alias("xmin"),
+        F.floor(F.min("y") - 50.0).cast("double").alias("ymin"),
+        F.ceil(F.max("x") + 50.0).cast("double").alias("xmax"),
+        F.ceil(F.max("y") + 50.0).cast("double").alias("ymax"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+
+
+SQL_BBOX_PAD = f"""
+WITH {_SQL_DOCS}
+SELECT CAST(floor(min(x) - 50.0) AS DOUBLE) AS xmin,
+       CAST(floor(min(y) - 50.0) AS DOUBLE) AS ymin,
+       CAST(ceil(max(x) + 50.0) AS DOUBLE) AS xmax,
+       CAST(ceil(max(y) + 50.0) AS DOUBLE) AS ymax,
+       count(*) AS n_docs
+FROM d
+"""
+
+
+def q_raster_square_kind_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = docs_with_coords(spark, sf_dir)
+    from .bbox import grid_spec_for
+
+    spec = grid_spec_for(d, RES, square=True)
+    t = R.rasterize_cell_type(d, RES, fun="sum", spec=spec)
+    row, col = X.unpack_rowcol(F.col("cell_id"))
+    return t.select(
+        row.cast("long").alias("row_i"),
+        col.cast("long").alias("col_i"),
+        "kind",
+        F.col("pixelval").alias("pixelval"),
+        F.col("num_cell").cast("long").alias("num_cell"),
+        "cx",
+        "cy",
+        "pixel_name",
+    )
+
+
+def _sql_pixel_name() -> str:
+    """grid_index = row_i*ncols + col_i; name = 'pixel' || (idx+1)."""
+    return (
+        "'pixel' || CAST(row_i * CAST(ceil((xmax - xmin) / 100.0) AS BIGINT) "
+        "+ col_i + 1 AS VARCHAR)"
+    )
+
+
+SQL_RASTER_SQUARE_KIND_SUM = f"""
+WITH {_SQL_DOCS}, {_SQL_BBOX}, {_SQL_SQ_CELLS},
+n AS (
+  SELECT row_i, col_i, count(*) AS num_cell FROM c GROUP BY row_i, col_i
+)
+SELECT c.row_i, c.col_i, c.kind,
+       CAST(count(*) AS DOUBLE) AS pixelval,
+       any_value(n.num_cell) AS num_cell,
+       any_value(c.xmin) + (c.col_i + 0.5) * 100.0 AS cx,
+       any_value(c.ymin) + (c.row_i + 0.5) * 100.0 AS cy,
+       any_value({_sql_pixel_name()}) AS pixel_name
+FROM c JOIN n USING (row_i, col_i)
+GROUP BY c.row_i, c.col_i, c.kind
+"""
+
+
+def q_raster_square_kind_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = docs_with_coords(spark, sf_dir)
+    from .bbox import grid_spec_for
+
+    spec = grid_spec_for(d, RES, square=True)
+    t = R.rasterize_cell_type(d, RES, fun="mean", spec=spec)
+    row, col = X.unpack_rowcol(F.col("cell_id"))
+    return t.select(
+        row.cast("long").alias("row_i"),
+        col.cast("long").alias("col_i"),
+        "kind",
+        F.col("pixelval").alias("proportion"),
+        F.col("num_cell").cast("long").alias("num_cell"),
+    )
+
+
+SQL_RASTER_SQUARE_KIND_MEAN = f"""
+WITH {_SQL_DOCS}, {_SQL_BBOX}, {_SQL_SQ_CELLS},
+n AS (SELECT row_i, col_i, count(*) AS num_cell FROM c GROUP BY row_i, col_i)
+SELECT c.row_i, c.col_i, c.kind,
+       CAST(count(*) AS DOUBLE) / CAST(any_value(n.num_cell) AS DOUBLE) AS proportion,
+       any_value(n.num_cell) AS num_cell
+FROM c JOIN n USING (row_i, col_i)
+GROUP BY c.row_i, c.col_i, c.kind
+"""
+
+
+def q_raster_square_value_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gene-expression-style mean: sum(val)/num_cell (R/main.R:146-150
+    denominator semantics; val = n_chars, integer-valued -> exact)."""
+    d = docs_with_coords(spark, sf_dir).withColumn(
+        "values", F.array(F.struct(F.lit("n_chars").alias("feature"), F.col("val").alias("value")))
+    )
+    from .bbox import grid_spec_for
+
+    spec = grid_spec_for(d, RES, square=True)
+    t = R.rasterize_gene_expression(d, RES, fun="mean", spec=spec)
+    row, col = X.unpack_rowcol(F.col("cell_id"))
+    return t.select(
+        row.cast("long").alias("row_i"),
+        col.cast("long").alias("col_i"),
+        "feature",
+        F.col("pixelval").alias("mean_val"),
+        F.col("num_cell").cast("long").alias("num_cell"),
+    )
+
+
+SQL_RASTER_SQUARE_VALUE_MEAN = f"""
+WITH {_SQL_DOCS}, {_SQL_BBOX}, {_SQL_SQ_CELLS}
+SELECT row_i, col_i, 'n_chars' AS feature,
+       sum(val) / CAST(count(*) AS DOUBLE) AS mean_val,
+       count(*) AS num_cell
+FROM c GROUP BY row_i, col_i
+"""
+
+
+def q_raster_square_roster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = docs_with_coords(spark, sf_dir)
+    from .bbox import grid_spec_for
+
+    spec = grid_spec_for(d, RES, square=True)
+    with_cell = R.assign_tiles(d, spec)
+    meta = R.tile_meta(with_cell, spec, id_col="doc_id", salt_buckets=4)
+    row, col = X.unpack_rowcol(F.col("cell_id"))
+    return meta.select(
+        row.cast("long").alias("row_i"),
+        col.cast("long").alias("col_i"),
+        F.col("num_cell").cast("long").alias("num_cell"),
+        F.array_join(
+            F.transform(F.col("cellID_list"), lambda v: v.cast("string")), ","
+        ).alias("roster"),
+    )
+
+
+SQL_RASTER_SQUARE_ROSTER = f"""
+WITH {_SQL_DOCS}, {_SQL_BBOX}, {_SQL_SQ_CELLS}
+SELECT row_i, col_i, count(*) AS num_cell,
+       string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS roster
+FROM c GROUP BY row_i, col_i
+"""
+
+
+# hexagonal binning -----------------------------------------------------------
+
+_SQL_HEX_CELLS = """
+h0 AS (
+  SELECT d.*, b.xmin, b.ymin,
+         (x - b.xmin) / (100.0 / sqrt(3.0)) AS px,
+         (y - b.ymin) / (100.0 / sqrt(3.0)) AS py
+  FROM d, b
+),
+h1 AS (
+  SELECT h0.*,
+         (sqrt(3.0) / 3.0) * px - (1.0 / 3.0) * py AS qf,
+         (2.0 / 3.0) * py AS rf
+  FROM h0
+),
+h2 AS (
+  SELECT h1.*, -qf - rf AS sf,
+         floor(qf + 0.5) AS rq, floor(rf + 0.5) AS rr, floor(-qf - rf + 0.5) AS rs
+  FROM h1
+),
+h3 AS (
+  SELECT h2.*,
+         abs(rq - qf) AS dq, abs(rr - rf) AS dr, abs(rs - sf) AS ds
+  FROM h2
+),
+hc AS (
+  SELECT h3.*,
+         CAST(CASE WHEN dq > dr AND dq > ds THEN -rr - rs ELSE rq END AS BIGINT) AS q,
+         CAST(CASE WHEN NOT (dq > dr AND dq > ds) AND dr > ds THEN -rq - rs ELSE rr END AS BIGINT) AS r
+  FROM h3
+)"""
+
+
+def q_raster_hex_kind_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = docs_with_coords(spark, sf_dir)
+    from .bbox import grid_spec_for
+
+    spec = grid_spec_for(d, RES, square=False)
+    t = R.rasterize_cell_type(d, RES, fun="sum", spec=spec)
+    row, col = X.unpack_rowcol(F.col("cell_id"))
+    return t.select(
+        col.cast("long").alias("q"),
+        row.cast("long").alias("r"),
+        "kind",
+        F.col("pixelval").alias("pixelval"),
+        F.col("num_cell").cast("long").alias("num_cell"),
+        "cx",
+        "cy",
+    )
+
+
+SQL_RASTER_HEX_KIND_SUM = f"""
+WITH {_SQL_DOCS}, {_SQL_BBOX}, {_SQL_HEX_CELLS},
+n AS (SELECT q, r, count(*) AS num_cell FROM hc GROUP BY q, r)
+SELECT hc.q, hc.r, hc.kind,
+       CAST(count(*) AS DOUBLE) AS pixelval,
+       any_value(n.num_cell) AS num_cell,
+       any_value(hc.xmin) + ((100.0 / sqrt(3.0)) * sqrt(3.0)) * (hc.q + hc.r / 2.0) AS cx,
+       any_value(hc.ymin) + ((100.0 / sqrt(3.0)) * 1.5) * hc.r AS cy
+FROM hc JOIN n USING (q, r)
+GROUP BY hc.q, hc.r, hc.kind
+"""
+
+
+# rotation --------------------------------------------------------------------
+
+
+def q_rotation_coords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = docs_with_coords(spark, sf_dir).select("doc_id", "x", "y")
+    out = permutate_by_rotation(d, n_perm=8)
+    return out.select("doc_id", "angle", F.col("x").alias("x_rot"), F.col("y").alias("y_rot"), "perm")
+
+
+SQL_ROTATION_COORDS = f"""
+WITH {_SQL_DOCS},
+o AS (SELECT (min(x) + max(x)) / 2.0 AS ox, (min(y) + max(y)) / 2.0 AS oy FROM d),
+a AS (SELECT unnest([0.0, 45.0, 90.0, 135.0, 180.0, 225.0, 270.0, 315.0]) AS angle)
+SELECT d.doc_id, a.angle,
+       (d.x - o.ox) * cos(radians(a.angle)) - (d.y - o.oy) * sin(radians(a.angle)) + o.ox AS x_rot,
+       (d.x - o.ox) * sin(radians(a.angle)) + (d.y - o.oy) * cos(radians(a.angle)) + o.oy AS y_rot,
+       'rotated_' || CAST(CAST(a.angle AS BIGINT) AS VARCHAR) AS perm
+FROM d, o, a
+"""
+
+
+def q_rotation_raster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rotate 4 ways, rasterize all perms on ONE common grid
+    (R/main.R:294-308): per (perm, tile) doc counts."""
+    d = docs_with_coords(spark, sf_dir).select("doc_id", "x", "y")
+    fan = permutate_by_rotation(d, n_perm=4)
+    from .bbox import grid_spec_for
+
+    spec = grid_spec_for(fan, RES, square=True)
+    with_cell = R.assign_tiles(fan, spec)
+    row, col = X.unpack_rowcol(F.col("cell_id"))
+    return (
+        with_cell.withColumn("row_i", row.cast("long"))
+        .withColumn("col_i", col.cast("long"))
+        .groupBy("perm", "row_i", "col_i")
+        .agg(F.count(F.lit(1)).alias("num_cell"))
+    )
+
+
+SQL_ROTATION_RASTER = f"""
+WITH {_SQL_DOCS},
+o AS (SELECT (min(x) + max(x)) / 2.0 AS ox, (min(y) + max(y)) / 2.0 AS oy FROM d),
+a AS (SELECT unnest([0.0, 90.0, 180.0, 270.0]) AS angle),
+rot AS (
+  SELECT d.doc_id,
+         (d.x - o.ox) * cos(radians(a.angle)) - (d.y - o.oy) * sin(radians(a.angle)) + o.ox AS x,
+         (d.x - o.ox) * sin(radians(a.angle)) + (d.y - o.oy) * cos(radians(a.angle)) + o.oy AS y,
+         'rotated_' || CAST(CAST(a.angle AS BIGINT) AS VARCHAR) AS perm
+  FROM d, o, a
+),
+rb AS (
+  SELECT floor(min(x) - 50.0) AS xmin, floor(min(y) - 50.0) AS ymin FROM rot
+),
+rc AS (
+  SELECT rot.perm,
+         CAST(CASE WHEN (x - rb.xmin) = floor((x - rb.xmin) / 100.0) * 100.0
+                        AND floor((x - rb.xmin) / 100.0) > 0
+                   THEN floor((x - rb.xmin) / 100.0) - 1
+                   ELSE floor((x - rb.xmin) / 100.0) END AS BIGINT) AS col_i,
+         CAST(CASE WHEN (y - rb.ymin) = floor((y - rb.ymin) / 100.0) * 100.0
+                        AND floor((y - rb.ymin) / 100.0) > 0
+                   THEN floor((y - rb.ymin) / 100.0) - 1
+                   ELSE floor((y - rb.ymin) / 100.0) END AS BIGINT) AS row_i
+  FROM rot, rb
+)
+SELECT perm, row_i, col_i, count(*) AS num_cell
+FROM rc GROUP BY perm, row_i, col_i
+"""
+
+
+# kNN -------------------------------------------------------------------------
+
+
+def q_knn_square(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = docs_with_coords(spark, sf_dir)
+    from .bbox import grid_spec_for
+
+    spec = grid_spec_for(d, RES, square=True)
+    queries = d.filter(F.col("doc_id") % 97 == 0).select(
+        F.col("doc_id").alias("query_id"), "x", "y"
+    )
+    out = K.knn_join(d, queries, 5, spec, initial_radius=2)
+    return out.select(
+        "query_id", F.col("doc_id").alias("neighbor_id"), "dist", F.col("rank").cast("long").alias("rank")
+    )
+
+
+SQL_KNN_SQUARE = f"""
+WITH {_SQL_DOCS},
+q AS (SELECT doc_id AS query_id, x AS qx, y AS qy FROM d WHERE doc_id % 97 = 0),
+dist AS (
+  SELECT q.query_id, d.doc_id AS neighbor_id,
+         sqrt((d.x - q.qx) * (d.x - q.qx) + (d.y - q.qy) * (d.y - q.qy)) AS dist
+  FROM q, d
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY dist, neighbor_id) AS rank
+  FROM dist
+)
+SELECT query_id, neighbor_id, dist, rank FROM ranked WHERE rank <= 5
+"""
+
+
+# relative enrichment ---------------------------------------------------------
+
+
+def q_relative_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = docs_with_coords(spark, sf_dir)
+    from .bbox import grid_spec_for
+
+    spec = grid_spec_for(d, RES, square=True)
+    ct = R.rasterize_cell_type(d, RES, fun="sum", spec=spec)
+    re = R.relative_enrichment(ct)
+    row, col = X.unpack_rowcol(F.col("cell_id"))
+    return re.select(
+        row.cast("long").alias("row_i"),
+        col.cast("long").alias("col_i"),
+        "kind",
+        "re",
+        F.col("re_bin").cast("long").alias("re_bin"),
+    )
+
+
+SQL_RELATIVE_ENRICHMENT = f"""
+WITH {_SQL_DOCS}, {_SQL_BBOX}, {_SQL_SQ_CELLS},
+mat AS (
+  SELECT row_i, col_i, kind, CAST(count(*) AS DOUBLE) AS pixelval
+  FROM c GROUP BY row_i, col_i, kind
+),
+tot AS (
+  SELECT mat.*,
+         sum(pixelval) OVER (PARTITION BY kind) AS ct_total,
+         sum(pixelval) OVER (PARTITION BY row_i, col_i) AS px_total,
+         sum(pixelval) OVER () AS grand
+  FROM mat
+)
+SELECT row_i, col_i, kind,
+       pixelval / ((ct_total / grand) * px_total) AS re,
+       CASE WHEN pixelval / ((ct_total / grand) * px_total) >= 1.0 THEN 1 ELSE 0 END AS re_bin
+FROM tot
+"""
+
+
+# multi-resolution ------------------------------------------------------------
+
+
+def q_multires_tile_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = docs_with_coords(spark, sf_dir)
+    from .bbox import grid_spec_for
+
+    outs = []
+    for res in (50.0, 100.0, 200.0):
+        spec = grid_spec_for(d, res, square=True)
+        wc = R.assign_tiles(d, spec)
+        outs.append(
+            wc.groupBy("cell_id")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .agg(
+                F.lit(res).alias("resolution"),
+                F.count(F.lit(1)).alias("n_tiles"),
+                F.sum("n").cast("long").alias("n_docs"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
+
+
+def _sql_multires_one(res: float) -> str:
+    h = res / 2.0
+    return f"""
+SELECT {res} AS resolution, count(*) AS n_tiles, sum(n) AS n_docs FROM (
+  SELECT count(*) AS n FROM (
+    SELECT
+      CAST(CASE WHEN (x - b.xmin) = floor((x - b.xmin) / {res}) * {res}
+                     AND floor((x - b.xmin) / {res}) > 0
+                THEN floor((x - b.xmin) / {res}) - 1
+                ELSE floor((x - b.xmin) / {res}) END AS BIGINT) AS col_i,
+      CAST(CASE WHEN (y - b.ymin) = floor((y - b.ymin) / {res}) * {res}
+                     AND floor((y - b.ymin) / {res}) > 0
+                THEN floor((y - b.ymin) / {res}) - 1
+                ELSE floor((y - b.ymin) / {res}) END AS BIGINT) AS row_i
+    FROM d, (SELECT floor(min(x) - {h}) AS xmin, floor(min(y) - {h}) AS ymin FROM d) b
+  ) GROUP BY row_i, col_i
+)"""
+
+
+SQL_MULTIRES_TILE_COUNTS = (
+    f"WITH {_SQL_DOCS}\n"
+    + _sql_multires_one(50.0)
+    + "\nUNION ALL\n"
+    + _sql_multires_one(100.0)
+    + "\nUNION ALL\n"
+    + _sql_multires_one(200.0)
+)
+
+
+# raster -> vector ------------------------------------------------------------
+
+
+def q_tile_wkt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tiles at res 500 with closed-ring WKT polygons (engine path uses the
+    Arrow-batched numpy polygonizer)."""
+    d = docs_with_coords(spark, sf_dir)
+    from .bbox import grid_spec_for
+    from .vector import tiles_with_wkt
+
+    spec = grid_spec_for(d, 500.0, square=True)
+    wc = R.assign_tiles(d, spec)
+    tiles = wc.groupBy("cell_id").agg(F.count(F.lit(1)).alias("num_cell"))
+    wkt = tiles_with_wkt(tiles, spec)
+    row, col = X.unpack_rowcol(F.col("cell_id"))
+    return wkt.select(
+        row.cast("long").alias("row_i"),
+        col.cast("long").alias("col_i"),
+        F.col("num_cell").cast("long").alias("num_cell"),
+        F.col("geometry_wkt").alias("wkt"),
+    )
+
+
+SQL_TILE_WKT = f"""
+WITH {_SQL_DOCS},
+b AS (SELECT floor(min(x) - 250.0) AS xmin, floor(min(y) - 250.0) AS ymin FROM d),
+c AS (
+  SELECT
+    CAST(CASE WHEN (x - b.xmin) = floor((x - b.xmin) / 500.0) * 500.0
+                   AND floor((x - b.xmin) / 500.0) > 0
+              THEN floor((x - b.xmin) / 500.0) - 1
+              ELSE floor((x - b.xmin) / 500.0) END AS BIGINT) AS col_i,
+    CAST(CASE WHEN (y - b.ymin) = floor((y - b.ymin) / 500.0) * 500.0
+                   AND floor((y - b.ymin) / 500.0) > 0
+              THEN floor((y - b.ymin) / 500.0) - 1
+              ELSE floor((y - b.ymin) / 500.0) END AS BIGINT) AS row_i,
+    b.xmin, b.ymin
+  FROM d, b
+)
+SELECT row_i, col_i, count(*) AS num_cell,
+  'POLYGON ((' ||
+  printf('%.6f %.6f', any_value(xmin) + col_i * 500.0, any_value(ymin) + row_i * 500.0) || ', ' ||
+  printf('%.6f %.6f', any_value(xmin) + col_i * 500.0 + 500.0, any_value(ymin) + row_i * 500.0) || ', ' ||
+  printf('%.6f %.6f', any_value(xmin) + col_i * 500.0 + 500.0, any_value(ymin) + row_i * 500.0 + 500.0) || ', ' ||
+  printf('%.6f %.6f', any_value(xmin) + col_i * 500.0, any_value(ymin) + row_i * 500.0 + 500.0) || ', ' ||
+  printf('%.6f %.6f', any_value(xmin) + col_i * 500.0, any_value(ymin) + row_i * 500.0) ||
+  '))' AS wkt
+FROM c GROUP BY row_i, col_i
+"""
+
+
+# vector -> raster (polygon filter) -------------------------------------------
+
+_POLY = [(300.0, 200.0), (2600.0, 400.0), (2500.0, 1800.0), (500.0, 1700.0)]
+
+
+def q_polygon_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = docs_with_coords(spark, sf_dir)
+    from .bbox import grid_spec_for
+    from .vector import filter_by_polygon
+
+    spec = grid_spec_for(d, RES, square=True)
+    wc = R.assign_tiles(d, spec)
+    return filter_by_polygon(wc, _POLY, spec).select("doc_id", "x", "y")
+
+
+def _sql_convex_pip() -> str:
+    """Point-in-convex-polygon by cross-product sign (CCW ring, boundary
+    inclusive) — vertices chosen so no integer doc coordinate lies exactly
+    on an edge (verified at build time)."""
+    conds = []
+    pts = _POLY + [_POLY[0]]
+    for (x0, y0), (x1, y1) in zip(pts[:-1], pts[1:]):
+        conds.append(
+            f"(({x1} - {x0}) * (y - {y0}) - ({y1} - {y0}) * (x - {x0})) >= 0"
+        )
+    return " AND ".join(conds)
+
+
+SQL_POLYGON_FILTER = f"""
+WITH {_SQL_DOCS}
+SELECT doc_id, x, y FROM d WHERE {_sql_convex_pip()}
+"""
+
+
+# text pipeline ----------------------------------------------------------------
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read_table(spark, sf_dir, "documents")
+    dd = TX.exact_dedup(d)
+    return dd.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("content_hash").alias("n_distinct"),
+        F.sum(F.when(F.col("is_canonical"), 1).otherwise(0)).alias("n_canonical"),
+    )
+
+
+SQL_DEDUP_EXACT = """
+SELECT source, count(*) AS n_docs, count(DISTINCT md5(text)) AS n_distinct,
+       count(DISTINCT md5(text)) AS n_canonical
+FROM documents GROUP BY source
+"""
+
+
+def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read_table(spark, sf_dir, "documents")
+    t = TX.token_count(d)
+    toks = TX.tokens_expr(F.col("text"))
+    return t.select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_distinct_tokens"),
+        F.length("text").cast("long").alias("len_chars"),
+    )
+
+
+SQL_TOKEN_STATS = r"""
+SELECT doc_id,
+       CASE WHEN length(trim(text)) = 0 THEN 0
+            ELSE len(regexp_split_to_array(trim(lower(text)), '\s+')) END AS n_tokens,
+       len(list_distinct(regexp_split_to_array(trim(lower(text)), '\s+'))) AS n_distinct_tokens,
+       length(text) AS len_chars
+FROM documents
+"""
+
+
+def q_lang_markers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read_table(spark, sf_dir, "documents")
+    toks = TX.tokens_expr(F.col("text"))
+
+    def hits(markers: list[str]):
+        # NB: a default-arg lambda would be seen as binary (element, index)
+        return F.size(F.filter(toks, lambda t: t.isin(markers)))
+
+    return d.select(
+        "doc_id",
+        hits(["the", "and", "of"]).cast("long").alias("en_hits"),
+        hits(["der", "die", "und"]).cast("long").alias("de_hits"),
+    )
+
+
+SQL_LANG_MARKERS = r"""
+SELECT doc_id,
+       len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                       t -> t IN ('the', 'and', 'of'))) AS en_hits,
+       len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                       t -> t IN ('der', 'die', 'und'))) AS de_hits
+FROM documents
+"""
+
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read_table(spark, sf_dir, "documents")
+    toks = TX.tokens_expr(F.col("text"))
+    return d.select(
+        "doc_id", F.md5(F.array_join(toks, " ")).alias("fp")
+    )
+
+
+SQL_FINGERPRINT = r"""
+SELECT doc_id,
+       md5(array_to_string(regexp_split_to_array(trim(lower(text)), '\s+'), ' ')) AS fp
+FROM documents
+"""
+
+
+# embedding ANN (integer-derived vectors -> exact oracle) ----------------------
+
+
+def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-k over deterministic integer vectors derived from
+    vec_id (vec[j] = (vec_id*(j+1)) % 97 + 1, the +1 keeps every vector
+    nonzero): dot/norms are exact, so cosine is bit-deterministic in both
+    engines."""
+    from . import similarity as S
+
+    e = read_table(spark, sf_dir, "embeddings")
+    vec = F.transform(
+        F.sequence(F.lit(1), F.lit(8)),
+        lambda j: (((F.col("vec_id") * j) % 97) + 1).cast("double"),
+    )
+    items = e.select("vec_id", vec.alias("embedding"))
+    queries = items.filter(F.col("vec_id") % 97 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = S.brute_force_topk(items, queries, 5)
+    return out.select(
+        "query_id", F.col("vec_id").alias("neighbor_id"), "cosine",
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+SQL_ANN_TOPK = """
+WITH v AS (
+  SELECT vec_id,
+         [CAST((vec_id * 1) % 97 + 1 AS DOUBLE), CAST((vec_id * 2) % 97 + 1 AS DOUBLE),
+          CAST((vec_id * 3) % 97 + 1 AS DOUBLE), CAST((vec_id * 4) % 97 + 1 AS DOUBLE),
+          CAST((vec_id * 5) % 97 + 1 AS DOUBLE), CAST((vec_id * 6) % 97 + 1 AS DOUBLE),
+          CAST((vec_id * 7) % 97 + 1 AS DOUBLE), CAST((vec_id * 8) % 97 + 1 AS DOUBLE)] AS emb
+  FROM embeddings
+),
+q AS (SELECT vec_id AS query_id, emb AS qemb FROM v WHERE vec_id % 97 = 0),
+pairs AS (
+  SELECT q.query_id, v.vec_id AS neighbor_id,
+         list_sum(list_transform(list_zip(v.emb, q.qemb), p -> p[1] * p[2]))
+           / (sqrt(list_sum(list_transform(v.emb, e -> e * e)))
+              * sqrt(list_sum(list_transform(q.qemb, e -> e * e)))) AS cosine
+  FROM q, v
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM pairs
+)
+SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= 5
+"""
+
+
+# rows-only (non-SQL-expressible / hash-function-specific) ---------------------
+
+
+def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read_table(spark, sf_dir, "documents")
+    return TX.minhash_lsh_candidates(d, verify_threshold=0.3)
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read_table(spark, sf_dir, "documents")
+    return TX.simhash(d)
+
+
+def q_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from . import similarity as S
+
+    e = read_table(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") % 97 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return S.lsh_topk(e, queries, 5, dim=64, n_planes=10, n_probes=11)
+
+
+# ------------------------------------------------------------------------------
+# registry
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {
+        "bbox_pad": q_bbox_pad,
+        "raster_square_kind_sum": q_raster_square_kind_sum,
+        "raster_square_kind_mean": q_raster_square_kind_mean,
+        "raster_square_value_mean": q_raster_square_value_mean,
+        "raster_square_roster": q_raster_square_roster,
+        "raster_hex_kind_sum": q_raster_hex_kind_sum,
+        "rotation_coords": q_rotation_coords,
+        "rotation_raster": q_rotation_raster,
+        "knn_square": q_knn_square,
+        "relative_enrichment": q_relative_enrichment,
+        "multires_tile_counts": q_multires_tile_counts,
+        "tile_wkt": q_tile_wkt,
+        "polygon_filter": q_polygon_filter,
+        "dedup_exact": q_dedup_exact,
+        "token_stats": q_token_stats,
+        "lang_markers": q_lang_markers,
+        "fingerprint": q_fingerprint,
+        "ann_topk": q_ann_topk,
+        # rows-only (hash-function-specific; verified by pytest oracles instead)
+        "minhash_pairs": q_minhash_pairs,
+        "simhash": q_simhash,
+        "lsh_ann": q_lsh_ann,
+    }
+
+
+def oracle_sql() -> dict[str, str]:
+    return {
+        "bbox_pad": SQL_BBOX_PAD,
+        "raster_square_kind_sum": SQL_RASTER_SQUARE_KIND_SUM,
+        "raster_square_kind_mean": SQL_RASTER_SQUARE_KIND_MEAN,
+        "raster_square_value_mean": SQL_RASTER_SQUARE_VALUE_MEAN,
+        "raster_square_roster": SQL_RASTER_SQUARE_ROSTER,
+        "raster_hex_kind_sum": SQL_RASTER_HEX_KIND_SUM,
+        "rotation_coords": SQL_ROTATION_COORDS,
+        "rotation_raster": SQL_ROTATION_RASTER,
+        "knn_square": SQL_KNN_SQUARE,
+        "relative_enrichment": SQL_RELATIVE_ENRICHMENT,
+        "multires_tile_counts": SQL_MULTIRES_TILE_COUNTS,
+        "tile_wkt": SQL_TILE_WKT,
+        "polygon_filter": SQL_POLYGON_FILTER,
+        "dedup_exact": SQL_DEDUP_EXACT,
+        "token_stats": SQL_TOKEN_STATS,
+        "lang_markers": SQL_LANG_MARKERS,
+        "fingerprint": SQL_FINGERPRINT,
+        "ann_topk": SQL_ANN_TOPK,
+    }

@@ -1,0 +1,216 @@
+"""Benchmark harness (driver contract): runs the engine's headline operators
+and prints ONE JSON line.
+
+Env:
+  SPARK_GRAFT_SF_DIR  parquet dir for table-backed queries (default sf0.1)
+  SPARK_GRAFT_CPUS    local[N] parallelism (default 32)
+  BENCH_DOCS          synthetic corpus size for the rasterization
+                      throughput measurements (default 2_000_000)
+
+The rasterization benchmarks run over a synthetic interleaved-document
+corpus generated DISTRIBUTED via spark.range + column expressions (never
+driver-side pandas), with a 10%-hot-tile skew injection — measuring the
+engine exactly where 100 TB behavior is decided: encode → one shuffle →
+broadcast join. Results are forced with a noop-style full-column hash
+aggregate so column pruning cannot skip work.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+from pyspark.sql import DataFrame, functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from seraster_spark import driver_queries as DQ  # noqa: E402
+from seraster_spark import knn as K  # noqa: E402
+from seraster_spark import rasterize as R  # noqa: E402
+from seraster_spark import text as TX  # noqa: E402
+from seraster_spark.bbox import BBox  # noqa: E402
+from seraster_spark.grid import GridSpec  # noqa: E402
+from seraster_spark.io import read_table  # noqa: E402
+from seraster_spark.permutate import permutate_by_rotation  # noqa: E402
+from seraster_spark.session import get_spark  # noqa: E402
+
+EXTENT_X, EXTENT_Y = 3000.0, 2000.0
+
+
+def synth_docs(spark, n: int) -> DataFrame:
+    """Distributed synthetic corpus: uniform-ish coords from xxhash64 of the
+    id, 16 kinds, 10-feature sparse value vector; 10% of docs land in one
+    res-100 tile (skew)."""
+    base = spark.range(0, n).withColumn("doc_id", F.col("id"))
+    hx = F.pmod(F.xxhash64(F.col("id"), F.lit(1)), F.lit(3_000_000)) / 1000.0
+    hy = F.pmod(F.xxhash64(F.col("id"), F.lit(2)), F.lit(2_000_000)) / 1000.0
+    hot = F.pmod(F.col("id"), F.lit(10)) == 0
+    x = F.when(hot, 1510.0 + F.pmod(F.xxhash64(F.col("id"), F.lit(3)), F.lit(80)) / 1.0).otherwise(hx)
+    y = F.when(hot, 1010.0 + F.pmod(F.xxhash64(F.col("id"), F.lit(4)), F.lit(80)) / 1.0).otherwise(hy)
+    kind = F.concat(F.lit("ct"), F.pmod(F.col("id"), F.lit(16)).cast("string"))
+    values = F.transform(
+        F.sequence(F.lit(0), F.lit(9)),
+        lambda j: F.struct(
+            F.concat(F.lit("g"), j.cast("string")).alias("feature"),
+            (F.pmod(F.xxhash64(F.col("id"), j), F.lit(1000)) / 100.0).alias("value"),
+        ),
+    )
+    return base.select(
+        "doc_id", x.alias("x"), y.alias("y"), kind.alias("kind"), values.alias("values")
+    )
+
+
+def force(df: DataFrame) -> int:
+    """Materialize every output column (hash-all aggregate defeats pruning)."""
+    row = df.agg(
+        F.count(F.lit(1)).alias("n"), F.bit_xor(F.xxhash64(*df.columns)).alias("h")
+    ).collect()[0]
+    return row["n"]
+
+
+SPEC_SQ = GridSpec(-50.0, -50.0, 3050.0, 2050.0, 100.0, square=True)
+SPEC_HX = GridSpec(-50.0, -50.0, 3050.0, 2050.0, 100.0, square=False)
+BBOX = BBox(0.0, 0.0, EXTENT_X, EXTENT_Y)
+
+
+def bench_queries(spark, sf_dir: str, n_docs: int):
+    # Stage the synthetic corpus to parquet (untimed): the benchmarks then
+    # measure scan + engine compute, as a real pipeline would — and column
+    # pruning per query behaves exactly as it does at 100 TB. Higher-order
+    # generator expressions are interpreted (not codegen'd) and would
+    # otherwise dominate the timings.
+    import tempfile
+
+    stage = os.path.join(tempfile.gettempdir(), f"bench_docs_{n_docs}")
+    if not os.path.exists(os.path.join(stage, "_SUCCESS")):
+        synth_docs(spark, n_docs).write.mode("overwrite").parquet(stage)
+    docs = spark.read.parquet(stage)
+    # untimed warmup: JIT/codegen/scan-cache so the first timed query isn't
+    # charged one-time session costs
+    force(R.rasterize_cell_type(docs.limit(200_000), 100.0, fun="sum", spec=SPEC_SQ))
+    qs: dict[str, float] = {}
+    extra: dict[str, float] = {}
+
+    repeats = int(os.environ.get("BENCH_REPEATS", "2"))
+
+    def timed(name, fn):
+        # min over repeats: robust to shared-host CPU noise
+        best, out = None, None
+        for _ in range(repeats):
+            t0 = time.time()
+            out = fn()
+            dt = time.time() - t0
+            best = dt if best is None or dt < best else best
+        qs[name] = round(best, 3)
+        return out
+
+    # q1: cell-type raster, square, sum (the flagship path)
+    n_tiles = timed(
+        "raster_square_kind_sum",
+        lambda: force(R.rasterize_cell_type(docs, 100.0, fun="sum", spec=SPEC_SQ)),
+    )
+    extra["docs_per_sec_raster_square"] = round(n_docs / qs["raster_square_kind_sum"], 1)
+    extra["tiles_per_sec_raster_square"] = round(n_tiles / qs["raster_square_kind_sum"], 1)
+
+    # q2: gene-expression mean (explodes 10 features/doc)
+    timed(
+        "raster_square_value_mean",
+        lambda: force(R.rasterize_gene_expression(docs, 100.0, fun="mean", spec=SPEC_SQ)),
+    )
+    extra["triplets_per_sec_value_mean"] = round(10 * n_docs / qs["raster_square_value_mean"], 1)
+
+    # q3: hex raster
+    timed(
+        "raster_hex_kind_sum",
+        lambda: force(R.rasterize_cell_type(docs, 100.0, fun="sum", spec=SPEC_HX)),
+    )
+
+    # q4: rotation fan-out (4 perms) + common-grid re-raster
+    big_spec = GridSpec(-2000.0, -2000.0, 5000.0, 4000.0, 100.0, square=True)
+    timed(
+        "rotation_raster",
+        lambda: force(
+            R.rasterize_cell_type(
+                permutate_by_rotation(docs.drop("values"), n_perm=4, origin=(1500.0, 1000.0)),
+                100.0,
+                fun="sum",
+                group_cols=["perm"],
+                spec=big_spec,
+            )
+        ),
+    )
+
+    # q5: salted roster aggregation on the skewed corpus
+    timed(
+        "salted_roster",
+        lambda: force(
+            R.tile_meta(
+                R.assign_tiles(docs.select("doc_id", "x", "y"), SPEC_SQ),
+                SPEC_SQ,
+                salt_buckets=16,
+            ).drop("cellID_list")
+        ),
+    )
+
+    # q6: kNN, 500 queries against the full corpus
+    queries = (
+        spark.range(0, 500)
+        .select(
+            F.col("id").cast("string").alias("query_id"),
+            (F.pmod(F.xxhash64("id"), F.lit(3000000)) / 1000.0).alias("x"),
+            (F.pmod(F.xxhash64("id", F.lit(9)), F.lit(2000000)) / 1000.0).alias("y"),
+        )
+    )
+    timed(
+        "knn_500q",
+        lambda: force(K.knn_join(docs.select("doc_id", "x", "y"), queries, 10, SPEC_SQ)),
+    )
+
+    # table-backed ops at sf_dir
+    d = read_table(spark, sf_dir, "documents")
+    timed("dedup_exact", lambda: force(TX.exact_dedup(d).select("doc_id", "dup_group_size", "is_canonical")))
+    timed("minhash_lsh", lambda: force(TX.minhash_lsh_candidates(d, verify_threshold=0.3)))
+    timed("simhash", lambda: force(TX.simhash(d)))
+    timed("token_quality", lambda: force(TX.quality_score(TX.token_count(d)).select(
+        "doc_id", "n_tokens", "quality_score")))
+
+    from seraster_spark import similarity as S
+
+    e = read_table(spark, sf_dir, "embeddings")
+    eq = e.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    timed("ann_bruteforce", lambda: force(S.brute_force_topk(e, eq, 10)))
+    return qs, extra
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    n_docs = int(os.environ.get("BENCH_DOCS", "2000000"))
+    spark = get_spark(
+        "bench", master=f"local[{cpus}]", shuffle_partitions=max(cpus, 16)
+    )
+    t0 = time.time()
+    qs, extra = bench_queries(spark, sf_dir, n_docs)
+    total = round(time.time() - t0, 3)
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    out = {
+        "metric": "rasterization_docs_per_sec",
+        "value": extra["docs_per_sec_raster_square"],
+        "unit": "docs/sec",
+        "queries": qs,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "total_sec": total,
+        "bench_docs": n_docs,
+        "cpus": cpus,
+        **extra,
+    }
+    spark.stop()
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,74 @@
+"""Incremental rasterization over document arrivals — Structured Streaming.
+
+The reference is bounded batch only (SURVEY.md §2.10); this is the engine's
+streaming extension: documents arrive with an event-time column, tile
+assignment is the same stateless closed-form Column math as the batch path
+(encoders are pure expressions, so they are trivially streamable), and the
+per-tile aggregate becomes a watermarked windowed groupBy —
+late data beyond the watermark is dropped, on-time late data updates its
+window's tile counts.
+
+    readStream(parquet dir) → cell_id = encode(x,y) →
+    withWatermark(ts) → groupBy(window(ts), cell_id, kind).count →
+    writeStream (append once windows close / availableNow for backfill)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import types as T
+
+from ..expressions import cell_id_expr, centroid_expr
+from ..grid import GridSpec
+
+
+def stream_rasterize_cell_type(
+    spark: SparkSession,
+    input_path: str,
+    schema: T.StructType,
+    spec: GridSpec,
+    ts_col: str = "ts",
+    label_col: str = "kind",
+    window_duration: str = "1 minute",
+    watermark: str = "2 minutes",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Streaming per-(window, tile, kind) counts. Returns the streaming DF
+    (caller attaches writeStream)."""
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    docs = reader.parquet(input_path)
+    with_cell = docs.withColumn(
+        "cell_id", cell_id_expr(F.col("x"), F.col("y"), spec)
+    )
+    agg = (
+        with_cell.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window_duration), "cell_id", label_col)
+        .agg(F.count(F.lit(1)).alias("pixelval"))
+    )
+    cx, cy = centroid_expr(F.col("cell_id"), spec)
+    return agg.select(
+        F.col("window.start").alias("window_start"),
+        F.col("window.end").alias("window_end"),
+        "cell_id",
+        label_col,
+        F.col("pixelval").cast("double").alias("pixelval"),
+        cx.alias("cx"),
+        cy.alias("cy"),
+    )
+
+
+def run_available_now(stream_df: DataFrame, query_name: str, checkpoint_dir: str):
+    """Drain everything currently available (backfill / test mode) into an
+    in-memory table named `query_name`; returns the finished query."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("complete")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q

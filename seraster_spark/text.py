@@ -140,14 +140,35 @@ def shingles_expr(text: Column, n: int = 3) -> Column:
     return F.array_distinct(gram)
 
 
-def minhash_signature(shingles: Column, num_perm: int = 32) -> Column:
-    """num_perm-wide MinHash signature: per permutation p, min over shingles
-    of xxhash64(p || shingle). array<long>."""
-    sigs = [
-        F.array_min(
-            F.transform(shingles, lambda s, p=p: F.xxhash64(F.concat(F.lit(f"{p}|"), s)))
+_MERSENNE61 = (1 << 61) - 1
+
+
+def _perm_params(num_perm: int, seed: int = 13):
+    """Deterministic universal-hash family parameters (a odd, b)."""
+    import random
+
+    rnd = random.Random(seed)
+    return [
+        (rnd.randrange(1, 1 << 31) | 1, rnd.randrange(0, 1 << 31))
+        for _ in range(num_perm)
+    ]
+
+
+def minhash_signature(hashed_shingles: Column, num_perm: int = 32) -> Column:
+    """num_perm-wide MinHash signature over PRE-HASHED shingles (array<long>):
+    one xxhash64 per shingle total, then cheap universal-hash permutations
+    min_s((a_p * h + b_p) mod M) — overflow-safe under ANSI (h reduced to
+    31 bits first). array<long>."""
+    def perm_fn(a: int, b: int):
+        # NB closure factory — a default-arg lambda would change the arity
+        # PySpark infers for the HOF lambda
+        return lambda h: F.pmod(
+            F.lit(a) * F.pmod(h, F.lit(2147483647)) + F.lit(b), F.lit(_MERSENNE61)
         )
-        for p in range(num_perm)
+
+    sigs = [
+        F.array_min(F.transform(hashed_shingles, perm_fn(a, b)))
+        for a, b in _perm_params(num_perm)
     ]
     return F.array(*sigs)
 
@@ -169,8 +190,13 @@ def minhash_lsh_candidates(
     """
     rows = num_perm // bands
     base = df.select(
-        F.col(id_col).alias("_id"), shingles_expr(F.col(text_col), n).alias("_sh")
-    ).filter(F.size("_sh") > 0)
+        F.col(id_col).alias("_id"), shingles_expr(F.col(text_col), n).alias("_s")
+    ).filter(F.size("_s") > 0)
+    # pre-hash shingles ONCE (xxhash64 per shingle); signature permutations
+    # and Jaccard verification both run on the hashed array
+    base = base.select(
+        "_id", F.array_distinct(F.transform("_s", lambda s: F.xxhash64(s))).alias("_sh")
+    )
     sig = base.withColumn("_sig", minhash_signature(F.col("_sh"), num_perm))
     banded = sig.select(
         "_id",
@@ -191,6 +217,9 @@ def minhash_lsh_candidates(
             )
         ).alias("_b"),
     ).select("_id", "_sh", F.col("_b.band").alias("band"), F.col("_b.bhash").alias("bhash"))
+    # persist: both sides of the self-join read the SAME banded signatures —
+    # without this Spark recomputes shingling+signatures twice
+    banded = banded.persist()
     left = banded.alias("l")
     right = banded.alias("r")
     pairs = (

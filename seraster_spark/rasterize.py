@@ -156,11 +156,22 @@ def rasterize_cell_type(
     counts = with_cell.groupBy(*keys, label_col).agg(
         F.count(F.lit(1)).cast("double").alias("_cnt")
     )
-    meta = tile_meta(
-        with_cell, spec, gcols, collect_roster=collect_roster, salt_buckets=salt_buckets
-    )
-    meta_j = F.broadcast(meta) if broadcast_meta else meta
-    joined = counts.join(meta_j, on=keys, how="inner")
+    if collect_roster:
+        # roster needs the doc ids → second aggregate + broadcast join
+        meta = tile_meta(
+            with_cell, spec, gcols, collect_roster=True, salt_buckets=salt_buckets
+        )
+        meta_j = F.broadcast(meta) if broadcast_meta else meta
+        joined = counts.join(meta_j, on=keys, how="inner")
+    else:
+        # every doc has exactly one label, so num_cell = Σ_label counts — a
+        # window over the ALREADY-AGGREGATED tiles replaces a second full
+        # scan + join (the window exchange moves tiles×labels rows, not docs)
+        from pyspark.sql import Window as W
+
+        joined = counts.withColumn(
+            "num_cell", F.sum("_cnt").over(W.partitionBy(*keys)).cast("long")
+        )
     pixelval = (
         F.col("_cnt") if fun == "sum" else F.col("_cnt") / F.col("num_cell").cast("double")
     )

@@ -109,9 +109,10 @@ def knn_join(
             "cell_id", F.explode(_neighbor_array(F.col("_qcell"), spec, radius))
         ).drop("_qcell")
         joined = pts.join(F.broadcast(cand_cells), on="cell_id", how="inner")
-        dist = F.sqrt(
-            (F.col("_px") - F.col("_qx")) ** 2 + (F.col("_py") - F.col("_qy")) ** 2
-        )
+        ddx = F.col("_px") - F.col("_qx")
+        ddy = F.col("_py") - F.col("_qy")
+        # explicit products (not **2): bit-identical to the SQL oracle's x*x
+        dist = F.sqrt(ddx * ddx + ddy * ddy)
         ranked_pdf = (
             joined.withColumn("dist", dist)
             .withColumn(

@@ -72,8 +72,10 @@ def grid_spec_for(
     """
     raw = bbox or compute_bbox(df, x_col, y_col)
     pad = raw.padded(resolution)
-    extent_x = pad.xmax - pad.xmin
-    extent_y = pad.ymax - pad.ymin
+    # warn against the RAW data extent (the padded one grows by `resolution`
+    # by construction and would never trigger)
+    extent_x = raw.xmax - raw.xmin
+    extent_y = raw.ymax - raw.ymin
     if resolution >= min(extent_x, extent_y):
         import warnings
 

@@ -595,6 +595,61 @@ SELECT doc_id, x, y FROM d WHERE {_sql_convex_pip()}
 """
 
 
+def q_raster_restricted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cell-type-restricted rasterization (vignette:153-157): filter to one
+    kind BEFORE the pipeline — a plain pushed-down predicate."""
+    d = docs_with_coords(spark, sf_dir)
+    from .bbox import grid_spec_for
+
+    spec = grid_spec_for(d, RES, square=True)  # grid from the FULL data
+    sub = d.filter(F.col("kind") == "ct3")
+    t = R.rasterize_cell_type(sub, RES, fun="sum", spec=spec)
+    row, col = X.unpack_rowcol(F.col("cell_id"))
+    return t.select(
+        row.cast("long").alias("row_i"),
+        col.cast("long").alias("col_i"),
+        F.col("pixelval").alias("n_ct3"),
+    )
+
+
+SQL_RASTER_RESTRICTED = f"""
+WITH {_SQL_DOCS}, {_SQL_BBOX}, {_SQL_SQ_CELLS}
+SELECT row_i, col_i, CAST(count(*) AS DOUBLE) AS n_ct3
+FROM c WHERE kind = 'ct3'
+GROUP BY row_i, col_i
+"""
+
+
+def q_events_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window rollup over the events table (batch equivalent of the
+    streaming path): per (1h window, event_type) count + value sum. Window
+    start exported as epoch seconds (integer; engine-stable)."""
+    e = read_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            # floor(value*100) -> integer sum: exact and order-independent
+            # (a raw double sum would be summation-order-dependent)
+            F.sum(F.floor(F.col("value") * 100.0)).cast("long").alias("sum_cents"),
+        )
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("window_start_epoch"),
+            "event_type",
+            "n_events",
+            "sum_cents",
+        )
+    )
+
+
+SQL_EVENTS_WINDOW = """
+SELECT CAST(epoch(time_bucket(INTERVAL '1 hour', ts)) AS BIGINT) AS window_start_epoch,
+       event_type, count(*) AS n_events,
+       CAST(sum(floor(value * 100.0)) AS BIGINT) AS sum_cents
+FROM events GROUP BY 1, 2
+"""
+
+
 # text pipeline ----------------------------------------------------------------
 
 
@@ -770,6 +825,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multires_tile_counts": q_multires_tile_counts,
         "tile_wkt": q_tile_wkt,
         "polygon_filter": q_polygon_filter,
+        "raster_restricted": q_raster_restricted,
+        "events_window": q_events_window,
         "dedup_exact": q_dedup_exact,
         "token_stats": q_token_stats,
         "lang_markers": q_lang_markers,
@@ -797,6 +854,8 @@ def oracle_sql() -> dict[str, str]:
         "multires_tile_counts": SQL_MULTIRES_TILE_COUNTS,
         "tile_wkt": SQL_TILE_WKT,
         "polygon_filter": SQL_POLYGON_FILTER,
+        "raster_restricted": SQL_RASTER_RESTRICTED,
+        "events_window": SQL_EVENTS_WINDOW,
         "dedup_exact": SQL_DEDUP_EXACT,
         "token_stats": SQL_TOKEN_STATS,
         "lang_markers": SQL_LANG_MARKERS,

@@ -231,6 +231,66 @@ def rasterize_gene_expression(
     return _with_tile_decor(out, spec)
 
 
+def rasterize_gene_expression_deterministic(
+    docs: DataFrame,
+    resolution: float = 100.0,
+    square: bool = True,
+    fun: str = "mean",
+    values_col: str = "values",
+    bbox: BBox | None = None,
+    spec: GridSpec | None = None,
+) -> DataFrame:
+    """Bit-for-bit reproducible variant (north_star: "match ... bit-for-bit
+    on aggregated pixel values"; SURVEY.md §4.3.4): per-tile values are
+    summed in CANONICAL ORDER — member docs sorted by (feature, doc_id)
+    inside an applyInPandas group — so the result is byte-identical across
+    partitionings, cluster sizes, and reruns. Tiles are small by the very
+    premise of rasterization, so per-tile pandas groups are cheap; use the
+    default rasterize_gene_expression when last-ulp float reproducibility
+    isn't required."""
+    import numpy as np
+    import pandas as pd
+
+    if fun not in VALID_FUNS:
+        raise ValueError(f"fun must be one of {VALID_FUNS} (R/main.R:33-36)")
+    spec = spec or grid_spec_for(docs, resolution, square=square, bbox=bbox)
+    with_cell = assign_tiles(docs.select("doc_id", "x", "y", values_col), spec)
+    triplets = with_cell.select(
+        "cell_id",
+        "doc_id",
+        F.explode(values_col).alias("_kv"),
+    ).select(
+        "cell_id",
+        "doc_id",
+        F.col("_kv.feature").alias("feature"),
+        F.col("_kv.value").alias("value"),
+    )
+    num = with_cell.groupBy("cell_id").agg(F.count(F.lit(1)).alias("num_cell"))
+
+    out_schema = "cell_id long, feature string, pixel_sum double"
+
+    def tile_sum(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["feature", "doc_id"], kind="mergesort")
+        recs = []
+        for feat, grp in pdf.groupby("feature", sort=True):
+            # sequential left-to-right fold in sorted order: deterministic
+            s = 0.0
+            for v in grp["value"].to_numpy(np.float64):
+                s += v
+            recs.append((int(pdf["cell_id"].iloc[0]), feat, s))
+        return pd.DataFrame(recs, columns=["cell_id", "feature", "pixel_sum"])
+
+    sums = triplets.groupBy("cell_id").applyInPandas(tile_sum, out_schema)
+    joined = sums.join(F.broadcast(num), "cell_id")
+    pixelval = (
+        F.col("pixel_sum")
+        if fun == "sum"
+        else F.col("pixel_sum") / F.col("num_cell").cast("double")
+    )
+    out = joined.withColumn("pixelval", pixelval).drop("pixel_sum")
+    return _with_tile_decor(out, spec)
+
+
 def relative_enrichment(cell_type_tiles: DataFrame, label_col: str = "kind") -> DataFrame:
     """Vignette's relative-enrichment metric (vignette:307-311):
     RE[ct, px] = mat[ct,px] / ( (sum(mat[ct,:]) / sum(mat)) * colSums(mat)[px] )

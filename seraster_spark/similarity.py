@@ -64,6 +64,146 @@ def brute_force_topk(
     )
 
 
+def brute_force_topk_arrow(
+    items: DataFrame,
+    queries_pdf: pd.DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id: str = "query_id",
+) -> DataFrame:
+    """Exact cosine top-k, Arrow fast path for the 100 TB scan:
+    the (small) query matrix is shipped in the UDF closure; each Arrow batch
+    of items does ONE numpy matmul and emits only its per-batch top-k
+    candidates per query (k × n_queries rows per batch, not batch × n_queries)
+    — a global window top-k then finalizes. Orders of magnitude faster than
+    the interpreted zip_with/aggregate fold at scale.
+
+    queries_pdf: pandas with (query_id, vec) columns where vec is list/array.
+    """
+    qids = queries_pdf[query_id].to_numpy()
+    qm = np.stack([np.asarray(v, dtype=np.float64) for v in queries_pdf[vec_col]])
+    qm_n = qm / np.linalg.norm(qm, axis=1, keepdims=True)
+
+    out_schema = T.StructType(
+        [
+            T.StructField(query_id, T.StringType()),
+            T.StructField("_iid", T.LongType()),
+            T.StructField("cosine", T.DoubleType()),
+        ]
+    )
+
+    def batch_topk(it):
+        for pdf in it:
+            m = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            norms = np.linalg.norm(m, axis=1)
+            norms[norms == 0] = 1.0
+            cos = (m / norms[:, None]) @ qm_n.T  # (batch, nq)
+            kk = min(k, len(m))
+            idx = np.argpartition(-cos, kk - 1, axis=0)[:kk]  # (k, nq)
+            rows = {query_id: [], "_iid": [], "cosine": []}
+            ids = pdf[id_col].to_numpy()
+            for qi in range(len(qids)):
+                sel = idx[:, qi]
+                rows[query_id].extend([str(qids[qi])] * len(sel))
+                rows["_iid"].extend(ids[sel].tolist())
+                rows["cosine"].extend(cos[sel, qi].tolist())
+            yield pd.DataFrame(rows)
+
+    cand = items.select(id_col, vec_col).mapInPandas(batch_topk, out_schema)
+    ranked = (
+        cand.withColumn(
+            "rank",
+            F.row_number().over(
+                W.partitionBy(query_id).orderBy(F.col("cosine").desc(), F.col("_iid").asc())
+            ),
+        )
+        .filter(F.col("rank") <= k)
+    )
+    return ranked.select(query_id, F.col("_iid").alias(id_col), "cosine", "rank")
+
+
+def ivf_topk(
+    items: DataFrame,
+    queries_pdf: pd.DataFrame,
+    k: int,
+    dim: int,
+    n_centroids: int = 16,
+    n_probe: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id: str = "query_id",
+    sample_size: int = 2000,
+    seed: int = 7,
+    kmeans_iters: int = 8,
+) -> DataFrame:
+    """IVF approximate top-k: coarse k-means centroids trained driver-side on
+    a sample, items assigned to their nearest centroid (one numpy matmul per
+    Arrow batch), queries probe their n_probe nearest centroid lists, exact
+    cosine re-rank inside the probed lists only."""
+    sample = np.stack(
+        [
+            np.asarray(v, dtype=np.float64)
+            for v in items.select(vec_col).limit(sample_size).toPandas()[vec_col]
+        ]
+    )
+    rng = np.random.default_rng(seed)
+    cent = sample[rng.choice(len(sample), min(n_centroids, len(sample)), replace=False)]
+    for _ in range(kmeans_iters):
+        d = ((sample[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)
+        for c in range(len(cent)):
+            mask = assign == c
+            if mask.any():
+                cent[c] = sample[mask].mean(axis=0)
+
+    cent_b = cent.copy()
+
+    @F.pandas_udf(T.IntegerType())
+    def nearest_centroid(vec: pd.Series) -> pd.Series:
+        m = np.stack([np.asarray(v, dtype=np.float64) for v in vec])
+        d = ((m[:, None, :] - cent_b[None, :, :]) ** 2).sum(axis=2)
+        return pd.Series(d.argmin(axis=1).astype(np.int32))
+
+    it = items.withColumn("_list", nearest_centroid(F.col(vec_col)))
+
+    qm = np.stack([np.asarray(v, dtype=np.float64) for v in queries_pdf[vec_col]])
+    qd = ((qm[:, None, :] - cent_b[None, :, :]) ** 2).sum(axis=2)
+    probes = np.argsort(qd, axis=1)[:, : min(n_probe, len(cent_b))]
+    spark = items.sparkSession
+    qrows = [
+        (str(queries_pdf[query_id].iloc[i]), [float(x) for x in qm[i]], int(p))
+        for i in range(len(queries_pdf))
+        for p in probes[i]
+    ]
+    q = spark.createDataFrame(
+        qrows,
+        T.StructType(
+            [
+                T.StructField(query_id, T.StringType()),
+                T.StructField("_qvec", T.ArrayType(T.DoubleType())),
+                T.StructField("_list", T.IntegerType()),
+            ]
+        ),
+    )
+    joined = it.join(F.broadcast(q), "_list")
+    cos = _dot(F.col(vec_col), F.col("_qvec")) / (
+        norm_expr(F.col(vec_col)) * norm_expr(F.col("_qvec"))
+    )
+    ranked = (
+        joined.withColumn("cosine", cos)
+        .dropDuplicates([query_id, id_col])
+        .withColumn(
+            "rank",
+            F.row_number().over(
+                W.partitionBy(query_id).orderBy(F.col("cosine").desc(), F.col(id_col).asc())
+            ),
+        )
+        .filter(F.col("rank") <= k)
+    )
+    return ranked.select(query_id, id_col, "cosine", "rank")
+
+
 def _hyperplanes(dim: int, n_planes: int, seed: int = 7) -> np.ndarray:
     rng = np.random.default_rng(seed)
     return rng.standard_normal((n_planes, dim)).astype(np.float64)

@@ -166,6 +166,52 @@ GROUP BY c.row_i, c.col_i, c.kind
 """
 
 
+def q_raster_square_kind_sum_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same as q_raster_square_kind_sum but through the Arrow-batched numpy
+    encoder (use_udf=True) — proves the UDF path against the same bit-exact
+    oracle as the Column-math path."""
+    d = docs_with_coords(spark, sf_dir)
+    from .bbox import grid_spec_for
+
+    spec = grid_spec_for(d, RES, square=True)
+    with_cell = R.assign_tiles(d, spec, use_udf=True)
+    from pyspark.sql import Window as W
+
+    counts = with_cell.groupBy("cell_id", "kind").agg(
+        F.count(F.lit(1)).cast("double").alias("pixelval")
+    ).withColumn("num_cell", F.sum("pixelval").over(W.partitionBy("cell_id")).cast("long"))
+    row, col = X.unpack_rowcol(F.col("cell_id"))
+    cx, cy = X.centroid_expr(F.col("cell_id"), spec)
+    idx = X.grid_index_expr(F.col("cell_id"), spec)
+    return counts.select(
+        row.cast("long").alias("row_i"),
+        col.cast("long").alias("col_i"),
+        "kind",
+        "pixelval",
+        "num_cell",
+        cx.alias("cx"),
+        cy.alias("cy"),
+        F.format_string("pixel%d", (idx + 1).cast("long")).alias("pixel_name"),
+    )
+
+
+def q_knn_hex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN through the HEX ring-expansion path — exact kNN output is grid-
+    independent, so the same brute-force SQL oracle applies."""
+    d = docs_with_coords(spark, sf_dir)
+    from .bbox import grid_spec_for
+
+    spec = grid_spec_for(d, RES, square=False)
+    queries = d.filter(F.col("doc_id") % 97 == 0).select(
+        F.col("doc_id").alias("query_id"), "x", "y"
+    )
+    out = K.knn_join(d, queries, 5, spec, initial_radius=2)
+    return out.select(
+        "query_id", F.col("doc_id").alias("neighbor_id"), "dist",
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
 def q_raster_square_kind_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = docs_with_coords(spark, sf_dir)
     from .bbox import grid_spec_for
@@ -814,7 +860,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "bbox_pad": q_bbox_pad,
         "raster_square_kind_sum": q_raster_square_kind_sum,
+        "raster_square_kind_sum_udf": q_raster_square_kind_sum_udf,
         "raster_square_kind_mean": q_raster_square_kind_mean,
+        "knn_hex": q_knn_hex,
         "raster_square_value_mean": q_raster_square_value_mean,
         "raster_square_roster": q_raster_square_roster,
         "raster_hex_kind_sum": q_raster_hex_kind_sum,
@@ -843,7 +891,9 @@ def oracle_sql() -> dict[str, str]:
     return {
         "bbox_pad": SQL_BBOX_PAD,
         "raster_square_kind_sum": SQL_RASTER_SQUARE_KIND_SUM,
+        "raster_square_kind_sum_udf": SQL_RASTER_SQUARE_KIND_SUM,
         "raster_square_kind_mean": SQL_RASTER_SQUARE_KIND_MEAN,
+        "knn_hex": SQL_KNN_SQUARE,
         "raster_square_value_mean": SQL_RASTER_SQUARE_VALUE_MEAN,
         "raster_square_roster": SQL_RASTER_SQUARE_ROSTER,
         "raster_hex_kind_sum": SQL_RASTER_HEX_KIND_SUM,

@@ -81,6 +81,12 @@ def test_pip_matches_winding_for_convex_hull(pts):
     )
     if abs(area) < 1e-6:
         return
+    # angular sort around the centroid is star-shaped, not necessarily
+    # convex — the winding test below assumes convexity, so skip non-convex
+    e = np.roll(poly, -1, axis=0) - poly
+    crosses = e[:, 0] * np.roll(e, -1, axis=0)[:, 1] - e[:, 1] * np.roll(e, -1, axis=0)[:, 0]
+    if (crosses < -1e-9).any():
+        return
     ring = np.vstack([poly, poly[:1]])
     probe = np.random.default_rng(0).uniform([0, 0], [3000, 2000], (50, 2))
     got = grid.point_in_polygon(probe[:, 0], probe[:, 1], ring)

@@ -21,7 +21,7 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
-N_DOCS = int(os.environ.get("SCALING_DOCS", "48000000"))
+N_DOCS = int(os.environ.get("SCALING_DOCS", "192000000"))
 REPEATS = int(os.environ.get("SCALING_REPEATS", "3"))
 STAGE = os.path.join(
     os.environ.get("TMPDIR", "/tmp"), f"scaling_docs_{N_DOCS}"
@@ -31,7 +31,7 @@ STAGE = os.path.join(
 def worker(cpus: int) -> None:
     from pyspark.sql import functions as F
 
-    from bench import SPEC_SQ, force, synth_docs
+    from bench import SPEC_HX, force, synth_docs
     from seraster_spark import rasterize as R
     from seraster_spark.session import get_spark
 
@@ -39,15 +39,22 @@ def worker(cpus: int) -> None:
         f"scaling_{cpus}", master=f"local[{cpus}]", shuffle_partitions=cpus * 2
     )
     if not os.path.exists(os.path.join(STAGE, "_SUCCESS")):
-        # 64 files: even scan parallelism at both core counts
-        synth_docs(spark, N_DOCS).repartition(64).write.mode("overwrite").parquet(STAGE)
+        # slim columns (the cell-type job never reads `values`) and 64 files
+        # for even scan parallelism at both core counts
+        synth_docs(spark, N_DOCS).select("doc_id", "x", "y", "kind").repartition(
+            64
+        ).write.mode("overwrite").parquet(STAGE)
     docs = spark.read.parquet(STAGE)
+    # hex binning: the most compute-dense encoder (axial transform + cube
+    # rounding per point) — keeps the measurement CPU-bound rather than
+    # memory-bandwidth-bound on a single box
+    spec = SPEC_HX
     # warmup (untimed)
-    force(R.rasterize_cell_type(docs.limit(300_000), 100.0, fun="sum", spec=SPEC_SQ))
+    force(R.rasterize_cell_type(docs.limit(300_000), 100.0, fun="sum", spec=spec))
     best = None
     for _ in range(REPEATS):
         t0 = time.time()
-        n_tiles = force(R.rasterize_cell_type(docs, 100.0, fun="sum", spec=SPEC_SQ))
+        n_tiles = force(R.rasterize_cell_type(docs, 100.0, fun="sum", spec=spec))
         dt = time.time() - t0
         best = dt if best is None or dt < best else best
     spark.stop()
@@ -92,7 +99,7 @@ def orchestrate() -> None:
     print(json.dumps(summary))
     md = f"""# BENCH — throughput & N→4N scaling evidence
 
-Job: `rasterize_cell_type` (square res-100, fun=sum, 10%-hot-tile skewed
+Job: `rasterize_cell_type` (HEX res-100, fun=sum, 10%-hot-tile skewed
 corpus of {N_DOCS:,} synthetic interleaved docs staged to parquet), full
 result materialized via hash-all aggregate. Same input, two parallelism
 levels, fresh JVM each, min of {REPEATS} repeats (shared-host noise).

@@ -47,7 +47,10 @@ def _ring_offsets(radius: int, square: bool) -> list[tuple[int, int]]:
 
 
 def _neighbor_array(cell_id, spec: GridSpec, radius: int):
-    """Array column of ring-`radius` neighbor cell ids (literal offsets)."""
+    """Array column of ring-`radius` neighbor cell ids (literal offsets).
+    Only for SMALL radii — the expression count is (2r+1)^2; knn_join uses
+    the broadcast-offsets crossJoin instead, which is O(1) expressions at
+    any radius."""
     row, col = X.unpack_rowcol(cell_id)
     mode = 0 if spec.square else 1
     head = F.lit((mode << 62) | ((spec.level & 0x3F) << 56)).cast("long")
@@ -57,6 +60,27 @@ def _neighbor_array(cell_id, spec: GridSpec, radius: int):
         c = (col + F.lit(dc + _OFF)).cast("long")
         exprs.append(head.bitwiseOR(F.shiftleft(r, _AXIS_BITS)).bitwiseOR(c))
     return F.array(*exprs)
+
+
+def _candidate_cells(spark, qdf, spec: GridSpec, radius: int):
+    """Query rows fanned out to their ring-`radius` neighbor cells via a
+    broadcast crossJoin with the (small) offsets table — constant plan size
+    regardless of radius."""
+    offs = spark.createDataFrame(
+        _ring_offsets(radius, spec.square), "dr long, dc long"
+    )
+    row, col = X.unpack_rowcol(F.col("_qcell"))
+    mode = 0 if spec.square else 1
+    head = F.lit((mode << 62) | ((spec.level & 0x3F) << 56)).cast("long")
+    r = (row + F.col("dr") + F.lit(_OFF)).cast("long")
+    c = (col + F.col("dc") + F.lit(_OFF)).cast("long")
+    return (
+        qdf.crossJoin(F.broadcast(offs))
+        .withColumn(
+            "cell_id", head.bitwiseOR(F.shiftleft(r, _AXIS_BITS)).bitwiseOR(c)
+        )
+        .drop("dr", "dc", "_qcell")
+    )
 
 
 def _complete_bound(spec: GridSpec, radius: int) -> float:
@@ -105,9 +129,7 @@ def knn_join(
     while radius <= max_radius and len(pending_pdf):
         qdf = spark.createDataFrame(pending_pdf)
         qdf = qdf.withColumn("_qcell", X.cell_id_expr(F.col("_qx"), F.col("_qy"), spec))
-        cand_cells = qdf.withColumn(
-            "cell_id", F.explode(_neighbor_array(F.col("_qcell"), spec, radius))
-        ).drop("_qcell")
+        cand_cells = _candidate_cells(spark, qdf, spec, radius)
         joined = pts.join(F.broadcast(cand_cells), on="cell_id", how="inner")
         ddx = F.col("_px") - F.col("_qx")
         ddy = F.col("_py") - F.col("_qy")

@@ -81,31 +81,44 @@ def checkpointed_write(
     """Write `df` split by `unit_col` into per-unit subdirectories with an
     idempotent manifest; already-completed units are skipped (resume).
 
-    Returns the lineage record. Each unit's write is atomic at the directory
-    level: data lands under ``unit=<u>/`` via overwrite, THEN the manifest
-    row is written — a crash between the two re-does only that unit.
+    All pending units are written in ONE job (dynamic partition overwrite)
+    — a per-unit write loop would recompute the upstream plan once per unit,
+    which is catastrophic at scale. Manifest rows land only AFTER the write
+    job succeeds; a crash mid-write leaves no manifest rows, and the next
+    run redoes exactly the pending partitions (dynamic overwrite is
+    idempotent per partition directory).
     """
     job_id = job_id or uuid.uuid4().hex[:12]
     os.makedirs(_manifest_path(out_dir), exist_ok=True)
-    done = completed_units(df.sparkSession, out_dir)
-    pending = [u for u in units if str(u) not in done]
+    spark = df.sparkSession
+    done = completed_units(spark, out_dir)
+    pending = [str(u) for u in units if str(u) not in done]
     records = []
-    for u in pending:
+    if pending:
         t0 = time.time()
-        part = df.filter(F.col(unit_col) == u)
-        upath = os.path.join(out_dir, f"{unit_col}={u}")
-        part.write.mode("overwrite").parquet(upath)
-        rows = df.sparkSession.read.parquet(upath).count()
-        rec = {
-            "job_id": job_id,
-            "unit": str(u),
-            "rows": rows,
-            "wall_s": round(time.time() - t0, 3),
-            "finished_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
-        }
-        with open(os.path.join(_manifest_path(out_dir), f"{u}.json"), "w") as f:
-            json.dump(rec, f)
-        records.append(rec)
+        pending_df = df.filter(F.col(unit_col).cast("string").isin(pending))
+        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            pending_df.write.mode("overwrite").partitionBy(unit_col).parquet(out_dir)
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+        wall = round(time.time() - t0, 3)
+        # per-unit row counts from the written files (columnar count, cheap)
+        finished = time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())
+        for u in pending:
+            upath = os.path.join(out_dir, f"{unit_col}={u}")
+            rows = spark.read.parquet(upath).count() if os.path.exists(upath) else 0
+            rec = {
+                "job_id": job_id,
+                "unit": u,
+                "rows": rows,
+                "wall_s": wall,
+                "finished_at": finished,
+            }
+            with open(os.path.join(_manifest_path(out_dir), f"{u}.json"), "w") as f:
+                json.dump(rec, f)
+            records.append(rec)
     lineage = {
         "job_id": job_id,
         "out_dir": out_dir,

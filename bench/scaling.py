@@ -87,28 +87,44 @@ def worker(cpus: int) -> None:
     )
 
 
-def orchestrate() -> None:
-    results = {}
-    for cpus in (2, 8, 32):
-        # taskset pins the whole worker (JVM + GC + shuffle + Python) to
-        # exactly `cpus` physical cores — without it, a local[8] JVM's
-        # helper threads spill onto all host cores and inflate the N-core
-        # baseline, understating scaling
-        cmd = [sys.executable, os.path.abspath(__file__), "--worker", str(cpus)]
-        import shutil
+ROUNDS = int(os.environ.get("SCALING_ROUNDS", "3"))
+COOLDOWN_S = int(os.environ.get("SCALING_COOLDOWN", "45"))
 
-        if shutil.which("taskset"):
-            cmd = ["taskset", "-c", f"0-{cpus - 1}"] + cmd
-        out = subprocess.run(
-            cmd,
-            capture_output=True,
-            text=True,
-            cwd=REPO,
-            check=True,
-        )
-        line = out.stdout.strip().splitlines()[-1]
-        results[cpus] = json.loads(line)
-        print(line)
+
+def _run_worker(cpus: int) -> dict:
+    # taskset pins the whole worker (JVM + GC + shuffle + Python) to
+    # exactly `cpus` physical cores — without it, a local[8] JVM's helper
+    # threads spill onto all host cores and inflate the N-core baseline
+    cmd = [sys.executable, os.path.abspath(__file__), "--worker", str(cpus)]
+    import shutil
+
+    if shutil.which("taskset"):
+        cmd = ["taskset", "-c", f"0-{cpus - 1}"] + cmd
+    env = dict(os.environ, SCALING_REPEATS="1")  # min taken across rounds
+    out = subprocess.run(
+        cmd, capture_output=True, text=True, cwd=REPO, check=True, env=env
+    )
+    line = out.stdout.strip().splitlines()[-1]
+    print(line)
+    return json.loads(line)
+
+
+def orchestrate() -> None:
+    # Interleaved rounds with rotating order + cooldowns: the shared host
+    # throttles sustained CPU (burst credits), penalizing whichever level
+    # happens to run last in a fixed sequence. Rotating the order across
+    # rounds and taking the per-level MIN wall time makes the measurement
+    # robust to time-varying throttling.
+    levels = (32, 8, 2)
+    raw: dict[int, list[dict]] = {c: [] for c in levels}
+    for rnd in range(ROUNDS):
+        order = levels[rnd % len(levels):] + levels[: rnd % len(levels)]
+        for cpus in order:
+            raw[cpus].append(_run_worker(cpus))
+            time.sleep(COOLDOWN_S)
+    results = {
+        c: min(runs, key=lambda r: r["wall_s"]) for c, runs in raw.items()
+    }
     t2 = results[2]["docs_per_sec"]
     t8 = results[8]["docs_per_sec"]
     t32 = results[32]["docs_per_sec"]
@@ -131,10 +147,13 @@ Job: rotation-permutation rasterization (the reference's
 `permutateByRotation` → rasterize-list path): {N_DOCS:,} staged docs ×
 {N_PERM} per-row trig rotations → hex encode → per-(perm, tile, kind)
 aggregate ({N_DOCS * N_PERM:,} encodes/run), full result materialized via a
-hash-all aggregate. Same staged input for every run, fresh JVM per run,
-each pinned with `taskset -c` to exactly N cores, min of {REPEATS} repeats
-(shared-host noise). No real cluster exists in this sandbox, so N→4N
-executors is evidenced at two core-count pairs (task brief).
+hash-all aggregate. Same staged input for every run; fresh JVM per run,
+pinned with `taskset -c` to exactly N cores; {ROUNDS} interleaved rounds
+with rotating level order and {COOLDOWN_S}s cooldowns, per-level MIN
+reported — the shared host throttles sustained CPU (burst credits), so a
+fixed run order would bias against whichever level runs last. No real
+cluster exists in this sandbox, so N→4N executors is evidenced at two
+core-count pairs (task brief).
 
 | config | wall (s) | docs/sec | encodes/sec |
 |---|---|---|---|
@@ -155,7 +174,15 @@ lower than 8-active-core clocks, so per-core throughput necessarily drops
 even for a perfectly parallel plan. On a real N→4N executor scale-out each
 node brings its own memory bandwidth, cache, and shuffle service, which is
 the regime the ≥0.8 target describes.
+
+Raw per-round walls (s), rotation-ordered rounds:
+
+| cores | rounds |
+|---|---|
 """
+    for c in (2, 8, 32):
+        walls = ", ".join(str(r["wall_s"]) for r in raw[c])
+        md += f"| {c} | {walls} |\n"
     with open(os.path.join(REPO, "BENCH.md"), "w") as f:
         f.write(md)
     print("wrote BENCH.md")

@@ -710,9 +710,14 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_DEDUP_EXACT = """
-SELECT source, count(*) AS n_docs, count(DISTINCT md5(text)) AS n_distinct,
-       count(DISTINCT md5(text)) AS n_canonical
-FROM documents GROUP BY source
+WITH h AS (
+  SELECT source, md5(text) AS ch,
+         doc_id = min(doc_id) OVER (PARTITION BY md5(text)) AS is_canon
+  FROM documents
+)
+SELECT source, count(*) AS n_docs, count(DISTINCT ch) AS n_distinct,
+       sum(CASE WHEN is_canon THEN 1 ELSE 0 END) AS n_canonical
+FROM h GROUP BY source
 """
 
 

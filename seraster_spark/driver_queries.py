@@ -641,6 +641,39 @@ SELECT doc_id, x, y FROM d WHERE {_sql_convex_pip()}
 """
 
 
+_POLY_A = [(300.0, 200.0), (2600.0, 400.0), (2500.0, 1800.0), (500.0, 1700.0)]
+_POLY_B = [(1400.0, 100.0), (2900.0, 900.0), (1500.0, 1900.0)]
+
+
+def q_spatial_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Docs × polygons containment join (covering-cell equi-join + exact
+    PIP); overlapping polygons → multi-membership rows."""
+    from .bbox import grid_spec_for
+    from .vector import spatial_join
+
+    d = docs_with_coords(spark, sf_dir)
+    spec = grid_spec_for(d, RES, square=True)
+    wc = R.assign_tiles(d, spec)
+    out = spatial_join(wc, {"A": _POLY_A, "B": _POLY_B}, spec)
+    return out.select("doc_id", "poly_id", "x", "y")
+
+
+def _sql_pip(poly: list[tuple[float, float]]) -> str:
+    conds = []
+    pts = poly + [poly[0]]
+    for (x0, y0), (x1, y1) in zip(pts[:-1], pts[1:]):
+        conds.append(f"(({x1} - {x0}) * (y - {y0}) - ({y1} - {y0}) * (x - {x0})) >= 0")
+    return " AND ".join(conds)
+
+
+SQL_SPATIAL_JOIN = f"""
+WITH {_SQL_DOCS}
+SELECT doc_id, 'A' AS poly_id, x, y FROM d WHERE {_sql_pip(_POLY_A)}
+UNION ALL
+SELECT doc_id, 'B' AS poly_id, x, y FROM d WHERE {_sql_pip(_POLY_B)}
+"""
+
+
 def q_raster_restricted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cell-type-restricted rasterization (vignette:153-157): filter to one
     kind BEFORE the pipeline — a plain pushed-down predicate."""
@@ -879,6 +912,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tile_wkt": q_tile_wkt,
         "polygon_filter": q_polygon_filter,
         "raster_restricted": q_raster_restricted,
+        "spatial_join": q_spatial_join,
         "events_window": q_events_window,
         "dedup_exact": q_dedup_exact,
         "token_stats": q_token_stats,
@@ -910,6 +944,7 @@ def oracle_sql() -> dict[str, str]:
         "tile_wkt": SQL_TILE_WKT,
         "polygon_filter": SQL_POLYGON_FILTER,
         "raster_restricted": SQL_RASTER_RESTRICTED,
+        "spatial_join": SQL_SPATIAL_JOIN,
         "events_window": SQL_EVENTS_WINDOW,
         "dedup_exact": SQL_DEDUP_EXACT,
         "token_stats": SQL_TOKEN_STATS,

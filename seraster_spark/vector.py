@@ -16,6 +16,7 @@ from __future__ import annotations
 import json
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
 from .grid import GridSpec, covering_cells, polygon_vertices
@@ -59,6 +60,87 @@ def polygon_covering_cells(ring_vertices: list[tuple[float, float]], spec: GridS
     if not (ring[0] == ring[-1]).all():
         ring = np.vstack([ring, ring[:1]])
     return [int(c) for c in covering_cells(ring, spec)]
+
+
+def spatial_join(
+    docs_with_cell: DataFrame,
+    polygons: dict[str, list[tuple[float, float]]],
+    spec: GridSpec,
+    exact: bool = True,
+) -> DataFrame:
+    """N-polygon containment join: docs × polygons → (doc rows, poly_id).
+
+    Stage 1: each polygon's covering cell set (driver-side closed-form grid
+    arithmetic, tiny) becomes a broadcast (cell_id, poly_id) table — the
+    spatial join is an equi-join on cell_id, partition-prunable, and each
+    doc only meets polygons whose cover contains its tile.
+    Stage 2 (exact): vectorized ray-casting PIP per (doc, poly) pair inside
+    one Arrow batch kernel — touching only stage-1 survivors.
+
+    A doc inside k polygons yields k rows (standard spatial-join semantics).
+    """
+    spark = docs_with_cell.sparkSession
+    rows = []
+    rings: dict[str, np.ndarray] = {}
+    for pid, verts in polygons.items():
+        ring = np.asarray(verts, dtype=np.float64)
+        if not (ring[0] == ring[-1]).all():
+            ring = np.vstack([ring, ring[:1]])
+        rings[pid] = ring
+        for c in covering_cells(ring, spec):
+            rows.append((int(c), pid))
+    cover = spark.createDataFrame(rows, "cell_id long, poly_id string")
+    coarse = docs_with_cell.join(F.broadcast(cover), "cell_id")
+    if not exact:
+        return coarse
+
+    ring_items = list(rings.items())
+
+    @F.pandas_udf("boolean")
+    def _pip_multi(x: pd.Series, y: pd.Series, pid: pd.Series) -> pd.Series:
+        out = np.zeros(len(x), dtype=bool)
+        xv = x.to_numpy(np.float64)
+        yv = y.to_numpy(np.float64)
+        pv = pid.to_numpy()
+        for p, ring in ring_items:
+            mask = pv == p
+            if mask.any():
+                from .grid import point_in_polygon
+
+                out[mask] = point_in_polygon(xv[mask], yv[mask], ring)
+        return pd.Series(out)
+
+    return coarse.filter(_pip_multi(F.col("x"), F.col("y"), F.col("poly_id")))
+
+
+def raster_algebra(
+    tiles_a: DataFrame,
+    tiles_b: DataFrame,
+    op: str = "diff",
+    value_col: str = "pixelval",
+    keys: list[str] | None = None,
+    how: str = "outer",
+) -> DataFrame:
+    """Tile-aligned algebra between two rasters on one grid: join on cell_id
+    (+ optional extra keys like feature/kind) and combine the value columns.
+    Missing tiles are structural zeros (reference sparsity semantics,
+    R/main.R:157-161). op ∈ {diff, sum, ratio, min, max}."""
+    ks = ["cell_id"] + list(keys or [])
+    a = tiles_a.select(*ks, F.col(value_col).alias("_a"))
+    b = tiles_b.select(*ks, F.col(value_col).alias("_b"))
+    j = a.join(b, ks, how)
+    va = F.coalesce(F.col("_a"), F.lit(0.0))
+    vb = F.coalesce(F.col("_b"), F.lit(0.0))
+    ops = {
+        "diff": va - vb,
+        "sum": va + vb,
+        "ratio": F.when(vb != 0.0, va / vb),
+        "min": F.least(va, vb),
+        "max": F.greatest(va, vb),
+    }
+    if op not in ops:
+        raise ValueError(f"op must be one of {sorted(ops)}")
+    return j.withColumn(op, ops[op]).drop("_a", "_b")
 
 
 def filter_by_polygon(

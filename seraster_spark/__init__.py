@@ -4,14 +4,24 @@ re-expressed Spark-first (closed-form tile encoding + single-shuffle
 aggregation instead of materialized grids + spatial-index joins)."""
 
 from .bbox import BBox, compute_bbox, grid_spec_for
+from .datasets import rasterize_datasets, union_datasets
 from .grid import GridSpec
+from .knn import knn_join
 from .permutate import angle_schedule, midrange_origin, permutate_by_rotation
 from .rasterize import (
     assign_tiles,
     rasterize_cell_type,
     rasterize_gene_expression,
+    rasterize_gene_expression_deterministic,
     relative_enrichment,
     tile_meta,
+)
+from .vector import (
+    filter_by_polygon,
+    raster_algebra,
+    spatial_join,
+    tiles_geojson,
+    tiles_with_wkt,
 )
 
 __all__ = [
@@ -23,8 +33,17 @@ __all__ = [
     "tile_meta",
     "rasterize_cell_type",
     "rasterize_gene_expression",
+    "rasterize_gene_expression_deterministic",
     "relative_enrichment",
     "permutate_by_rotation",
     "angle_schedule",
     "midrange_origin",
+    "union_datasets",
+    "rasterize_datasets",
+    "knn_join",
+    "spatial_join",
+    "raster_algebra",
+    "filter_by_polygon",
+    "tiles_with_wkt",
+    "tiles_geojson",
 ]

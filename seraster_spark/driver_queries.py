@@ -529,8 +529,11 @@ def q_multires_tile_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _sql_multires_one(res: float) -> str:
     h = res / 2.0
+    # explicit casts: a bare {res} literal is DECIMAL in DuckDB and sum(n) is
+    # HUGEINT — value-identical to Spark but hash-different dtypes
     return f"""
-SELECT {res} AS resolution, count(*) AS n_tiles, sum(n) AS n_docs FROM (
+SELECT CAST({res} AS DOUBLE) AS resolution, count(*) AS n_tiles,
+       CAST(sum(n) AS BIGINT) AS n_docs FROM (
   SELECT count(*) AS n FROM (
     SELECT
       CAST(CASE WHEN (x - b.xmin) = floor((x - b.xmin) / {res}) * {res}
@@ -733,23 +736,29 @@ FROM events GROUP BY 1, 2
 
 
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = read_table(spark, sf_dir, "documents")
-    dd = TX.exact_dedup(d)
+    """Exact dedup keyed on a 16-char text prefix: sf0.01 documents have no
+    full-text duplicates at all (500 docs, 500 distinct md5s), so hashing the
+    prefix (473 distinct keys / 500 docs, cross-source groups) actually
+    exercises group-size counting and global-min canonical selection."""
+    d = read_table(spark, sf_dir, "documents").withColumn(
+        "text_key", F.substring("text", 1, 16)
+    )
+    dd = TX.exact_dedup(d, text_col="text_key")
     return dd.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.countDistinct("content_hash").alias("n_distinct"),
-        F.sum(F.when(F.col("is_canonical"), 1).otherwise(0)).alias("n_canonical"),
+        F.sum(F.when(F.col("is_canonical"), 1).otherwise(0)).cast("long").alias("n_canonical"),
     )
 
 
 SQL_DEDUP_EXACT = """
 WITH h AS (
-  SELECT source, md5(text) AS ch,
-         doc_id = min(doc_id) OVER (PARTITION BY md5(text)) AS is_canon
+  SELECT source, md5(substr(text, 1, 16)) AS ch,
+         doc_id = min(doc_id) OVER (PARTITION BY md5(substr(text, 1, 16))) AS is_canon
   FROM documents
 )
 SELECT source, count(*) AS n_docs, count(DISTINCT ch) AS n_distinct,
-       sum(CASE WHEN is_canon THEN 1 ELSE 0 END) AS n_canonical
+       CAST(sum(CASE WHEN is_canon THEN 1 ELSE 0 END) AS BIGINT) AS n_canonical
 FROM h GROUP BY source
 """
 
@@ -867,27 +876,198 @@ SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= 5
 """
 
 
-# rows-only (non-SQL-expressible / hash-function-specific) ---------------------
+# hash-sensitive ops via engine-agnostic hashes (md5 / exact-integer planes) ---
+# The production defaults use xxhash64 / numpy gaussian planes (faster but
+# Spark-only); these driver queries run the md5 / integer-plane variants so
+# DuckDB can reproduce them bit-for-bit. The xxhash paths are pytest-verified.
+
+_DUP_SUFFIX = " near duplicate suffix"
+
+
+def _dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents ∪ mutated copies of every 10th doc — seeds genuine near-
+    duplicate pairs so the LSH candidate pipeline is actually exercised
+    (sf0.01 has no natural near-dups)."""
+    d = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    mut = d.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(_DUP_SUFFIX)).alias("text"),
+    )
+    return d.unionByName(mut)
+
+
+_SQL_DEDUP_CORPUS = f"""
+corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text || '{_DUP_SUFFIX}' AS text
+  FROM documents WHERE doc_id % 10 = 0
+)"""
 
 
 def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = read_table(spark, sf_dir, "documents")
-    return TX.minhash_lsh_candidates(d, verify_threshold=0.3)
+    corpus = _dedup_corpus(spark, sf_dir)
+    return TX.minhash_lsh_candidates(corpus, verify_threshold=0.3, hash="md5")
+
+
+def _sql_minhash_pairs(num_perm: int = 32, bands: int = 8, n: int = 3, threshold: float = 0.3) -> str:
+    rows = num_perm // bands
+    sig_elems = ",\n    ".join(
+        f"list_min(list_transform(sh, s -> md5('{p}:' || s)))" for p in range(num_perm)
+    )
+    return rf"""
+WITH {_SQL_DEDUP_CORPUS},
+tk AS (
+  SELECT doc_id AS _id, regexp_split_to_array(trim(lower(text)), '\s+') AS t FROM corpus
+),
+base AS (
+  SELECT _id, list_distinct(list_transform(range(1, greatest(len(t) - {n - 1}, 0) + 1),
+                            i -> array_to_string(t[i:i+{n - 1}], ' '))) AS sh
+  FROM tk WHERE len(t) >= {n}
+),
+sig AS (SELECT _id, [{sig_elems}] AS sig FROM base),
+banded AS (
+  SELECT _id, b.band,
+         md5(array_to_string(sig[({rows}*b.band+1):({rows}*b.band+{rows})], ',')) AS bhash
+  FROM sig, (SELECT unnest(range(0, {bands})) AS band) b
+),
+p AS (
+  SELECT l._id AS id_a, r._id AS id_b
+  FROM banded l JOIN banded r ON l.band = r.band AND l.bhash = r.bhash AND l._id < r._id
+  GROUP BY 1, 2
+),
+jac AS (
+  SELECT id_a, id_b,
+         CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+           / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) AS jaccard
+  FROM p JOIN base a ON a._id = p.id_a JOIN base b ON b._id = p.id_b
+)
+SELECT id_a, id_b, jaccard FROM jac WHERE jaccard >= {threshold}
+"""
+
+
+SQL_MINHASH_PAIRS = _sql_minhash_pairs()
 
 
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = read_table(spark, sf_dir, "documents")
-    return TX.simhash(d)
+    return TX.simhash_md5(d)
+
+
+def _sql_simhash() -> str:
+    hexs = "0123456789abcdef"
+    votes = ",\n    ".join(
+        f"sum(CASE WHEN ((strpos('{hexs}', substr(m, {b // 4 + 1}, 1)) - 1) >> {b % 4}) & 1 = 1 "
+        f"THEN 1 ELSE -1 END) AS v{b}"
+        for b in range(64)
+    )
+    nibbles = "\n    || ".join(
+        f"substr('{hexs}', (CASE WHEN v{4 * j} > 0 THEN 1 ELSE 0 END)"
+        f" + (CASE WHEN v{4 * j + 1} > 0 THEN 2 ELSE 0 END)"
+        f" + (CASE WHEN v{4 * j + 2} > 0 THEN 4 ELSE 0 END)"
+        f" + (CASE WHEN v{4 * j + 3} > 0 THEN 8 ELSE 0 END) + 1, 1)"
+        for j in range(16)
+    )
+    return rf"""
+WITH tok AS (
+  SELECT doc_id AS _id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS t
+  FROM documents
+),
+h AS (SELECT _id, md5(t) AS m FROM tok),
+votes AS (SELECT _id, {votes} FROM h GROUP BY _id)
+SELECT _id AS doc_id, {nibbles} AS simhash_hex FROM votes
+"""
+
+
+SQL_SIMHASH = _sql_simhash()
+
+
+# LSH ANN with exact-integer ±1 hyperplanes: bucket bits are signs of exact
+# integer dot products, so both engines compute identical buckets; the same
+# plane matrix is a module literal here and inlined into the SQL text.
+import random as _random
+
+_LSH_DIM = 16
+_LSH_PLANES_N = 10
+_lsh_rnd = _random.Random(11)
+LSH_PLANES = [
+    [1.0 if _lsh_rnd.random() < 0.5 else -1.0 for _ in range(_LSH_DIM)]
+    for _ in range(_LSH_PLANES_N)
+]
+
+
+def _vec16_expr():
+    return F.transform(
+        F.sequence(F.lit(1), F.lit(_LSH_DIM)),
+        lambda j: (((F.col("vec_id") * j) % 97) + 1).cast("double"),
+    )
 
 
 def q_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH multi-probe ANN over deterministic integer vectors with ±1 integer
+    hyperplanes — buckets, candidates, and cosines all engine-reproducible
+    (probes = original bucket + all 10 single-bit flips, so the oracle can
+    enumerate them)."""
+    import numpy as np
+
     from . import similarity as S
 
     e = read_table(spark, sf_dir, "embeddings")
-    queries = e.filter(F.col("vec_id") % 97 == 0).select(
+    items = e.select("vec_id", _vec16_expr().alias("embedding"))
+    queries = items.filter(F.col("vec_id") % 97 == 0).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    return S.lsh_topk(e, queries, 5, dim=64, n_planes=10, n_probes=11)
+    out = S.lsh_topk(
+        items, queries, 5, dim=_LSH_DIM,
+        n_probes=_LSH_PLANES_N + 1, planes=np.array(LSH_PLANES),
+    )
+    return out.select(
+        "query_id", F.col("vec_id").alias("neighbor_id"), "cosine",
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+def _sql_lsh_ann() -> str:
+    emb = ", ".join(
+        f"CAST((vec_id * {j}) % 97 + 1 AS DOUBLE)" for j in range(1, _LSH_DIM + 1)
+    )
+    bucket_terms = []
+    for p, plane in enumerate(LSH_PLANES):
+        dot = " ".join(
+            f"{'+' if s > 0 else '-'} emb[{j + 1}]" for j, s in enumerate(plane)
+        )
+        bucket_terms.append(f"(CASE WHEN ({dot}) > 0 THEN {1 << p} ELSE 0 END)")
+    bucket = " + ".join(bucket_terms)
+    probes = ", ".join(
+        ["qb"] + [f"xor(qb, {1 << b})" for b in range(_LSH_PLANES_N)]
+    )
+    return f"""
+WITH v AS (SELECT vec_id, [{emb}] AS emb FROM embeddings),
+bk AS (SELECT vec_id, emb, {bucket} AS bucket FROM v),
+q AS (SELECT vec_id AS query_id, emb AS qemb, bucket AS qb FROM bk WHERE vec_id % 97 = 0),
+probes AS (SELECT query_id, qemb, unnest([{probes}]) AS bucket FROM q),
+cand AS (
+  SELECT p.query_id, b.vec_id AS neighbor_id,
+         any_value(p.qemb) AS qemb, any_value(b.emb) AS emb
+  FROM probes p JOIN bk b ON b.bucket = p.bucket
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT query_id, neighbor_id,
+         list_sum(list_transform(list_zip(emb, qemb), z -> z[1] * z[2]))
+           / (sqrt(list_sum(list_transform(emb, e -> e * e)))
+              * sqrt(list_sum(list_transform(qemb, e -> e * e)))) AS cosine
+  FROM cand
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= 5
+"""
+
+
+SQL_LSH_ANN = _sql_lsh_ann()
 
 
 # ------------------------------------------------------------------------------
@@ -919,7 +1099,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_markers": q_lang_markers,
         "fingerprint": q_fingerprint,
         "ann_topk": q_ann_topk,
-        # rows-only (hash-function-specific; verified by pytest oracles instead)
         "minhash_pairs": q_minhash_pairs,
         "simhash": q_simhash,
         "lsh_ann": q_lsh_ann,
@@ -951,4 +1130,7 @@ def oracle_sql() -> dict[str, str]:
         "lang_markers": SQL_LANG_MARKERS,
         "fingerprint": SQL_FINGERPRINT,
         "ann_topk": SQL_ANN_TOPK,
+        "minhash_pairs": SQL_MINHASH_PAIRS,
+        "simhash": SQL_SIMHASH,
+        "lsh_ann": SQL_LSH_ANN,
     }

@@ -209,10 +209,16 @@ def _hyperplanes(dim: int, n_planes: int, seed: int = 7) -> np.ndarray:
     return rng.standard_normal((n_planes, dim)).astype(np.float64)
 
 
-def lsh_bucket_udf(dim: int, n_planes: int = 16, seed: int = 7):
+def lsh_bucket_udf(dim: int, n_planes: int = 16, seed: int = 7, planes: np.ndarray | None = None):
     """Random-hyperplane LSH bucket id (sign-bit signature) — one numpy
-    matmul per Arrow batch."""
-    planes = _hyperplanes(dim, n_planes, seed)
+    matmul per Arrow batch. Pass explicit ``planes`` (n_planes × dim) to make
+    buckets reproducible outside numpy (e.g. integer ±1 planes whose dot
+    products are exact — the SQL-oracle variant)."""
+    if planes is None:
+        planes = _hyperplanes(dim, n_planes, seed)
+    else:
+        planes = np.asarray(planes, dtype=np.float64)
+        n_planes = planes.shape[0]
 
     @F.pandas_udf(T.LongType())
     def _bucket(vec: pd.Series) -> pd.Series:
@@ -237,12 +243,15 @@ def lsh_topk(
     n_planes: int = 12,
     n_probes: int = 4,
     seed: int = 7,
+    planes: np.ndarray | None = None,
 ) -> DataFrame:
     """Approximate cosine top-k: bucket both sides by hyperplane signature,
     multi-probe queries into Hamming-1 neighbor buckets (probe list built as
     a literal array — no extra shuffle), exact cosine re-rank inside the
     probed buckets only."""
-    bucket = lsh_bucket_udf(dim, n_planes, seed)
+    bucket = lsh_bucket_udf(dim, n_planes, seed, planes=planes)
+    if planes is not None:
+        n_planes = np.asarray(planes).shape[0]
     it = items.select(
         F.col(id_col).alias("_iid"), F.col(vec_col).alias("_ivec")
     ).withColumn("bucket", bucket(F.col("_ivec")))

@@ -110,16 +110,33 @@ def exact_dedup(
 ) -> DataFrame:
     """Exact duplicate detection by content hash. Adds ``content_hash``,
     ``dup_group_size`` and ``is_canonical`` (the min id per group survives).
-    One shuffle on the hash; map-side combine shrinks it."""
+
+    100 TB shape: the document payload NEVER rides the skewed content_hash
+    exchange. Group stats come from a groupBy over a slim
+    ``(content_hash, id)`` projection — map-side partial aggregation
+    collapses duplicate hashes before the shuffle, so a 10M-copy viral
+    document costs one combiner cell per mapper, not one 10M-row window
+    partition (the previous window-based form shuffled every column,
+    including ``text``, partitioned by the skewed hash). The slim annotation
+    then re-attaches by an equi-join on the UNIQUE id (uniform key, AQE
+    sort-merge); Catalyst prunes any payload column the consumer doesn't
+    select out of that join entirely."""
     h = F.md5(F.col(text_col))
-    with_h = df.withColumn("content_hash", h)
-    w = W.partitionBy("content_hash")
-    return (
-        with_h.withColumn("dup_group_size", F.count(F.lit(1)).over(w))
-        .withColumn("_min_id", F.min(id_col).over(w))
-        .withColumn("is_canonical", F.col(id_col) == F.col("_min_id"))
-        .drop("_min_id")
+    slim = df.select(F.col(id_col).alias("_did"), h.alias("content_hash"))
+    stats = slim.groupBy("content_hash").agg(
+        F.count(F.lit(1)).alias("dup_group_size"),
+        F.min("_did").alias("_min_id"),
     )
+    ann = (
+        slim.join(stats, "content_hash")
+        .select(
+            F.col("_did").alias(id_col),
+            "content_hash",
+            "dup_group_size",
+            (F.col("_did") == F.col("_min_id")).alias("is_canonical"),
+        )
+    )
+    return df.join(ann, id_col)
 
 
 # ---------------------------------------------------------------------------
@@ -173,6 +190,20 @@ def minhash_signature(hashed_shingles: Column, num_perm: int = 32) -> Column:
     return F.array(*sigs)
 
 
+def _md5_minhash_signature(shingles: Column, num_perm: int) -> Column:
+    """MinHash signature over RAW string shingles using md5 only: permutation
+    p = lexicographic min of md5('<p>:' || shingle). A valid min-wise family
+    (each salted md5 is an independent pseudo-random order), chosen because
+    DuckDB shares md5 bit-for-bit — this is the oracle-checkable variant.
+    array<string>."""
+    def perm_fn(p: int):
+        return lambda s: F.md5(F.concat(F.lit(f"{p}:"), s))
+
+    return F.array(
+        *[F.array_min(F.transform(shingles, perm_fn(p))) for p in range(num_perm)]
+    )
+
+
 def minhash_lsh_candidates(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -181,65 +212,89 @@ def minhash_lsh_candidates(
     num_perm: int = 32,
     bands: int = 8,
     verify_threshold: float | None = 0.5,
+    hash: str = "xxhash64",
 ) -> DataFrame:
     """MinHash+LSH near-duplicate candidate pairs.
 
-    shingle → minhash → band → bucket self-join (the one shuffle), then
-    exact Jaccard on the candidates only (array_intersect/union on the
-    distinct shingle sets). Returns (id_a, id_b, jaccard) with id_a < id_b.
+    shingle → minhash → band → bucket self-join, then exact Jaccard on the
+    candidates only (array_intersect/union on the distinct shingle sets).
+    Returns (id_a, id_b, jaccard) with id_a < id_b.
+
+    ``hash="xxhash64"`` (default): shingles pre-hashed once to int64, cheap
+    universal-hash permutations — the production path. ``hash="md5"``: salted
+    md5 permutations over raw shingles — slower, but bit-reproducible in any
+    engine with md5 (the DuckDB oracle runs this variant).
+
+    100 TB shape: the band self-join shuffles ONLY (_id, band, bhash) — the
+    shingle sets stay out of every exchange. Candidate ids are materialized
+    eagerly (``localCheckpoint``), the signature cache is unpersisted before
+    returning (no cache leak; checkpoint blocks are GC-cleaned), and the
+    Jaccard verification re-derives shingle sets map-side, joined against the
+    (small, size-known → AQE broadcast) candidate list.
     """
     rows = num_perm // bands
     base = df.select(
         F.col(id_col).alias("_id"), shingles_expr(F.col(text_col), n).alias("_s")
     ).filter(F.size("_s") > 0)
-    # pre-hash shingles ONCE (xxhash64 per shingle); signature permutations
-    # and Jaccard verification both run on the hashed array
-    base = base.select(
-        "_id", F.array_distinct(F.transform("_s", lambda s: F.xxhash64(s))).alias("_sh")
-    )
-    sig = base.withColumn("_sig", minhash_signature(F.col("_sh"), num_perm))
+    if hash == "xxhash64":
+        # pre-hash shingles ONCE (xxhash64 per shingle); signature perms and
+        # Jaccard verification both run on the hashed array
+        base = base.select(
+            "_id", F.array_distinct(F.transform("_s", lambda s: F.xxhash64(s))).alias("_sh")
+        )
+        sig_expr = minhash_signature(F.col("_sh"), num_perm)
+
+        def band_hash(elems):
+            return F.xxhash64(F.concat_ws(",", *elems))
+    elif hash == "md5":
+        base = base.select("_id", F.col("_s").alias("_sh"))
+        sig_expr = _md5_minhash_signature(F.col("_sh"), num_perm)
+
+        def band_hash(elems):
+            return F.md5(F.concat_ws(",", *elems))
+    else:
+        raise ValueError("hash must be 'xxhash64' or 'md5'")
+    sig = base.withColumn("_sig", sig_expr).persist()
     banded = sig.select(
         "_id",
-        "_sh",
         F.explode(
             F.array(
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
-                        F.xxhash64(
-                            F.concat_ws(
-                                ",", *[F.element_at("_sig", b * rows + r + 1) for r in range(rows)]
-                            )
+                        band_hash(
+                            [F.element_at("_sig", b * rows + r + 1) for r in range(rows)]
                         ).alias("bhash"),
                     )
                     for b in range(bands)
                 ]
             )
         ).alias("_b"),
-    ).select("_id", "_sh", F.col("_b.band").alias("band"), F.col("_b.bhash").alias("bhash"))
-    # persist: both sides of the self-join read the SAME banded signatures —
-    # without this Spark recomputes shingling+signatures twice
-    banded = banded.persist()
+    ).select("_id", F.col("_b.band").alias("band"), F.col("_b.bhash").alias("bhash"))
     left = banded.alias("l")
     right = banded.alias("r")
-    pairs = (
-        left.join(
-            right,
-            (F.col("l.band") == F.col("r.band"))
-            & (F.col("l.bhash") == F.col("r.bhash"))
-            & (F.col("l._id") < F.col("r._id")),
+    try:
+        pairs = (
+            left.join(
+                right,
+                (F.col("l.band") == F.col("r.band"))
+                & (F.col("l.bhash") == F.col("r.bhash"))
+                & (F.col("l._id") < F.col("r._id")),
+            )
+            .select(F.col("l._id").alias("id_a"), F.col("r._id").alias("id_b"))
+            .dropDuplicates(["id_a", "id_b"])
+            .localCheckpoint(eager=True)  # one slim job; cuts lineage to sig
         )
-        .select(
-            F.col("l._id").alias("id_a"),
-            F.col("r._id").alias("id_b"),
-            F.col("l._sh").alias("sh_a"),
-            F.col("r._sh").alias("sh_b"),
-        )
-        .dropDuplicates(["id_a", "id_b"])
+    finally:
+        sig.unpersist()
+    sh = base  # recomputed map-side only (shingling is a projection, no shuffle)
+    j = (
+        pairs.join(sh.select(F.col("_id").alias("id_a"), F.col("_sh").alias("sh_a")), "id_a")
+        .join(sh.select(F.col("_id").alias("id_b"), F.col("_sh").alias("sh_b")), "id_b")
     )
     inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
     union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
-    out = pairs.withColumn("jaccard", inter / union).select("id_a", "id_b", "jaccard")
+    out = j.withColumn("jaccard", inter / union).select("id_a", "id_b", "jaccard")
     if verify_threshold is not None:
         out = out.filter(F.col("jaccard") >= verify_threshold)
     return out
@@ -305,6 +360,46 @@ def simhash(
         term = F.shiftleft(bit, b)
         sim = term if sim is None else sim.bitwiseOR(term)
     return agg.select(F.col("_id").alias(id_col), sim.alias("simhash"))
+
+
+_HEX = "0123456789abcdef"
+
+
+def simhash_md5(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """64-bit SimHash whose token hash is the first 16 hex chars of md5 —
+    the oracle-checkable twin of :func:`simhash` (xxhash64 is Spark-only;
+    md5 + hex-digit arithmetic is reproducible bit-for-bit in DuckDB).
+
+    Same shape as :func:`simhash`: explode tokens → md5 → per-bit ±1 votes
+    in ONE groupBy (64 codegen aggregates; bit b of the hash = bit (b mod 4)
+    of hex digit (b div 4)) → sign bits reassembled into a 16-char hex string
+    ``simhash_hex`` (nibble j of the output = bits 4j..4j+3)."""
+    tok = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(tokens_expr(F.col(text_col))).alias("_t"),
+    )
+    h = tok.withColumn("_m", F.md5("_t"))
+    # nibble j = integer value of hex char j+1 (0..15), via position in _HEX
+    nib = [
+        F.expr(f"instr('{_HEX}', substr(_m, {j + 1}, 1)) - 1") for j in range(16)
+    ]
+    votes = [
+        F.sum(
+            F.when(F.shiftright(nib[b // 4], b % 4).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"_v{b}")
+        for b in range(64)
+    ]
+    agg = h.groupBy("_id").agg(*votes)
+    bits = [
+        F.when(F.col(f"_v{b}") > 0, F.lit(1)).otherwise(F.lit(0)) for b in range(64)
+    ]
+    chars = []
+    for j in range(16):
+        v = bits[4 * j] + bits[4 * j + 1] * 2 + bits[4 * j + 2] * 4 + bits[4 * j + 3] * 8
+        chars.append(F.substr(F.lit(_HEX), v + 1, F.lit(1)))
+    return agg.select(F.col("_id").alias(id_col), F.concat(*chars).alias("simhash_hex"))
 
 
 def simhash_candidates(

@@ -18,6 +18,16 @@ def docs(spark):
 
 
 @pytest.fixture(scope="session")
+def docs_text(spark):
+    """Small (doc_id, text) corpus with exact + near duplicates."""
+    rows = [
+        (i, f"shared prefix words {'x' * (i % 4)} tail {i % 7} more tokens here")
+        for i in range(60)
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string").cache()
+
+
+@pytest.fixture(scope="session")
 def docs_pdf():
     from seraster_spark import fixtures
 

@@ -94,6 +94,58 @@ def test_tile_sink_partition_pruning(spark, docs, tmp_path):
     assert back.count() == direct.count() > 0
 
 
+def _exchange_schemas(df) -> list[tuple[str, list[str]]]:
+    """(header, output column names) for every Exchange node in the plan."""
+    out = []
+
+    def walk(node):
+        name = node.nodeName()
+        if "Exchange" in name:
+            fields = [f.name() for f in node.schema().fields()]
+            out.append((node.toString().splitlines()[0], fields))
+        if name == "AdaptiveSparkPlan":  # AQE wraps the real plan as a member
+            walk(node.initialPlan())
+            return
+        ch = node.children()
+        for i in range(ch.size()):
+            walk(ch.apply(i))
+
+    walk(df._jdf.queryExecution().executedPlan())
+    return out
+
+
+def test_exact_dedup_payload_never_rides_hash_exchange(spark, docs_text):
+    """The document payload must not be shuffled by the (skewed) content
+    hash: group stats run on a slim (id, hash) projection; text re-attaches
+    via the unique-id join only (mirrors test_scan_is_column_pruned for the
+    dedup pipeline)."""
+    from seraster_spark.text import exact_dedup
+
+    out = exact_dedup(docs_text).select("doc_id", "text", "dup_group_size", "is_canonical")
+    for header, fields in _exchange_schemas(out):
+        if "content_hash" in header:
+            assert "text" not in fields, (header, fields)
+    # and the slim exchanges must exist at all (stats groupBy + join)
+    assert any("content_hash" in h for h, _ in _exchange_schemas(out))
+
+
+def test_minhash_band_join_is_slim_and_checkpointed(spark, docs_text):
+    """The MinHash band self-join must shuffle only (_id, band, bhash) — the
+    shingle arrays stay out of every exchange. Candidate ids are eagerly
+    localCheckpoint-ed (lineage cut), so the returned plan reads them from an
+    existing RDD and the verify join never re-shuffles shingle sets."""
+    from seraster_spark.text import minhash_lsh_candidates
+
+    out = minhash_lsh_candidates(docs_text, verify_threshold=0.0)
+    plan = _physical(out)
+    assert "ExistingRDD" in plan or "LogicalRDD" in plan, plan
+    # shingle arrays must never ride a SHUFFLE exchange (a BroadcastExchange
+    # of the already-joined candidate-pair side is bounded by |pairs| and ok)
+    for header, fields in _exchange_schemas(out):
+        if "ShuffleExchange" in header or "hashpartitioning" in header:
+            assert not any(f in ("_sh", "sh_a", "sh_b") for f in fields), (header, fields)
+
+
 def test_group_agg_has_partial_combine(spark, docs):
     """The one shuffle carries partially-aggregated rows (map-side combine):
     physical plan shows HashAggregate below AND above the Exchange."""

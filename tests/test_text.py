@@ -111,6 +111,70 @@ def test_simhash_properties(spark, corpus):
     assert ("d00", "d04") in found
 
 
+def test_minhash_md5_variant_oracle(spark, corpus):
+    """The md5 permutation family (oracle-checkable variant) against a pure
+    python replay of the exact same construction."""
+    pairs = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in X.minhash_lsh_candidates(corpus, verify_threshold=0.3, hash="md5").collect()
+    }
+    texts = {r["doc_id"]: r["text"] for r in corpus.collect()}
+
+    def sh(t):
+        toks = t.strip().lower().split()
+        seen, out = set(), []
+        for i in range(max(len(toks) - 2, 0)):
+            g = " ".join(toks[i : i + 3])
+            if g not in seen:
+                seen.add(g)
+                out.append(g)
+        return out
+
+    sigs, bandmap = {}, {}
+    for d, t in texts.items():
+        s = sh(t)
+        if not s:
+            continue
+        sig = [
+            min(hashlib.md5(f"{p}:{g}".encode()).hexdigest() for g in s)
+            for p in range(32)
+        ]
+        sigs[d] = set(s)
+        for b in range(8):
+            key = (b, hashlib.md5(",".join(sig[4 * b : 4 * b + 4]).encode()).hexdigest())
+            bandmap.setdefault(key, []).append(d)
+    exp = {}
+    for ids in bandmap.values():
+        for i, a in enumerate(ids):
+            for b in ids[i + 1 :]:
+                lo, hi = min(a, b), max(a, b)
+                jac = len(sigs[lo] & sigs[hi]) / len(sigs[lo] | sigs[hi])
+                if jac >= 0.3:
+                    exp[(lo, hi)] = jac
+    assert pairs == {k: pytest.approx(v) for k, v in exp.items()}
+
+
+def test_simhash_md5_oracle(spark, corpus):
+    """simhash_md5 bit-for-bit against a python replay (md5 hex digits →
+    per-bit ±1 votes → sign nibbles)."""
+    got = {r["doc_id"]: r["simhash_hex"] for r in X.simhash_md5(corpus).collect()}
+    hexs = "0123456789abcdef"
+    for d, t in [(r["doc_id"], r["text"]) for r in corpus.collect()]:
+        toks = t.strip().lower().split() or [""]
+        votes = [0] * 64
+        for tok in toks:
+            m = hashlib.md5(tok.encode()).hexdigest()
+            for b in range(64):
+                bit = (int(m[b // 4], 16) >> (b % 4)) & 1
+                votes[b] += 1 if bit == 1 else -1
+        nibbles = []
+        for j in range(16):
+            v = sum((1 << i) for i in range(4) if votes[4 * j + i] > 0)
+            nibbles.append(hexs[v])
+        assert got[d] == "".join(nibbles), d
+    assert got["d00"] == got["d04"]
+
+
 def test_quality_score(spark, corpus):
     got = {r["doc_id"]: r for r in X.quality_score(corpus).collect()}
     assert got["d07"]["distinct_token_ratio"] == pytest.approx(1 / 8)

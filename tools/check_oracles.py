@@ -37,6 +37,13 @@ def compare(name: str, a: pd.DataFrame, b: pd.DataFrame) -> list[str]:
         return [f"{name}: column mismatch {sorted(a.columns)} vs {sorted(b.columns)}"]
     if len(a) != len(b):
         return [f"{name}: row count {len(a)} vs {len(b)}"]
+    # dtype parity: the driver's value hash is dtype-sensitive (a DuckDB
+    # HUGEINT/DECIMAL surfacing as float64/object hash-mismatches even when
+    # values are equal) — flag kind differences up front
+    for c in sorted(a.columns):
+        ka, kb = a[c].dtype.kind, b[c].dtype.kind
+        if ka != kb and {ka, kb} not in ({"i", "O"},):  # object may hold ints/str
+            errs.append(f"{name}.{c}: dtype kind mismatch spark={a[c].dtype} oracle={b[c].dtype}")
     ca, cb = canon(a), canon(b)
     for c in ca.columns:
         va, vb = ca[c].to_numpy(), cb[c].to_numpy()

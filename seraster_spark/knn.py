@@ -15,10 +15,12 @@ Algorithm (exact, provably complete):
 3. Per query: exact top-k by Euclidean distance via window ``row_number``,
    ties broken by neighbor id for determinism.
 4. Completeness check: a point outside square ring R is at Euclidean
-   distance > R·res from the query (hex ring R: > (R+1)·res − 2·res/√3).
-   Queries whose k-th distance exceeds that bound (or with < k candidates)
-   re-run at doubled radius — a short driver loop; each round is one job
-   touching only unresolved queries.
+   distance > R·res from the query (hex ring R: > (√3/2)·(R+1)·res −
+   2·res/√3 — see :func:`_complete_bound`). Queries whose k-th distance
+   exceeds that bound (or with < k candidates) re-run at doubled radius —
+   a short distributed loop; each round is one job touching only
+   unresolved queries, and the pending set / results stay as DataFrames
+   (driver traffic is O(1) per round).
 """
 
 from __future__ import annotations
@@ -85,10 +87,23 @@ def _candidate_cells(spark, qdf, spec: GridSpec, radius: int):
 
 def _complete_bound(spec: GridSpec, radius: int) -> float:
     """Max k-th distance for which ring `radius` provably contains the true
-    top-k (see module docstring)."""
+    top-k.
+
+    Square: a point whose cell is outside Chebyshev ring R is > R·res away.
+    Hex (pointy-top, neighbor center distance = res, circumradius = res/√3):
+    a point outside ring R sits in a hex whose CENTER is at hex-distance
+    ≥ R+1, and centers at hex-distance d can be as close as (√3/2)·d·res
+    (e.g. axial (2,−1) at √3·res for d=2 — NOT d·res); query and candidate
+    each sit ≤ res/√3 from their centers, so the safe bound is
+    (√3/2)·(R+1)·res − 2·res/√3. (The earlier (R+1)·res − 2·res/√3 bound
+    overclaimed and could certify a query complete while its true NN lay in
+    an unscanned hex-distance-(R+1) cell.)"""
     if spec.square:
         return radius * spec.resolution
-    return max(0.0, (radius + 1) * spec.resolution - 2.0 * spec.resolution / SQRT3)
+    return max(
+        0.0,
+        (radius + 1) * spec.resolution * SQRT3 / 2.0 - 2.0 * spec.resolution / SQRT3,
+    )
 
 
 def knn_join(
@@ -100,6 +115,7 @@ def knn_join(
     query_id: str = "query_id",
     initial_radius: int = 1,
     max_radius: int = 64,
+    broadcast_queries: bool = True,
 ) -> DataFrame:
     """Exact k nearest `points` for each query point.
 
@@ -108,6 +124,17 @@ def knn_join(
     (distance ties broken by point id). The result for all queries is exact;
     raises if max_radius is hit before completeness (pathologically sparse
     data → raise max_radius or coarsen the grid).
+
+    Fully distributed rounds: the pending query set, per-round ranked
+    candidates, and accumulated results all stay as DataFrames —
+    ``localCheckpoint`` materializes each round's slim (qid, pid, dist, rank)
+    output (ONE job over the big points table per round, lineage cut so
+    rounds never re-trigger earlier joins) and the driver only ever sees a
+    per-round isEmpty() flag, so Q can be arbitrarily large (doc↔doc kNN).
+    ``broadcast_queries=True`` (default) broadcast-hash-joins the exploded
+    query rings into the points scan — right while pending×ring rows fit a
+    broadcast; pass False to fall back to a shuffled equi-join on cell_id
+    for very large Q.
     """
     spark = points.sparkSession
     pts = points.select(
@@ -115,27 +142,23 @@ def knn_join(
     )
     pts = pts.withColumn("cell_id", X.cell_id_expr(F.col("_px"), F.col("_py"), spec))
 
-    # The query side is small by contract (it is broadcast into the join), so
-    # the per-round pending set and the k·Q result rows live on the driver —
-    # each round is exactly ONE job over the big points table, and lineage
-    # never accumulates across rounds.
-    pending_pdf = (
-        queries.select(
-            F.col(query_id).alias("_qid"), F.col("x").alias("_qx"), F.col("y").alias("_qy")
-        ).toPandas()
-    )
-    result_frames = []
+    pending = queries.select(
+        F.col(query_id).alias("_qid"), F.col("x").alias("_qx"), F.col("y").alias("_qy")
+    ).localCheckpoint(eager=True)
+    done_frames: list[DataFrame] = []
     radius = max(1, initial_radius)
-    while radius <= max_radius and len(pending_pdf):
-        qdf = spark.createDataFrame(pending_pdf)
-        qdf = qdf.withColumn("_qcell", X.cell_id_expr(F.col("_qx"), F.col("_qy"), spec))
+    while radius <= max_radius and not pending.isEmpty():
+        qdf = pending.withColumn(
+            "_qcell", X.cell_id_expr(F.col("_qx"), F.col("_qy"), spec)
+        )
         cand_cells = _candidate_cells(spark, qdf, spec, radius)
-        joined = pts.join(F.broadcast(cand_cells), on="cell_id", how="inner")
+        cand_side = F.broadcast(cand_cells) if broadcast_queries else cand_cells
+        joined = pts.join(cand_side, on="cell_id", how="inner")
         ddx = F.col("_px") - F.col("_qx")
         ddy = F.col("_py") - F.col("_qy")
         # explicit products (not **2): bit-identical to the SQL oracle's x*x
         dist = F.sqrt(ddx * ddx + ddy * ddy)
-        ranked_pdf = (
+        ranked = (
             joined.withColumn("dist", dist)
             .withColumn(
                 "rank",
@@ -145,30 +168,35 @@ def knn_join(
             )
             .filter(F.col("rank") <= k)
             .select("_qid", "_pid", "dist", "rank")
-            .toPandas()
+            .localCheckpoint(eager=True)  # the one big job this round
         )
         bound = _complete_bound(spec, radius)
-        stats = ranked_pdf.groupby("_qid").agg(_n=("rank", "size"), _dmax=("dist", "max"))
-        done = set(stats[(stats["_n"] >= k) & (stats["_dmax"] <= bound)].index)
-        if done:
-            result_frames.append(ranked_pdf[ranked_pdf["_qid"].isin(done)])
-            pending_pdf = pending_pdf[~pending_pdf["_qid"].isin(done)]
+        done_q = (
+            ranked.groupBy("_qid")
+            .agg(F.count(F.lit(1)).alias("_n"), F.max("dist").alias("_dmax"))
+            .filter((F.col("_n") >= k) & (F.col("_dmax") <= bound))
+            .select("_qid")
+        )
+        done_frames.append(ranked.join(done_q, "_qid", "left_semi"))
+        pending = pending.join(done_q, "_qid", "left_anti").localCheckpoint(eager=True)
         radius *= 2
-    if len(pending_pdf):
+    if not pending.isEmpty():
         raise RuntimeError(
             f"kNN incomplete at max_radius={max_radius}; raise max_radius or coarsen the grid"
         )
-    import pandas as pd
-    from pyspark.sql import types as T
-
-    out = pd.concat(result_frames, ignore_index=True)
-    schema = T.StructType(
-        [
-            T.StructField(query_id, queries.schema[query_id].dataType),
-            T.StructField(point_id, points.schema[point_id].dataType),
-            T.StructField("dist", T.DoubleType()),
-            T.StructField("rank", T.IntegerType()),
+    if not done_frames:  # empty query set → empty result with correct types
+        done_frames = [
+            pending.select("_qid")
+            .limit(0)
+            .crossJoin(pts.select("_pid").limit(0))
+            .select("_qid", "_pid", F.lit(0.0).alias("dist"), F.lit(0).alias("rank"))
         ]
+    out = done_frames[0]
+    for f in done_frames[1:]:
+        out = out.unionByName(f)
+    return out.select(
+        F.col("_qid").alias(query_id),
+        F.col("_pid").alias(point_id),
+        "dist",
+        "rank",
     )
-    out.columns = [query_id, point_id, "dist", "rank"]
-    return spark.createDataFrame(out, schema=schema)

@@ -45,6 +45,53 @@ def test_knn_matches_bruteforce(spark, docs, docs_pdf, queries, queries_pdf, squ
         np.testing.assert_allclose(grp["dist"].to_numpy(), exp_d, atol=1e-9)
 
 
+def test_knn_hex_sparse_exact(spark):
+    """Sparse data on a FINE hex grid: true neighbors live many rings out and
+    the hex completeness bound is exercised hard. Regression for the
+    overclaiming (R+1)·res − 2·res/√3 bound, which certified queries complete
+    while a closer point sat in an unscanned hex-distance-(R+1) cell (the
+    safe bound is (√3/2)·(R+1)·res − 2·res/√3)."""
+    from seraster_spark.grid import GridSpec
+
+    rng = np.random.default_rng(3)
+    pts = rng.uniform(0.0, 50.0, size=(40, 2))
+    import pandas as pd
+
+    docs_pdf = pd.DataFrame(
+        {"doc_id": np.arange(40), "x": pts[:, 0], "y": pts[:, 1]}
+    )
+    qpts = rng.uniform(0.0, 50.0, size=(12, 2))
+    queries_pdf = pd.DataFrame(
+        {"query_id": [f"q{i}" for i in range(12)], "x": qpts[:, 0], "y": qpts[:, 1]}
+    )
+    docs = spark.createDataFrame(docs_pdf)
+    queries = spark.createDataFrame(queries_pdf)
+    # res=1 over a 50-unit extent: ~0.016 points per hex, so ring 1 almost
+    # never completes and radius doubles several times (re-expansion path)
+    spec = GridSpec(-1.0, -1.0, 51.0, 51.0, 1.0, square=False)
+    got = knn.knn_join(docs, queries, 3, spec, initial_radius=1, max_radius=256).toPandas()
+    exp = brute_force(docs_pdf, queries_pdf, 3)
+    assert set(got["query_id"]) == set(queries_pdf["query_id"])
+    for qid, grp in got.groupby("query_id"):
+        grp = grp.sort_values("rank")
+        assert list(grp["doc_id"]) == [t[0] for t in exp[qid]], qid
+
+
+def test_knn_distributed_rounds_no_driver_collect(spark, docs, docs_pdf):
+    """Many queries (all 2000 docs as queries — doc↔doc kNN): the rounds loop
+    must stay distributed; result is a DataFrame whose lineage starts at the
+    checkpointed per-round outputs, and spot-checked rows match brute force."""
+    spec = grid_spec_for(docs, 100.0, square=True)
+    queries = docs.select(F.col("doc_id").alias("query_id"), "x", "y")
+    out = knn.knn_join(docs, queries, 3, spec, initial_radius=2)
+    assert out.count() == 3 * 2000
+    qsub = docs_pdf.iloc[:5][["doc_id", "x", "y"]].rename(columns={"doc_id": "query_id"})
+    exp = brute_force(docs_pdf, qsub, 3)
+    got = out.filter(F.col("query_id").isin(list(qsub["query_id"]))).toPandas()
+    for qid, grp in got.groupby("query_id"):
+        assert list(grp.sort_values("rank")["doc_id"]) == [t[0] for t in exp[qid]]
+
+
 def test_knn_deterministic(spark, docs, queries):
     spec = grid_spec_for(docs, 100.0, square=True)
     a = knn.knn_join(docs, queries, 5, spec).toPandas().sort_values(["query_id", "rank"])

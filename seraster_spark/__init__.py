@@ -9,10 +9,12 @@ from .grid import GridSpec
 from .knn import knn_join
 from .permutate import angle_schedule, midrange_origin, permutate_by_rotation
 from .rasterize import (
+    RasterizedMatrix,
     assign_tiles,
     rasterize_cell_type,
     rasterize_gene_expression,
     rasterize_gene_expression_deterministic,
+    rasterize_matrix,
     relative_enrichment,
     tile_meta,
 )
@@ -34,6 +36,8 @@ __all__ = [
     "rasterize_cell_type",
     "rasterize_gene_expression",
     "rasterize_gene_expression_deterministic",
+    "rasterize_matrix",
+    "RasterizedMatrix",
     "relative_enrichment",
     "permutate_by_rotation",
     "angle_schedule",

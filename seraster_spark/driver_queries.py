@@ -461,6 +461,47 @@ SELECT query_id, neighbor_id, dist, rank FROM ranked WHERE rank <= 5
 """
 
 
+def q_raster_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rasterizeMatrix facade (reference NAMESPACE:7, R/main.R:98-197):
+    separate data (triplets) + pos inputs → (data_rast, pos_rast, meta_rast);
+    this query stitches the triple back together per pixel, proving all
+    three outputs against one SQL oracle."""
+    d = docs_with_coords(spark, sf_dir)
+    data = d.select("doc_id", F.lit("n_chars").alias("feature"), F.col("val").alias("value"))
+    pos = d.select("doc_id", "x", "y")
+    from .bbox import grid_spec_for
+
+    spec = grid_spec_for(pos, RES, square=True)
+    rm = R.rasterize_matrix(data, pos, RES, fun="mean", spec=spec)
+    return (
+        rm.data_rast.join(rm.meta_rast.select("cell_id", "num_cell"), "cell_id")
+        .join(
+            rm.pos_rast.select("cell_id", F.col("x").alias("cx"), F.col("y").alias("cy")),
+            "cell_id",
+        )
+        .select(
+            "pixel_name",
+            "feature",
+            F.col("pixelval").alias("mean_val"),
+            F.col("num_cell").cast("long").alias("num_cell"),
+            "cx",
+            "cy",
+        )
+    )
+
+
+SQL_RASTER_MATRIX = f"""
+WITH {_SQL_DOCS}, {_SQL_BBOX}, {_SQL_SQ_CELLS}
+SELECT any_value({_sql_pixel_name()}) AS pixel_name,
+       'n_chars' AS feature,
+       sum(val) / CAST(count(*) AS DOUBLE) AS mean_val,
+       count(*) AS num_cell,
+       any_value(xmin) + (col_i + 0.5) * 100.0 AS cx,
+       any_value(ymin) + (row_i + 0.5) * 100.0 AS cy
+FROM c GROUP BY row_i, col_i
+"""
+
+
 # relative enrichment ---------------------------------------------------------
 
 
@@ -1087,6 +1128,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rotation_coords": q_rotation_coords,
         "rotation_raster": q_rotation_raster,
         "knn_square": q_knn_square,
+        "raster_matrix": q_raster_matrix,
         "relative_enrichment": q_relative_enrichment,
         "multires_tile_counts": q_multires_tile_counts,
         "tile_wkt": q_tile_wkt,
@@ -1118,6 +1160,7 @@ def oracle_sql() -> dict[str, str]:
         "rotation_coords": SQL_ROTATION_COORDS,
         "rotation_raster": SQL_ROTATION_RASTER,
         "knn_square": SQL_KNN_SQUARE,
+        "raster_matrix": SQL_RASTER_MATRIX,
         "relative_enrichment": SQL_RELATIVE_ENRICHMENT,
         "multires_tile_counts": SQL_MULTIRES_TILE_COUNTS,
         "tile_wkt": SQL_TILE_WKT,

@@ -11,20 +11,39 @@ from pyspark.sql import DataFrame, functions as F
 from .grid import GridSpec, polygon_vertices
 
 
+def _feature_col(tiles: DataFrame) -> str:
+    return "feature" if "feature" in tiles.columns else "kind"
+
+
 def reduce_tiles(
     tiles: DataFrame, feature_name: str = "sum", value_col: str = "pixelval"
 ) -> DataFrame:
     """Feature reduction per tile: 'sum' → colSums, 'mean' → colMeans,
-    else select a single feature row (main.R:805-813)."""
+    else select a single feature row (main.R:805-813).
+
+    'mean' divides the per-tile sum by the TOTAL feature count — the
+    reference's ``colMeans`` over the dense matrix, where a feature absent
+    from a tile is a structural zero in the denominator (main.R:807-808) —
+    not by the count of present (tile, feature) rows."""
     if feature_name == "sum":
         return tiles.groupBy("cell_id", "cx", "cy").agg(F.sum(value_col).alias("val"))
     if feature_name == "mean":
-        return tiles.groupBy("cell_id", "cx", "cy").agg(F.avg(value_col).alias("val"))
-    return tiles.filter(
-        (F.col("feature") == feature_name)
-        if "feature" in tiles.columns
-        else (F.col("kind") == feature_name)
-    ).select("cell_id", "cx", "cy", F.col(value_col).alias("val"))
+        n_feat = tiles.select(F.countDistinct(_feature_col(tiles)).alias("_nf"))
+        return (
+            tiles.groupBy("cell_id", "cx", "cy")
+            .agg(F.sum(value_col).alias("_s"))
+            .crossJoin(F.broadcast(n_feat))
+            .select("cell_id", "cx", "cy", (F.col("_s") / F.col("_nf")).alias("val"))
+        )
+    feat = _feature_col(tiles)
+    sel = tiles.filter(F.col(feat) == feature_name)
+    # eager validation mirroring the reference's stopifnot (main.R:810-811)
+    if sel.limit(1).isEmpty():
+        raise ValueError(
+            f"feature_name {feature_name!r} does not exist in the input "
+            f"(column {feat!r}; R/main.R:810-811)"
+        )
+    return sel.select("cell_id", "cx", "cy", F.col(value_col).alias("val"))
 
 
 def plot_raster(
@@ -32,11 +51,20 @@ def plot_raster(
     spec: GridSpec,
     feature_name: str = "sum",
     value_col: str = "pixelval",
+    factor_levels: list | None = None,
+    show_legend: bool = True,
+    show_axis: bool = True,
     title: str | None = None,
     out_path: str | None = None,
 ):
     """Render tile polygons colored by the reduced value. Returns the
-    matplotlib figure (or raises ImportError if matplotlib is absent)."""
+    matplotlib figure (or raises ImportError if matplotlib is absent).
+
+    ``factor_levels`` switches to the reference's discrete mode
+    (main.R:815-830): values are treated as categorical in the given level
+    order and colored with a discrete viridis palette (scale_fill_viridis_d);
+    ``show_legend``/``show_axis`` mirror showLegend/showAxis
+    (main.R:832-849)."""
     import numpy as np
 
     try:
@@ -52,11 +80,37 @@ def plot_raster(
     cells = pdf["cell_id"].to_numpy(np.int64)
     verts = polygon_vertices(cells, spec)[:, :-1, :]  # drop closing vertex
     fig, ax = plt.subplots(figsize=(8, 6))
-    pc = PolyCollection(list(verts), array=pdf["val"].to_numpy(), cmap="viridis")
-    ax.add_collection(pc)
+    if factor_levels is not None:
+        cmap = matplotlib.colormaps["viridis"].resampled(max(len(factor_levels), 1))
+        level_idx = {lv: i for i, lv in enumerate(factor_levels)}
+        idx = pdf["val"].map(level_idx)
+        if idx.isna().any():
+            bad = sorted(set(pdf["val"][idx.isna()]))
+            raise ValueError(f"values not in factor_levels: {bad} (R/main.R:822)")
+        pc = PolyCollection(
+            list(verts), facecolors=[cmap(i) for i in idx.to_numpy(int)]
+        )
+        ax.add_collection(pc)
+        if show_legend:
+            from matplotlib.patches import Patch
+
+            ax.legend(
+                handles=[
+                    Patch(facecolor=cmap(i), label=str(lv))
+                    for lv, i in level_idx.items()
+                ],
+                title=feature_name,
+                loc="upper right",
+            )
+    else:
+        pc = PolyCollection(list(verts), array=pdf["val"].to_numpy(), cmap="viridis")
+        ax.add_collection(pc)
+        if show_legend:
+            fig.colorbar(pc, ax=ax, label=feature_name)
     ax.autoscale()
     ax.set_aspect("equal")
-    fig.colorbar(pc, ax=ax, label=feature_name)
+    if not show_axis:
+        ax.set_axis_off()
     if title:
         ax.set_title(title)
     if out_path:

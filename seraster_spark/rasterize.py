@@ -44,6 +44,8 @@ Scale notes (100 TB design):
 
 from __future__ import annotations
 
+from dataclasses import dataclass
+
 from pyspark.sql import DataFrame, functions as F
 
 from . import expressions as X
@@ -52,6 +54,29 @@ from .grid import GridSpec
 from .udfs import cell_id_udf
 
 VALID_FUNS = ("sum", "mean")
+
+
+def _resolve_assay(
+    docs: DataFrame, assay_col: str | None, assay_name: str | None
+) -> DataFrame:
+    """Reference assay selection semantics (``R/main.R:315-321,354-359``):
+    validate ``assay_name`` against the assays actually present (eager, one
+    column-pruned distinct over a low-cardinality column) and default to the
+    first (lexicographically, for determinism — a DataFrame has no slot
+    order) when unspecified."""
+    if assay_col is None:
+        if assay_name is not None:
+            raise ValueError("assay_name given but no assay_col to select on")
+        return docs
+    avail = sorted(r[0] for r in docs.select(assay_col).distinct().collect())
+    if assay_name is None:
+        assay_name = avail[0]
+    elif assay_name not in avail:
+        raise ValueError(
+            f"assay_name {assay_name!r} does not exist in the input; "
+            f"available: {avail} (R/main.R:318-319)"
+        )
+    return docs.filter(F.col(assay_col) == assay_name)
 
 
 def assign_tiles(
@@ -191,6 +216,8 @@ def rasterize_gene_expression(
     collect_roster: bool = False,
     salt_buckets: int = 0,
     broadcast_meta: bool = True,
+    assay_col: str | None = None,
+    assay_name: str | None = None,
 ) -> DataFrame:
     """Continuous-feature rasterization (reference
     ``rasterizeGeneExpression``, ``R/main.R:291-375``; default fun="mean",
@@ -204,9 +231,21 @@ def rasterize_gene_expression(
     mean = sum(value)/num_cell with num_cell including structural zeros
     (``R/main.R:146-150``) — the denominator comes from the doc-level tile
     counts, broadcast-joined in.
+
+    Multi-assay inputs: pass ``assay_col`` (a discriminator column) and
+    optionally ``assay_name`` — validated eagerly against the assays present,
+    defaulting to the first (``R/main.R:315-321``).
+
+    Known divergence: an occupied tile whose member docs ALL have empty
+    ``values`` arrays yields no output row here (sparse long form has
+    nothing to emit), whereas the reference keeps an all-zero pixel column
+    with num_cell metadata (R/main.R:153-176). Tile-complete metadata is
+    available via :func:`tile_meta` or the :func:`rasterize_matrix` facade,
+    whose ``meta_rast``/``pos_rast`` cover every occupied tile.
     """
     if fun not in VALID_FUNS:
         raise ValueError(f"fun must be one of {VALID_FUNS} (R/main.R:33-36)")
+    docs = _resolve_assay(docs, assay_col, assay_name)
     gcols = list(group_cols or [])
     spec = spec or grid_spec_for(docs, resolution, square=square, bbox=bbox)
     slim = docs.select(*gcols, "doc_id", "x", "y", values_col)
@@ -289,6 +328,90 @@ def rasterize_gene_expression_deterministic(
     )
     out = joined.withColumn("pixelval", pixelval).drop("pixel_sum")
     return _with_tile_decor(out, spec)
+
+
+@dataclass(frozen=True)
+class RasterizedMatrix:
+    """Spark-native analogue of the reference's rasterizeMatrix output list
+    (``R/main.R:194-196`` list(data_rast, pos_rast, meta_rast)):
+
+    * ``data_rast`` — long-form feature×pixel matrix
+      (cell_id, pixel_name, feature, pixelval); absent (pixel, feature)
+      pairs are structural zeros, like the reference's sparse columns.
+    * ``pos_rast``  — pixel centroids (cell_id, pixel_name, x, y)
+      (``R/main.R:126-129``).
+    * ``meta_rast`` — per-pixel num_cell, sorted cellID_list, type,
+      resolution, geometry_wkt (``R/main.R:152-189``). Covers EVERY occupied
+      pixel, including pixels whose docs contribute no feature triplets.
+    """
+
+    data_rast: DataFrame
+    pos_rast: DataFrame
+    meta_rast: DataFrame
+
+
+def rasterize_matrix(
+    data: DataFrame,
+    pos: DataFrame,
+    resolution: float = 100.0,
+    square: bool = True,
+    fun: str = "mean",
+    bbox: BBox | None = None,
+    spec: GridSpec | None = None,
+    id_col: str = "doc_id",
+    feature_col: str = "feature",
+    value_col: str = "value",
+    salt_buckets: int = 0,
+    broadcast_meta: bool = True,
+) -> RasterizedMatrix:
+    """The reference's 5th export, ``rasterizeMatrix`` (NAMESPACE:7,
+    ``R/main.R:98-197``): rasterize a feature×cell matrix given separate
+    positions, returning the (data_rast, pos_rast, meta_rast) triple.
+
+    ``data`` is the matrix in Spark-native sparse long form — one row per
+    nonzero (cell, feature, value) triplet (the reference's dgCMatrix,
+    column-compressed, is the same set of triplets); ``pos`` is
+    (id_col, x, y). fun="mean" divides by num_cell — rowMeans over the
+    pixel's full cell set incl. structural zeros (``R/main.R:146-150``).
+
+    Plan shape: pos → closed-form tile encode → ONE aggregate for meta
+    (num_cell + salted roster); triplets pick up their tile by an equi-join
+    on the unique doc id (uniform key), then ONE aggregate per
+    (tile, feature); num_cell attaches by broadcast (tiles ≪ docs).
+    """
+    if fun not in VALID_FUNS:
+        raise ValueError(f"fun must be one of {VALID_FUNS} (R/main.R:33-36)")
+    spec = spec or grid_spec_for(pos, resolution, square=square, bbox=bbox)
+    with_cell = assign_tiles(pos.select(id_col, "x", "y"), spec)
+    meta = tile_meta(
+        with_cell, spec, id_col=id_col, collect_roster=True, salt_buckets=salt_buckets
+    )
+    meta = _with_tile_decor(meta, spec)
+    from .vector import tiles_with_wkt
+
+    meta = tiles_with_wkt(meta, spec)
+
+    triplets = data.select(
+        F.col(id_col), F.col(feature_col).alias("feature"), F.col(value_col).alias("value")
+    ).join(with_cell.select(id_col, "cell_id"), id_col)
+    sums = triplets.groupBy("cell_id", "feature").agg(F.sum("value").alias("_sum"))
+    meta_slim = meta.select("cell_id", "num_cell", "pixel_name")
+    meta_j = F.broadcast(meta_slim) if broadcast_meta else meta_slim
+    pixelval = (
+        F.col("_sum") if fun == "sum" else F.col("_sum") / F.col("num_cell").cast("double")
+    )
+    data_rast = (
+        sums.join(meta_j, "cell_id")
+        .select("cell_id", "pixel_name", "feature", pixelval.alias("pixelval"))
+    )
+    pos_rast = meta.select(
+        "cell_id", "pixel_name", F.col("cx").alias("x"), F.col("cy").alias("y")
+    )
+    meta_rast = meta.select(
+        "cell_id", "pixel_name", "num_cell", "cellID_list", "type", "resolution",
+        "geometry_wkt",
+    )
+    return RasterizedMatrix(data_rast=data_rast, pos_rast=pos_rast, meta_rast=meta_rast)
 
 
 def relative_enrichment(cell_type_tiles: DataFrame, label_col: str = "kind") -> DataFrame:

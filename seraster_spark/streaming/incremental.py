@@ -4,9 +4,10 @@ The reference is bounded batch only (SURVEY.md §2.10); this is the engine's
 streaming extension: documents arrive with an event-time column, tile
 assignment is the same stateless closed-form Column math as the batch path
 (encoders are pure expressions, so they are trivially streamable), and the
-per-tile aggregate becomes a watermarked windowed groupBy —
-late data beyond the watermark is dropped, on-time late data updates its
-window's tile counts.
+per-tile aggregate becomes a watermarked windowed groupBy. In append mode
+(production) late data beyond the watermark is dropped and windows emit once
+the watermark passes; the availableNow backfill helper defaults to complete
+mode, where Spark ignores the watermark (see run_available_now).
 
     readStream(parquet dir) → cell_id = encode(x,y) →
     withWatermark(ts) → groupBy(window(ts), cell_id, kind).count →
@@ -59,13 +60,27 @@ def stream_rasterize_cell_type(
     )
 
 
-def run_available_now(stream_df: DataFrame, query_name: str, checkpoint_dir: str):
+def run_available_now(
+    stream_df: DataFrame,
+    query_name: str,
+    checkpoint_dir: str,
+    output_mode: str = "complete",
+):
     """Drain everything currently available (backfill / test mode) into an
-    in-memory table named `query_name`; returns the finished query."""
+    in-memory table named `query_name`; returns the finished query.
+
+    NOTE on watermark semantics: in the default ``complete`` mode Spark
+    IGNORES the watermark — every window (including late data beyond the
+    watermark) is rewritten each trigger, which is the convenient shape for
+    a bounded backfill whose result must equal the batch aggregate. For true
+    streaming watermark behavior (late rows dropped, windows emitted once
+    the watermark passes — the production shape, where state is evicted)
+    pass ``output_mode="append"``; windows still inside the watermark at
+    end-of-input remain buffered in state and are NOT emitted."""
     q = (
         stream_df.writeStream.format("memory")
         .queryName(query_name)
-        .outputMode("complete")
+        .outputMode(output_mode)
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()

@@ -121,6 +121,66 @@ def test_structural_pos_columns(spark, docs):
     assert bad == 0
 
 
+def test_rasterize_matrix_structure(spark, docs):
+    """Structural port of test-main.R:32-47 for the rasterizeMatrix facade:
+    named triple, equal pixel sets across the three outputs, features
+    preserved, pos has x/y, #pixels <= #cells."""
+    data = docs.select("doc_id", F.explode("values").alias("_kv")).select(
+        "doc_id", F.col("_kv.feature").alias("feature"), F.col("_kv.value").alias("value")
+    )
+    pos = docs.select("doc_id", "x", "y")
+    out = rasterize.rasterize_matrix(data, pos, RES, fun="mean")
+    assert set(out.__dataclass_fields__) == {"data_rast", "pos_rast", "meta_rast"}
+    pix_meta = {r[0] for r in out.meta_rast.select("pixel_name").collect()}
+    pix_pos = {r[0] for r in out.pos_rast.select("pixel_name").collect()}
+    pix_data = {r[0] for r in out.data_rast.select("pixel_name").distinct().collect()}
+    assert pix_meta == pix_pos
+    assert pix_data <= pix_meta  # empty-feature tiles live in meta/pos only
+    in_feats = {r[0] for r in data.select("feature").distinct().collect()}
+    out_feats = {r[0] for r in out.data_rast.select("feature").distinct().collect()}
+    assert out_feats == in_feats
+    assert {"x", "y"} <= set(out.pos_rast.columns)
+    assert 0 < len(pix_meta) <= pos.count()
+    # meta carries roster/type/resolution/geometry (R/main.R:152-189)
+    assert {"num_cell", "cellID_list", "type", "resolution", "geometry_wkt"} <= set(
+        out.meta_rast.columns
+    )
+
+
+def test_rasterize_matrix_empty_feature_tiles_kept_in_meta(spark):
+    """A tile whose only doc has NO feature triplets must still appear in
+    meta_rast/pos_rast (reference keeps an all-zero pixel with num_cell,
+    R/main.R:153-176) even though sparse data_rast has no row for it."""
+    pos = spark.createDataFrame(
+        [("a", 10.0, 10.0), ("b", 910.0, 910.0)], "doc_id string, x double, y double"
+    )
+    data = spark.createDataFrame(
+        [("a", "f1", 2.0)], "doc_id string, feature string, value double"
+    )
+    out = rasterize.rasterize_matrix(data, pos, RES, fun="sum")
+    assert out.meta_rast.count() == 2
+    assert out.pos_rast.count() == 2
+    assert out.data_rast.count() == 1
+
+
+def test_assay_validation(spark, docs):
+    """assay_name validated against available assays; default = first
+    (R/main.R:315-321)."""
+    multi = docs.withColumn(
+        "assay", F.when(F.col("doc_id").substr(-1, 1) < "5", "counts").otherwise("lognorm")
+    )
+    with pytest.raises(ValueError, match="does not exist"):
+        rasterize.rasterize_gene_expression(multi, RES, assay_col="assay", assay_name="nope")
+    got = rasterize.rasterize_gene_expression(
+        multi, RES, assay_col="assay", assay_name="counts"
+    )
+    # default = first available (lexicographic) = 'counts' → same result
+    dflt = rasterize.rasterize_gene_expression(multi, RES, assay_col="assay")
+    assert got.count() == dflt.count() > 0
+    with pytest.raises(ValueError, match="assay_col"):
+        rasterize.rasterize_gene_expression(docs, RES, assay_name="counts")
+
+
 def test_merfish_scale_anchor(spark):
     """6,509 docs at res 50 must land in the reference's non-empty-tile
     regime (vignette:135 -> 1,301 tiles for the real data; synthetic uniform

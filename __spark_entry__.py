@@ -5,10 +5,11 @@ documents table on a res-100 square grid (coords derived deterministically
 from doc_id; see seraster_spark.driver_queries).
 
 queries()/oracle_sql(): one entry per implemented operator (SURVEY.md §2 +
-training-data ops); oracles are exact DuckDB SQL — integer-derived inputs
-keep every aggregate bit-deterministic across engines. Ops whose results
-depend on engine-specific hash functions (xxhash64 minhash/simhash, LSH
-buckets) are rows-only here and value-checked by pytest python oracles.
+training-data ops); every query has an exact DuckDB SQL oracle —
+integer-derived inputs keep aggregates bit-deterministic across engines, and
+hash-sensitive ops (minhash/simhash/LSH) run md5 / exact-integer-plane
+variants here so DuckDB reproduces them bit-for-bit (the faster
+xxhash64/gaussian-plane production defaults are pytest-verified).
 """
 
 from __future__ import annotations

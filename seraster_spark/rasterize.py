@@ -284,9 +284,12 @@ def rasterize_gene_expression_deterministic(
     summed in CANONICAL ORDER — member docs sorted by (feature, doc_id)
     inside an applyInPandas group — so the result is byte-identical across
     partitionings, cluster sizes, and reruns. Tiles are small by the very
-    premise of rasterization, so per-tile pandas groups are cheap; use the
-    default rasterize_gene_expression when last-ulp float reproducibility
-    isn't required."""
+    premise of rasterization, so per-tile pandas groups are cheap.
+
+    This path is NOT the hot 100 TB aggregate: the default
+    rasterize_gene_expression (single codegen shuffle, order-free exact or
+    near-exact sums) is; use this variant only when last-ulp float
+    reproducibility across reruns/cluster sizes is a hard requirement."""
     import numpy as np
     import pandas as pd
 
@@ -312,10 +315,11 @@ def rasterize_gene_expression_deterministic(
         pdf = pdf.sort_values(["feature", "doc_id"], kind="mergesort")
         recs = []
         for feat, grp in pdf.groupby("feature", sort=True):
-            # sequential left-to-right fold in sorted order: deterministic
-            s = 0.0
-            for v in grp["value"].to_numpy(np.float64):
-                s += v
+            # np.cumsum is a strict sequential accumulation (no pairwise
+            # reassociation), so its last element is bit-identical to a
+            # left-to-right Python fold — at vector speed
+            vals = grp["value"].to_numpy(np.float64)
+            s = float(np.cumsum(vals)[-1]) if len(vals) else 0.0
             recs.append((int(pdf["cell_id"].iloc[0]), feat, s))
         return pd.DataFrame(recs, columns=["cell_id", "feature", "pixel_sum"])
 

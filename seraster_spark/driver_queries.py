@@ -1111,6 +1111,235 @@ SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= 5
 SQL_LSH_ANN = _sql_lsh_ann()
 
 
+def q_raster_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tile-aligned raster algebra: ct3 raster minus ct5 raster (outer join,
+    missing tiles = structural zeros)."""
+    from .bbox import grid_spec_for
+    from .vector import raster_algebra
+
+    d = docs_with_coords(spark, sf_dir)
+    spec = grid_spec_for(d, RES, square=True)
+    ct = R.rasterize_cell_type(d, RES, fun="sum", spec=spec)
+    out = raster_algebra(
+        ct.filter(F.col("kind") == "ct3"), ct.filter(F.col("kind") == "ct5"), op="diff"
+    )
+    row, col = X.unpack_rowcol(F.col("cell_id"))
+    return out.select(
+        row.cast("long").alias("row_i"), col.cast("long").alias("col_i"), "diff"
+    )
+
+
+SQL_RASTER_ALGEBRA = f"""
+WITH {_SQL_DOCS}, {_SQL_BBOX}, {_SQL_SQ_CELLS},
+a2 AS (SELECT row_i, col_i, CAST(count(*) AS DOUBLE) AS v FROM c WHERE kind = 'ct3' GROUP BY 1, 2),
+b2 AS (SELECT row_i, col_i, CAST(count(*) AS DOUBLE) AS v FROM c WHERE kind = 'ct5' GROUP BY 1, 2)
+SELECT coalesce(a2.row_i, b2.row_i) AS row_i,
+       coalesce(a2.col_i, b2.col_i) AS col_i,
+       coalesce(a2.v, 0.0) - coalesce(b2.v, 0.0) AS diff
+FROM a2 FULL OUTER JOIN b2 ON a2.row_i = b2.row_i AND a2.col_i = b2.col_i
+"""
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact all-pairs n-gram Jaccard (inverted-index pruned) over the
+    near-dup-seeded corpus."""
+    corpus = _dedup_corpus(spark, sf_dir)
+    return TX.ngram_jaccard(corpus, threshold=0.4)
+
+
+SQL_NGRAM_JACCARD = rf"""
+WITH {_SQL_DEDUP_CORPUS},
+tk AS (
+  SELECT doc_id AS _id, regexp_split_to_array(trim(lower(text)), '\s+') AS t FROM corpus
+),
+base AS (
+  SELECT _id, list_distinct(list_transform(range(1, greatest(len(t) - 2, 0) + 1),
+                            i -> array_to_string(t[i:i+2], ' '))) AS sh
+  FROM tk WHERE len(t) >= 3
+),
+inv AS (SELECT _id, unnest(sh) AS g FROM base),
+cand AS (
+  SELECT l._id AS id_a, r._id AS id_b
+  FROM inv l JOIN inv r ON l.g = r.g AND l._id < r._id
+  GROUP BY 1, 2
+),
+jac AS (
+  SELECT id_a, id_b,
+         CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+           / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) AS jaccard
+  FROM cand JOIN base a ON a._id = cand.id_a JOIN base b ON b._id = cand.id_b
+)
+SELECT id_a, id_b, jaccard FROM jac WHERE jaccard >= 0.4
+"""
+
+
+def q_cosine_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicates over deterministic integer vectors
+    with the shared ±1 integer planes; vec_ids congruent mod 97 have
+    IDENTICAL vectors, so real duplicate pairs exist and bucket together."""
+    import numpy as np
+
+    from . import similarity as S
+
+    e = read_table(spark, sf_dir, "embeddings")
+    items = e.select("vec_id", _vec16_expr().alias("embedding"))
+    return S.cosine_near_duplicates(
+        items, threshold=0.999, dim=_LSH_DIM, planes=np.array(LSH_PLANES)
+    )
+
+
+def _sql_cosine_near_dup() -> str:
+    emb = ", ".join(
+        f"CAST((vec_id * {j}) % 97 + 1 AS DOUBLE)" for j in range(1, _LSH_DIM + 1)
+    )
+    bucket_terms = []
+    for p, plane in enumerate(LSH_PLANES):
+        dot = " ".join(
+            f"{'+' if s > 0 else '-'} emb[{j + 1}]" for j, s in enumerate(plane)
+        )
+        bucket_terms.append(f"(CASE WHEN ({dot}) > 0 THEN {1 << p} ELSE 0 END)")
+    bucket = " + ".join(bucket_terms)
+    return f"""
+WITH v AS (SELECT vec_id, [{emb}] AS emb FROM embeddings),
+bk AS (SELECT vec_id, emb, {bucket} AS bucket FROM v),
+pairs AS (
+  SELECT l.vec_id AS id_a, r.vec_id AS id_b,
+         any_value(l.emb) AS ea, any_value(r.emb) AS eb
+  FROM bk l JOIN bk r ON l.bucket = r.bucket AND l.vec_id < r.vec_id
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT id_a, id_b,
+         list_sum(list_transform(list_zip(ea, eb), z -> z[1] * z[2]))
+           / (sqrt(list_sum(list_transform(ea, e -> e * e)))
+              * sqrt(list_sum(list_transform(eb, e -> e * e)))) AS cosine
+  FROM pairs
+)
+SELECT id_a, id_b, cosine FROM scored WHERE cosine >= 0.999
+"""
+
+
+SQL_COSINE_NEAR_DUP = _sql_cosine_near_dup()
+
+
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read_table(spark, sf_dir, "documents")
+    q = TX.quality_score(d)
+    return q.select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        "alpha_ratio",
+        "distinct_token_ratio",
+        "mean_word_len",
+        "quality_score",
+    )
+
+
+SQL_QUALITY_SCORE = r"""
+WITH t AS (
+  SELECT doc_id,
+         regexp_split_to_array(trim(lower(text)), '\s+') AS toks,
+         length(text) AS n_chars,
+         length(text) - length(regexp_replace(text, '[A-Za-z ]', '', 'g')) AS n_alpha
+  FROM documents
+),
+m AS (
+  SELECT doc_id, len(toks) AS n_tok, n_chars,
+         CAST(n_alpha AS DOUBLE) / greatest(n_chars, 1) AS alpha_ratio,
+         CAST(len(list_distinct(toks)) AS DOUBLE) / greatest(len(toks), 1) AS distinct_ratio,
+         CAST(n_chars - (len(toks) - 1) AS DOUBLE) / greatest(len(toks), 1) AS mean_wordlen
+  FROM t
+)
+SELECT doc_id, n_tok AS n_tokens, alpha_ratio,
+       distinct_ratio AS distinct_token_ratio,
+       mean_wordlen AS mean_word_len,
+       0.25 * (CASE WHEN n_tok >= 5 AND n_tok <= 100000 THEN 1.0 ELSE 0.0 END)
+       + 0.25 * (CASE WHEN mean_wordlen >= 2.0 AND mean_wordlen <= 12.0 THEN 1.0 ELSE 0.0 END)
+       + 0.25 * alpha_ratio
+       + 0.25 * distinct_ratio AS quality_score
+FROM m
+"""
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full language-ID argmax (marker-hit counts → (hits, lang) struct max
+    with 'und' fallback)."""
+    d = read_table(spark, sf_dir, "documents")
+    return TX.lang_id(d).select("doc_id", "lang_guess")
+
+
+def _sql_lang_id() -> str:
+    from .text import _LANG_MARKERS
+
+    hit_exprs = {}
+    for lang, markers in _LANG_MARKERS.items():
+        lst = ", ".join(f"'{m}'" for m in markers)
+        hit_exprs[lang] = (
+            rf"len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),"
+            rf" tk -> tk IN ({lst})))"
+        )
+    # Spark's array_max over (hits, lang) structs tie-breaks by the LARGER
+    # lang string; langs by descending string order:
+    order = sorted(_LANG_MARKERS, reverse=True)
+    g = "greatest(" + ", ".join(f"h_{lang}" for lang in _LANG_MARKERS) + ")"
+    case = f"CASE WHEN {g} = 0 THEN 'und' "
+    for lang in order[:-1]:
+        case += f"WHEN h_{lang} = {g} THEN '{lang}' "
+    case += f"ELSE '{order[-1]}' END"
+    hits = ", ".join(f"{e} AS h_{lang}" for lang, e in hit_exprs.items())
+    return f"""
+WITH h AS (SELECT doc_id, {hits} FROM documents)
+SELECT doc_id, {case} AS lang_guess FROM h
+"""
+
+
+SQL_LANG_ID = _sql_lang_id()
+
+
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup candidate pairs over the seeded corpus: md5-hex
+    signatures → 4-hex-char band join → exact nibble-XOR-popcount hamming."""
+    corpus = _dedup_corpus(spark, sf_dir)
+    sim = TX.simhash_md5(corpus)
+    return TX.simhash_hex_candidates(sim, max_hamming=8)
+
+
+def _sql_simhash_pairs(max_hamming: int = 8, bands: int = 4) -> str:
+    hexs = "0123456789abcdef"
+    width = 16 // bands
+    sim_inner = _sql_simhash().replace("FROM documents", "FROM corpus").replace(
+        "doc_id AS _id", "doc_id AS _id"
+    )
+    band_rows = " UNION ALL ".join(
+        f"SELECT _id, sim, {b} AS band, substr(sim, {b * width + 1}, {width}) AS bval FROM s"
+        for b in range(bands)
+    )
+    ham = " + ".join(
+        f"bit_count(xor(strpos('{hexs}', substr(l.sim, {j + 1}, 1)) - 1, "
+        f"strpos('{hexs}', substr(r.sim, {j + 1}, 1)) - 1))"
+        for j in range(16)
+    )
+    return f"""
+WITH {_SQL_DEDUP_CORPUS},
+s AS (SELECT doc_id AS _id, simhash_hex AS sim FROM ({sim_inner})),
+banded AS ({band_rows}),
+p AS (
+  SELECT l._id AS id_a, r._id AS id_b,
+         any_value(l.sim) AS sima, any_value(r.sim) AS simb
+  FROM banded l JOIN banded r ON l.band = r.band AND l.bval = r.bval AND l._id < r._id
+  GROUP BY 1, 2
+),
+hd AS (
+  SELECT id_a, id_b, CAST(({ham.replace('l.sim', 'sima').replace('r.sim', 'simb')}) AS BIGINT) AS hamming
+  FROM p
+)
+SELECT id_a, id_b, hamming FROM hd WHERE hamming <= {max_hamming}
+"""
+
+
+SQL_SIMHASH_PAIRS = _sql_simhash_pairs()
+
+
 # ------------------------------------------------------------------------------
 # registry
 
@@ -1144,6 +1373,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_pairs": q_minhash_pairs,
         "simhash": q_simhash,
         "lsh_ann": q_lsh_ann,
+        "raster_algebra": q_raster_algebra,
+        "ngram_jaccard": q_ngram_jaccard,
+        "cosine_near_dup": q_cosine_near_dup,
+        "quality_score": q_quality_score,
+        "lang_id": q_lang_id,
+        "simhash_pairs": q_simhash_pairs,
     }
 
 
@@ -1176,4 +1411,10 @@ def oracle_sql() -> dict[str, str]:
         "minhash_pairs": SQL_MINHASH_PAIRS,
         "simhash": SQL_SIMHASH,
         "lsh_ann": SQL_LSH_ANN,
+        "raster_algebra": SQL_RASTER_ALGEBRA,
+        "ngram_jaccard": SQL_NGRAM_JACCARD,
+        "cosine_near_dup": SQL_COSINE_NEAR_DUP,
+        "quality_score": SQL_QUALITY_SCORE,
+        "lang_id": SQL_LANG_ID,
+        "simhash_pairs": SQL_SIMHASH_PAIRS,
     }

@@ -290,10 +290,11 @@ def cosine_near_duplicates(
     vec_col: str = "embedding",
     n_planes: int = 12,
     seed: int = 7,
+    planes: np.ndarray | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs: LSH self-bucket-join + exact cosine
     filter. Returns (id_a, id_b, cosine) with id_a < id_b."""
-    bucket = lsh_bucket_udf(dim, n_planes, seed)
+    bucket = lsh_bucket_udf(dim, n_planes, seed, planes=planes)
     it = items.select(
         F.col(id_col).alias("_id"), F.col(vec_col).alias("_vec")
     ).withColumn("bucket", bucket(F.col("_vec")))

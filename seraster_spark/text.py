@@ -488,6 +488,62 @@ def simhash_md5(
     return agg.select(F.col("_id").alias(id_col), F.concat(*chars).alias("simhash_hex"))
 
 
+def simhash_hex_candidates(
+    sim_df: DataFrame,
+    id_col: str = "doc_id",
+    sim_col: str = "simhash_hex",
+    max_hamming: int = 3,
+    bands: int = 4,
+) -> DataFrame:
+    """Near-dup candidate pairs over :func:`simhash_md5` hex signatures —
+    same pigeonhole banding as :func:`simhash_candidates` but on hex-char
+    substrings (16/bands chars per band), with exact hamming distance
+    computed per nibble (bit_count of XORed hex digits). Fully expressible
+    in ANSI SQL, so it carries a DuckDB oracle."""
+    width = 16 // bands
+    banded = sim_df.select(
+        F.col(id_col).alias("_id"),
+        F.col(sim_col).alias("_sim"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.substring(sim_col, b * width + 1, width).alias("bval"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("_b"),
+    ).select("_id", "_sim", F.col("_b.band").alias("band"), F.col("_b.bval").alias("bval"))
+    l, r = banded.alias("l"), banded.alias("r")
+    pairs = (
+        l.join(
+            r,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bval") == F.col("r.bval"))
+            & (F.col("l._id") < F.col("r._id")),
+        )
+        .select(
+            F.col("l._id").alias("id_a"),
+            F.col("r._id").alias("id_b"),
+            F.col("l._sim").alias("sa"),
+            F.col("r._sim").alias("sb"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    nib = lambda c, j: F.expr(f"instr('{_HEX}', substr({c}, {j + 1}, 1)) - 1")  # noqa: E731
+    hamming = None
+    for j in range(16):
+        term = F.bit_count(nib("sa", j).bitwiseXOR(nib("sb", j)))
+        hamming = term if hamming is None else hamming + term
+    return (
+        pairs.withColumn("hamming", hamming.cast("long"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
 def simhash_candidates(
     sim_df: DataFrame, id_col: str = "doc_id", max_hamming: int = 3, bands: int = 4
 ) -> DataFrame:

@@ -175,6 +175,21 @@ def test_simhash_md5_oracle(spark, corpus):
     assert got["d00"] == got["d04"]
 
 
+def test_simhash_hex_candidates(spark, corpus):
+    """Hex-band candidates over simhash_md5: exact dup pair at hamming 0;
+    hamming equals the python popcount over the hex signatures."""
+    sim = X.simhash_md5(corpus)
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in X.simhash_hex_candidates(sim, max_hamming=16).collect()
+    }
+    assert got[("d00", "d04")] == 0
+    hexes = {r["doc_id"]: r["simhash_hex"] for r in sim.collect()}
+    for (a, b), h in got.items():
+        exp = bin(int(hexes[a], 16) ^ int(hexes[b], 16)).count("1")
+        assert h == exp, (a, b)
+
+
 def test_quality_score(spark, corpus):
     got = {r["doc_id"]: r for r in X.quality_score(corpus).collect()}
     assert got["d07"]["distinct_token_ratio"] == pytest.approx(1 / 8)

@@ -51,6 +51,28 @@ def write_tiles(
     w.parquet(path)
 
 
+def write_tiles_bucketed(
+    df: DataFrame,
+    table: str,
+    n_buckets: int = 32,
+    bucket_col: str = "cell_id",
+    sort_col: str | None = "cell_id",
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed tile-table sink (``bucketBy`` + ``sortBy`` → saveAsTable):
+    two rasters written with the same bucketing join on cell_id WITHOUT any
+    shuffle — Spark's bucket-aware scan feeds a SortMergeJoin directly from
+    the files. At 100 TB this is THE way to make repeated tile↔tile joins
+    (raster algebra, multi-round enrichment, raster↔raster diffing across
+    snapshots) shuffle-free; the one-time bucketed write replaces a shuffle
+    per downstream join. Requires a session warehouse (saveAsTable), which
+    any real deployment has; plain write_tiles covers pathless sinks."""
+    w = df.write.mode(mode).bucketBy(n_buckets, bucket_col)
+    if sort_col:
+        w = w.sortBy(sort_col)
+    w.format("parquet").saveAsTable(table)
+
+
 # ---------------------------------------------------------------------------
 # checkpointed, resumable unit writes
 

@@ -87,3 +87,27 @@ def run_available_now(
     )
     q.awaitTermination()
     return q
+
+
+def drain_available_now_to_files(
+    stream_df: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    fmt: str = "parquet",
+):
+    """availableNow drain into a FILE sink with append-mode watermark
+    semantics — the production shape: late rows beyond the persisted
+    watermark are dropped, windows land as files exactly once when the
+    watermark passes them, and the checkpoint is resumable across drains
+    (the in-memory sink cannot recover a checkpoint in append mode; file
+    sinks can). Returns the finished query."""
+    q = (
+        stream_df.writeStream.format(fmt)
+        .outputMode("append")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q

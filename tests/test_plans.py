@@ -146,6 +146,37 @@ def test_minhash_band_join_is_slim_and_checkpointed(spark, docs_text):
             assert not any(f in ("_sh", "sh_a", "sh_b") for f in fields), (header, fields)
 
 
+def test_bucketed_tiles_join_without_shuffle(spark, docs):
+    """Two rasters written with write_tiles_bucketed (same bucketing on
+    cell_id) must join with NO shuffle exchange — the bucket-aware scan
+    feeds the SortMergeJoin directly. This is the repeated-tile-join shape
+    (raster algebra across snapshots) that makes the one-time bucketed write
+    pay for itself at 100 TB."""
+    from seraster_spark import io as EIO
+    from seraster_spark.bbox import grid_spec_for
+
+    spec = grid_spec_for(docs, 100.0, square=True)
+    ct = rasterize.rasterize_cell_type(docs, 100.0, fun="sum", spec=spec)
+    a = ct.filter(F.col("kind") == "ct00").select("cell_id", "pixelval")
+    b = ct.filter(F.col("kind") == "ct01").select("cell_id", F.col("pixelval").alias("pv_b"))
+    EIO.write_tiles_bucketed(a, "t_bkt_a", n_buckets=8)
+    EIO.write_tiles_bucketed(b, "t_bkt_b", n_buckets=8)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        j = spark.table("t_bkt_a").join(spark.table("t_bkt_b"), "cell_id")
+        n = j.count()
+        assert n > 0
+        plan = _physical(j)
+        assert "SortMergeJoin" in plan, plan
+        for header, _fields in _exchange_schemas(j):
+            raise AssertionError(f"unexpected exchange in bucketed join: {header}")
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS t_bkt_a")
+        spark.sql("DROP TABLE IF EXISTS t_bkt_b")
+
+
 def test_group_agg_has_partial_combine(spark, docs):
     """The one shuffle carries partially-aggregated rows (map-side combine):
     physical plan shows HashAggregate below AND above the Exchange."""

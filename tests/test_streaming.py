@@ -78,3 +78,48 @@ def test_streaming_matches_batch(spark, tmp_path):
     got2 = spark.table("tiles_stream2")
     total = got2.agg(F.sum("pixelval")).collect()[0][0]
     assert total == 500  # all docs counted exactly once across both drains
+
+
+def test_append_mode_drops_late_beyond_watermark(spark, tmp_path):
+    """True streaming watermark semantics (output_mode='append'): a row
+    later than the persisted watermark is DROPPED; windows emit once the
+    watermark passes them. Three availableNow drains over one checkpoint:
+    batch1 (minute 10) → nothing emitted yet; batch2 (minute 20 + one LATE
+    row at minute 5) → the minute-10 window emits WITHOUT any minute-5
+    window ever appearing; batch3 (minute 30) → minute-20 window emits with
+    only the on-time rows."""
+    from seraster_spark.streaming import drain_available_now_to_files
+
+    in_dir = str(tmp_path / "late_in")
+    out_dir = str(tmp_path / "late_out")
+    ckpt = str(tmp_path / "late_ckpt")
+
+    def drain():
+        sdf = stream_rasterize_cell_type(
+            spark, in_dir, SCHEMA, SPEC, window_duration="1 minute", watermark="2 minutes"
+        )
+        drain_available_now_to_files(sdf, out_dir, ckpt)
+        try:
+            return spark.read.parquet(out_dir).collect()
+        except Exception:  # no files emitted yet
+            return []
+
+    _batch(spark, None, 0, 40, minute=10).write.mode("append").parquet(in_dir)
+    out1 = drain()
+    assert out1 == []  # watermark hasn't passed the minute-10 window yet
+
+    on_time = _batch(spark, None, 1000, 30, minute=20)
+    late = _batch(spark, None, 9000, 5, minute=5)  # far below the watermark
+    on_time.unionByName(late).write.mode("append").parquet(in_dir)
+    out2 = drain()
+    emitted2 = {r["window_start"].minute for r in out2}
+    assert emitted2 == {10}
+    assert sum(r["pixelval"] for r in out2) == 40  # late rows not resurrected
+
+    _batch(spark, None, 2000, 10, minute=30).write.mode("append").parquet(in_dir)
+    out3 = drain()
+    emitted3 = {r["window_start"].minute for r in out3}
+    assert 5 not in emitted3  # the late window never emits — rows dropped
+    assert 20 in emitted3
+    m20 = sum(r["pixelval"] for r in out3 if r["window_start"].minute == 20)
+    assert m20 == 30  # only the on-time minute-20 rows

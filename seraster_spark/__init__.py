@@ -16,6 +16,7 @@ from .rasterize import (
     rasterize_gene_expression_deterministic,
     rasterize_matrix,
     relative_enrichment,
+    rollup_tiles,
     tile_meta,
 )
 from .vector import (
@@ -39,6 +40,7 @@ __all__ = [
     "rasterize_matrix",
     "RasterizedMatrix",
     "relative_enrichment",
+    "rollup_tiles",
     "permutate_by_rotation",
     "angle_schedule",
     "midrange_origin",

@@ -600,6 +600,66 @@ SQL_MULTIRES_TILE_COUNTS = (
 )
 
 
+def q_tile_pyramid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical rollup: res-100 per-tile doc counts aggregated into
+    res-200 parents by integer arithmetic on the packed ids (no re-scan)."""
+    wc, spec = _sq_tiles(spark, sf_dir)
+    base = wc.groupBy("cell_id").agg(F.count(F.lit(1)).cast("double").alias("pixelval"))
+    rolled, pspec = R.rollup_tiles(base, spec, factor=2)
+    row, col = X.unpack_rowcol(F.col("cell_id"))
+    return rolled.select(
+        row.cast("long").alias("prow"),
+        col.cast("long").alias("pcol"),
+        F.col("pixelval").cast("long").alias("n_docs"),
+        "cx",
+        "cy",
+    )
+
+
+SQL_TILE_PYRAMID = f"""
+WITH {_SQL_DOCS}, {_SQL_BBOX}, {_SQL_SQ_CELLS}
+SELECT CAST(floor(row_i / 2.0) AS BIGINT) AS prow,
+       CAST(floor(col_i / 2.0) AS BIGINT) AS pcol,
+       count(*) AS n_docs,
+       any_value(xmin) + (CAST(floor(col_i / 2.0) AS BIGINT) + 0.5) * 200.0 AS cx,
+       any_value(ymin) + (CAST(floor(row_i / 2.0) AS BIGINT) + 0.5) * 200.0 AS cy
+FROM c GROUP BY 1, 2
+"""
+
+
+def q_raster_assay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-assay selection: rows discriminated by an assay column; only
+    the requested assay's docs rasterize (eager validation; grid from the
+    FULL data so assays share one grid)."""
+    d = docs_with_coords(spark, sf_dir).withColumn(
+        "assay", F.concat(F.lit("a"), (F.col("doc_id") % 2).cast("string"))
+    ).withColumn(
+        "values",
+        F.array(F.struct(F.lit("n_chars").alias("feature"), F.col("val").alias("value"))),
+    )
+    from .bbox import grid_spec_for
+
+    spec = grid_spec_for(d, RES, square=True)
+    t = R.rasterize_gene_expression(
+        d, RES, fun="sum", spec=spec, assay_col="assay", assay_name="a1"
+    )
+    row, col = X.unpack_rowcol(F.col("cell_id"))
+    return t.select(
+        row.cast("long").alias("row_i"),
+        col.cast("long").alias("col_i"),
+        F.col("pixelval").alias("sum_val"),
+        F.col("num_cell").cast("long").alias("num_cell"),
+    )
+
+
+SQL_RASTER_ASSAY = f"""
+WITH {_SQL_DOCS}, {_SQL_BBOX}, {_SQL_SQ_CELLS}
+SELECT row_i, col_i, sum(val) AS sum_val, count(*) AS num_cell
+FROM c WHERE doc_id % 2 = 1
+GROUP BY row_i, col_i
+"""
+
+
 # raster -> vector ------------------------------------------------------------
 
 
@@ -1360,6 +1420,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "raster_matrix": q_raster_matrix,
         "relative_enrichment": q_relative_enrichment,
         "multires_tile_counts": q_multires_tile_counts,
+        "tile_pyramid": q_tile_pyramid,
+        "raster_assay": q_raster_assay,
         "tile_wkt": q_tile_wkt,
         "polygon_filter": q_polygon_filter,
         "raster_restricted": q_raster_restricted,
@@ -1398,6 +1460,8 @@ def oracle_sql() -> dict[str, str]:
         "raster_matrix": SQL_RASTER_MATRIX,
         "relative_enrichment": SQL_RELATIVE_ENRICHMENT,
         "multires_tile_counts": SQL_MULTIRES_TILE_COUNTS,
+        "tile_pyramid": SQL_TILE_PYRAMID,
+        "raster_assay": SQL_RASTER_ASSAY,
         "tile_wkt": SQL_TILE_WKT,
         "polygon_filter": SQL_POLYGON_FILTER,
         "raster_restricted": SQL_RASTER_RESTRICTED,

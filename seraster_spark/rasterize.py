@@ -418,6 +418,51 @@ def rasterize_matrix(
     return RasterizedMatrix(data_rast=data_rast, pos_rast=pos_rast, meta_rast=meta_rast)
 
 
+def rollup_tiles(
+    tiles: DataFrame,
+    spec: GridSpec,
+    factor: int = 2,
+    keys: list[str] | None = None,
+    sum_cols: tuple[str, ...] = ("pixelval",),
+) -> tuple[DataFrame, GridSpec]:
+    """Hierarchical tile rollup (pyramid level): aggregate res-r tiles into
+    res-(factor·r) parent tiles by INTEGER ARITHMETIC on the packed cell ids
+    — parent row/col = floor(child/factor) — with no re-scan of the source
+    docs. The multi-resolution sweep re-bins the corpus once per level; the
+    rollup instead derives each coarser level from the previous one
+    (tiles ≪ docs, so each level is ~factor² cheaper than the last — the
+    standard tile-pyramid construction). Square grids only: axial hex cells
+    do not nest. Additive aggregates only (sum/count roll up exactly; mean
+    must be re-derived as rolled sum / rolled num_cell).
+
+    Returns (parent_tiles, parent_spec); parent_spec.level = spec.level+1
+    keeps pyramid levels distinct inside the packed id space."""
+    if not spec.square:
+        raise ValueError("rollup_tiles requires a square grid (hex cells do not nest)")
+    if factor < 2:
+        raise ValueError("factor must be >= 2")
+    ks = list(keys or [])
+    row, col = X.unpack_rowcol(F.col("cell_id"))
+    prow = F.floor(row / F.lit(float(factor))).cast("long")
+    pcol = F.floor(col / F.lit(float(factor))).cast("long")
+    parent_spec = GridSpec(
+        spec.xmin,
+        spec.ymin,
+        spec.xmax,
+        spec.ymax,
+        spec.resolution * factor,
+        square=True,
+        level=min(spec.level + 1, 63),
+    )
+    parent_id = X._pack(parent_spec.mode, parent_spec.level, prow, pcol)
+    rolled = (
+        tiles.withColumn("cell_id", parent_id)
+        .groupBy("cell_id", *ks)
+        .agg(*[F.sum(c).alias(c) for c in sum_cols])
+    )
+    return _with_tile_decor(rolled, parent_spec), parent_spec
+
+
 def relative_enrichment(cell_type_tiles: DataFrame, label_col: str = "kind") -> DataFrame:
     """Vignette's relative-enrichment metric (vignette:307-311):
     RE[ct, px] = mat[ct,px] / ( (sum(mat[ct,:]) / sum(mat)) * colSums(mat)[px] )

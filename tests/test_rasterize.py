@@ -181,6 +181,35 @@ def test_assay_validation(spark, docs):
         rasterize.rasterize_gene_expression(docs, RES, assay_name="counts")
 
 
+def test_rollup_tiles_pyramid(spark, docs):
+    """Rollup conserves mass at every level; parent counts equal direct
+    floor-div grouping; two stacked rollups = one factor-4 rollup; hex
+    grids are rejected."""
+    spec = grid_spec_for(docs, RES, square=True)
+    base = rasterize.assign_tiles(docs, spec).groupBy("cell_id").agg(
+        F.count(F.lit(1)).cast("double").alias("pixelval")
+    )
+    total = docs.count()
+    l1, spec1 = rasterize.rollup_tiles(base, spec, factor=2)
+    assert spec1.resolution == 2 * RES and spec1.level == spec.level + 1
+    assert l1.agg(F.sum("pixelval")).collect()[0][0] == total
+    l2, spec2 = rasterize.rollup_tiles(l1.select("cell_id", "pixelval"), spec1, factor=2)
+    direct4, spec4 = rasterize.rollup_tiles(base, spec, factor=4)
+    # level tags differ (level 2 vs 1) but (row,col,value) must agree
+    from seraster_spark import expressions as X
+
+    row, col = X.unpack_rowcol(F.col("cell_id"))
+    key = lambda df: {  # noqa: E731
+        (r["r"], r["c"]): r["pixelval"]
+        for r in df.select(row.alias("r"), col.alias("c"), "pixelval").collect()
+    }
+    assert key(l2) == key(direct4)
+    assert l2.count() < l1.count() < base.count()
+    hex_spec = grid_spec_for(docs, RES, square=False)
+    with pytest.raises(ValueError, match="square"):
+        rasterize.rollup_tiles(base, hex_spec)
+
+
 def test_merfish_scale_anchor(spark):
     """6,509 docs at res 50 must land in the reference's non-empty-tile
     regime (vignette:135 -> 1,301 tiles for the real data; synthetic uniform

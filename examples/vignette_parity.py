@@ -79,6 +79,32 @@ def main() -> None:
     wkt = srs.tiles_with_wkt(tiles.select("cell_id").distinct(), srs.grid_spec_for(docs, 200.0))
     print("WKT sample:", wkt.first()["geometry_wkt"][:60], "...")
 
+    # rasterizeMatrix facade (R/main.R:98-197): separate data + pos inputs →
+    # (data_rast, pos_rast, meta_rast) triple
+    data = docs.select("doc_id", F.explode("values").alias("kv")).select(
+        "doc_id", F.col("kv.feature").alias("feature"), F.col("kv.value").alias("value")
+    )
+    pos = docs.select("doc_id", "x", "y")
+    rm = srs.rasterize_matrix(data, pos, 100.0, fun="mean")
+    print(
+        "rasterizeMatrix:",
+        rm.data_rast.count(), "data rows |",
+        rm.pos_rast.count(), "pixels |",
+        "meta cols:", rm.meta_rast.columns,
+    )
+
+    # tile pyramid: derive coarser levels from tiles (no corpus re-scan)
+    spec100 = srs.grid_spec_for(docs, 100.0)
+    base = srs.assign_tiles(docs, spec100).groupBy("cell_id").agg(
+        F.count(F.lit(1)).cast("double").alias("pixelval")
+    )
+    lvl, s = base, spec100
+    sizes = [lvl.count()]
+    for _ in range(2):
+        lvl, s = srs.rollup_tiles(lvl.select("cell_id", "pixelval"), s, factor=2)
+        sizes.append(lvl.count())
+    print("pyramid tile counts res 100→200→400:", sizes)
+
     spark.stop()
 
 

@@ -145,9 +145,10 @@ def knn_join(
     pending = queries.select(
         F.col(query_id).alias("_qid"), F.col("x").alias("_qx"), F.col("y").alias("_qy")
     ).localCheckpoint(eager=True)
+    pending_n = pending.count()
     done_frames: list[DataFrame] = []
     radius = max(1, initial_radius)
-    while radius <= max_radius and not pending.isEmpty():
+    while radius <= max_radius and pending_n > 0:
         qdf = pending.withColumn(
             "_qcell", X.cell_id_expr(F.col("_qx"), F.col("_qy"), spec)
         )
@@ -178,9 +179,14 @@ def knn_join(
             .select("_qid")
         )
         done_frames.append(ranked.join(done_q, "_qid", "left_semi"))
+        n_done = done_q.count()  # cheap: derives from the checkpointed ranked
+        if n_done == pending_n:  # common case: one round resolves everything —
+            pending_n = 0        # skip building/checkpointing an empty pending set
+            break
         pending = pending.join(done_q, "_qid", "left_anti").localCheckpoint(eager=True)
+        pending_n -= n_done
         radius *= 2
-    if not pending.isEmpty():
+    if pending_n > 0:
         raise RuntimeError(
             f"kNN incomplete at max_radius={max_radius}; raise max_radius or coarsen the grid"
         )

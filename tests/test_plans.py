@@ -177,6 +177,30 @@ def test_bucketed_tiles_join_without_shuffle(spark, docs):
         spark.sql("DROP TABLE IF EXISTS t_bkt_b")
 
 
+def test_no_row_python_anywhere_in_driver_surface(spark):
+    """input_hint mandate: 'vectorized pandas/Arrow UDFs (no per-row Python)
+    throughout'. Sweep EVERY driver queries() entry and assert no
+    BatchEvalPython (row-at-a-time Python) node appears in any physical
+    plan; ArrowEvalPython / mapInPandas are the sanctioned Python
+    boundaries."""
+    import os
+
+    import pytest as _pytest
+
+    sf_dir = "/root/testdata/sf0.001"
+    if not os.path.exists(os.path.join(sf_dir, "documents.parquet")):
+        _pytest.skip("driver testdata not present")
+    from seraster_spark import driver_queries as DQ
+
+    offenders = []
+    for name, fn in DQ.queries().items():
+        df = fn(spark, sf_dir)
+        plan = _physical(df)
+        if "BatchEvalPython" in plan:
+            offenders.append(name)
+    assert not offenders, offenders
+
+
 def test_group_agg_has_partial_combine(spark, docs):
     """The one shuffle carries partially-aggregated rows (map-side combine):
     physical plan shows HashAggregate below AND above the Exchange."""

@@ -142,6 +142,17 @@ def bench_queries(spark, sf_dir: str, n_docs: int):
         ),
     )
 
+    # q4b: tile pyramid — two rollup levels derived from tiles (no re-scan)
+    def pyramid():
+        base = R.assign_tiles(docs.select("doc_id", "x", "y"), SPEC_SQ).groupBy(
+            "cell_id"
+        ).agg(F.count(F.lit(1)).cast("double").alias("pixelval"))
+        l1, s1 = R.rollup_tiles(base, SPEC_SQ, factor=2)
+        l2, _ = R.rollup_tiles(l1.select("cell_id", "pixelval"), s1, factor=2)
+        return force(l2)
+
+    timed("tile_pyramid", pyramid)
+
     # q5: salted roster aggregation on the skewed corpus
     timed(
         "salted_roster",

@@ -31,6 +31,17 @@ def tokens_expr(text: Column) -> Column:
     return F.split(F.trim(F.lower(text)), r"\s+")
 
 
+def _fan_out(df: DataFrame) -> DataFrame:
+    """Repartition to defaultParallelism when the scan yields fewer
+    partitions than cores (tiny files / one fat row-group) — compute-dense
+    per-row ops would otherwise serialize on one core upstream of the first
+    shuffle. No-op at corpus scale, where inputs have far more partitions."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def token_count(df: DataFrame, text_col: str = "text", out: str = "n_tokens") -> DataFrame:
     return df.withColumn(
         out,
@@ -303,14 +314,8 @@ def minhash_lsh_candidates(
     (small, size-known → AQE broadcast) candidate list.
     """
     rows = num_perm // bands
-    slim = df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_text"))
-    # shingling + signatures are compute-dense per byte: if the scan yields
-    # fewer partitions than cores (small files / one fat row-group), fan the
-    # slim projection out first — a no-op at corpus scale, where the input
-    # already has far more partitions than this
-    target = df.sparkSession.sparkContext.defaultParallelism
-    if slim.rdd.getNumPartitions() < target:
-        slim = slim.repartition(target)
+    # shingling + signatures are compute-dense per byte — ensure parallelism
+    slim = _fan_out(df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_text")))
     if hash == "xxhash64" and impl == "arrow":
         raw = slim.select(
             "_id", _shingles_pandas_udf(n)(F.col("_text")).alias("_s")
@@ -428,9 +433,8 @@ def simhash(
     """64-bit SimHash per document, computed without any UDF:
     explode tokens → xxhash64 → per-bit ±1 votes summed in ONE groupBy
     (64 aggregate expressions, all codegen) → sign bits reassembled."""
-    tok = df.select(
-        F.col(id_col).alias("_id"),
-        F.explode(tokens_expr(F.col(text_col))).alias("_t"),
+    tok = _fan_out(df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_text"))).select(
+        "_id", F.explode(tokens_expr(F.col("_text"))).alias("_t")
     )
     h = tok.withColumn("_h", F.xxhash64("_t"))
     votes = [
@@ -462,9 +466,8 @@ def simhash_md5(
     in ONE groupBy (64 codegen aggregates; bit b of the hash = bit (b mod 4)
     of hex digit (b div 4)) → sign bits reassembled into a 16-char hex string
     ``simhash_hex`` (nibble j of the output = bits 4j..4j+3)."""
-    tok = df.select(
-        F.col(id_col).alias("_id"),
-        F.explode(tokens_expr(F.col(text_col))).alias("_t"),
+    tok = _fan_out(df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_text"))).select(
+        "_id", F.explode(tokens_expr(F.col("_text"))).alias("_t")
     )
     h = tok.withColumn("_m", F.md5("_t"))
     # nibble j = integer value of hex char j+1 (0..15), via position in _HEX

@@ -32,23 +32,31 @@ def _burn(q) -> None:
 
 
 def run(n: int) -> float:
+    orig = os.sched_getaffinity(0)
+    cpus = sorted(orig)[:n]
     q = mp.Queue()
-    os.sched_setaffinity(0, set(range(n)))
+    os.sched_setaffinity(0, set(cpus))
     ps = [mp.Process(target=_burn, args=(q,)) for _ in range(n)]
-    for p in ps:
-        p.start()
-    tot = sum(q.get() for _ in range(n))
-    for p in ps:
-        p.join()
-    os.sched_setaffinity(0, set(range(os.cpu_count() or 32)))
+    try:
+        for p in ps:
+            p.start()
+        tot = sum(q.get(timeout=SECONDS * 5 + 30) for _ in range(n))
+    finally:
+        for p in ps:
+            p.join(timeout=10)
+        os.sched_setaffinity(0, orig)
     return tot / SECONDS
 
 
 if __name__ == "__main__":
+    avail = len(os.sched_getaffinity(0))
+    lo, hi = min(8, max(1, avail // 4)), min(32, avail)
     res = {}
-    for n in (8, 32, 8, 32):
+    for n in (lo, hi, lo, hi):
         r = run(n)
         res.setdefault(n, []).append(r)
         print(f"{n} procs: {r:.0f} iters/sec ({r / n:.1f}/proc)")
-    best8, best32 = max(res[8]), max(res[32])
-    print(f"host 8->32 efficiency: {best32 / (4 * best8):.3f}")
+    print(
+        f"host {lo}->{hi} efficiency: "
+        f"{max(res[hi]) / ((hi / lo) * max(res[lo])):.3f}"
+    )

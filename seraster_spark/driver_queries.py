@@ -1367,9 +1367,7 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _sql_simhash_pairs(max_hamming: int = 8, bands: int = 4) -> str:
     hexs = "0123456789abcdef"
     width = 16 // bands
-    sim_inner = _sql_simhash().replace("FROM documents", "FROM corpus").replace(
-        "doc_id AS _id", "doc_id AS _id"
-    )
+    sim_inner = _sql_simhash().replace("FROM documents", "FROM corpus")
     band_rows = " UNION ALL ".join(
         f"SELECT _id, sim, {b} AS band, substr(sim, {b * width + 1}, {width}) AS bval FROM s"
         for b in range(bands)

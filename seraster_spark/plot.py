@@ -11,8 +11,12 @@ from pyspark.sql import DataFrame, functions as F
 from .grid import GridSpec, polygon_vertices
 
 
-def _feature_col(tiles: DataFrame) -> str:
-    return "feature" if "feature" in tiles.columns else "kind"
+def _feature_col(tiles: DataFrame) -> str | None:
+    if "feature" in tiles.columns:
+        return "feature"
+    if "kind" in tiles.columns:
+        return "kind"
+    return None
 
 
 def reduce_tiles(
@@ -28,7 +32,10 @@ def reduce_tiles(
     if feature_name == "sum":
         return tiles.groupBy("cell_id", "cx", "cy").agg(F.sum(value_col).alias("val"))
     if feature_name == "mean":
-        n_feat = tiles.select(F.countDistinct(_feature_col(tiles)).alias("_nf"))
+        feat = _feature_col(tiles)
+        if feat is None:  # no feature dimension → plain per-tile mean
+            return tiles.groupBy("cell_id", "cx", "cy").agg(F.avg(value_col).alias("val"))
+        n_feat = tiles.select(F.countDistinct(feat).alias("_nf"))
         return (
             tiles.groupBy("cell_id", "cx", "cy")
             .agg(F.sum(value_col).alias("_s"))
@@ -36,6 +43,10 @@ def reduce_tiles(
             .select("cell_id", "cx", "cy", (F.col("_s") / F.col("_nf")).alias("val"))
         )
     feat = _feature_col(tiles)
+    if feat is None:
+        raise ValueError(
+            f"feature_name {feature_name!r} given but tiles have no feature/kind column"
+        )
     sel = tiles.filter(F.col(feat) == feature_name)
     # eager validation mirroring the reference's stopifnot (main.R:810-811)
     if sel.limit(1).isEmpty():

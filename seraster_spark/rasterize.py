@@ -68,7 +68,11 @@ def _resolve_assay(
         if assay_name is not None:
             raise ValueError("assay_name given but no assay_col to select on")
         return docs
-    avail = sorted(r[0] for r in docs.select(assay_col).distinct().collect())
+    avail = sorted(
+        v for (v,) in docs.select(assay_col).distinct().collect() if v is not None
+    )
+    if not avail:
+        raise ValueError(f"assay column {assay_col!r} has no non-null values")
     if assay_name is None:
         assay_name = avail[0]
     elif assay_name not in avail:
@@ -245,9 +249,12 @@ def rasterize_gene_expression(
     """
     if fun not in VALID_FUNS:
         raise ValueError(f"fun must be one of {VALID_FUNS} (R/main.R:33-36)")
-    docs = _resolve_assay(docs, assay_col, assay_name)
     gcols = list(group_cols or [])
+    # grid spec from the FULL (unfiltered) docs so every assay shares one
+    # grid — the reference's common-bbox invariant (R/main.R:294-308); the
+    # assay filter applies only after the grid is fixed
     spec = spec or grid_spec_for(docs, resolution, square=square, bbox=bbox)
+    docs = _resolve_assay(docs, assay_col, assay_name)
     slim = docs.select(*gcols, "doc_id", "x", "y", values_col)
     with_cell = assign_tiles(slim, spec)
     keys = gcols + ["cell_id"]

@@ -133,7 +133,10 @@ def exact_dedup(
     including ``text``, partitioned by the skewed hash). The slim annotation
     then re-attaches by an equi-join on the UNIQUE id (uniform key, AQE
     sort-merge); Catalyst prunes any payload column the consumer doesn't
-    select out of that join entirely."""
+    select out of that join entirely.
+
+    Contract: ``id_col`` must be unique per row (a document id); duplicate
+    ids would multiply rows through the annotation join."""
     h = F.md5(F.col(text_col))
     slim = df.select(F.col(id_col).alias("_did"), h.alias("content_hash"))
     stats = slim.groupBy("content_hash").agg(
@@ -177,9 +180,12 @@ def _shingles_pandas_udf(n: int):
     """Arrow-batched shingling: tokenize + n-gram + first-occurrence dedup in
     Python per batch. ~8× faster than the interpreted slice/array_join HOF
     chain (measured 12s → 1.4s for 260k shingles on 5k docs) and
-    result-identical to :func:`shingles_expr` (re.ASCII \\s+ matches Java's
-    ASCII-only \\s; dict.fromkeys preserves first-occurrence order like
-    array_distinct)."""
+    result-identical to :func:`shingles_expr`: re.ASCII \\s+ matches Java's
+    ASCII-only \\s, ``strip(' ')`` matches F.trim (which removes SPACES
+    only, so a leading tab survives and yields a leading empty token in
+    both engines — ``.strip()`` would NOT match), re.split keeps the
+    leading/trailing empty fields Java split keeps under limit=-1, and
+    dict.fromkeys preserves first-occurrence order like array_distinct."""
     import re
 
     ws = re.compile(r"\s+", re.ASCII)
@@ -188,7 +194,10 @@ def _shingles_pandas_udf(n: int):
     def _shingles(texts: pd.Series) -> pd.Series:
         out = []
         for t in texts:
-            toks = ws.split(t.strip().lower()) if t is not None else [""]
+            if t is None:
+                out.append([])
+                continue
+            toks = ws.split(t.lower().strip(" "))
             if len(toks) < n:
                 out.append([])
                 continue
@@ -313,6 +322,8 @@ def minhash_lsh_candidates(
     Jaccard verification re-derives shingle sets map-side, joined against the
     (small, size-known → AQE broadcast) candidate list.
     """
+    if impl not in ("arrow", "expr"):
+        raise ValueError("impl must be 'arrow' or 'expr'")
     rows = num_perm // bands
     # shingling + signatures are compute-dense per byte — ensure parallelism
     slim = _fan_out(df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_text")))

@@ -163,6 +163,30 @@ def test_rasterize_matrix_empty_feature_tiles_kept_in_meta(spark):
     assert out.data_rast.count() == 1
 
 
+def test_assay_filter_keeps_common_grid(spark, docs):
+    """Regression: the default grid spec must come from the FULL docs before
+    the assay filter, so assays with different extents share one grid
+    (common-bbox invariant, R/main.R:294-308) — cross-assay tile joins
+    would silently misalign otherwise."""
+    # 777 is deliberately NOT a multiple of RES: under the old bug (filter
+    # before spec) the right assay's grid origin lands at floor(min-50) ≈ 727
+    # and its centroid lattice shifts by 77 mod 100 relative to the left's
+    multi = docs.withColumn(
+        "assay",
+        F.when(F.col("x") < 777.0, "left_part").otherwise("right_part"),
+    )
+    spec_full = grid_spec_for(multi, RES, square=True)
+    a = rasterize.rasterize_gene_expression(multi, RES, assay_col="assay", assay_name="left_part")
+    b = rasterize.rasterize_gene_expression(multi, RES, assay_col="assay", assay_name="right_part")
+    expected_residue = (spec_full.xmin + RES / 2.0) % RES
+    for df in (a, b):
+        residues = {
+            round(float(r["cx"]) % RES, 6) % RES
+            for r in df.select("cx").distinct().collect()
+        }
+        assert residues == {round(expected_residue, 6) % RES}, residues
+
+
 def test_assay_validation(spark, docs):
     """assay_name validated against available assays; default = first
     (R/main.R:315-321)."""

@@ -175,6 +175,26 @@ def test_simhash_md5_oracle(spark, corpus):
     assert got["d00"] == got["d04"]
 
 
+def test_arrow_expr_shingle_parity_edge_whitespace(spark):
+    """Regression: F.trim removes SPACES only, so a leading tab yields a
+    leading empty token in the expr path — the arrow path must replicate
+    that (str.strip(' ') not str.strip()), or the default dedup results
+    silently change on whitespace-edged texts."""
+    rows = [
+        (1, "\thello world foo bar"),
+        (2, "hello world foo bar"),
+        (3, "hello world foo bar\n"),
+        (4, " hello world foo bar "),
+        (5, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    a = sorted(map(tuple, X.minhash_lsh_candidates(df, verify_threshold=0.0, impl="arrow").collect()))
+    e = sorted(map(tuple, X.minhash_lsh_candidates(df, verify_threshold=0.0, impl="expr").collect()))
+    assert a == e and len(a) > 0
+    with pytest.raises(ValueError, match="impl"):
+        X.minhash_lsh_candidates(df, impl="Arrow")
+
+
 def test_simhash_hex_candidates(spark, corpus):
     """Hex-band candidates over simhash_md5: exact dup pair at hamming 0;
     hamming equals the python popcount over the hex signatures."""

@@ -93,7 +93,9 @@ def bench_queries(spark, sf_dir: str, n_docs: int):
     qs: dict[str, float] = {}
     extra: dict[str, float] = {}
 
-    repeats = int(os.environ.get("BENCH_REPEATS", "2"))
+    # 3 repeats, min taken: the shared host throttles in bursts (observed
+    # 15x wall variance minutes apart) — two repeats can both land throttled
+    repeats = int(os.environ.get("BENCH_REPEATS", "3"))
 
     def timed(name, fn):
         # min over repeats: robust to shared-host CPU noise

@@ -660,6 +660,73 @@ GROUP BY row_i, col_i
 """
 
 
+def q_span_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-rule invariant, oracle-checked: per-document span sequences
+    (kind, text, media_ref, order) survive the interleaved-payload pipeline
+    unchanged. Spans are built deterministically, dragged as an opaque array
+    through the real pipeline (tile encode → per-tile aggregate → join back
+    to docs), then posexploded; the oracle constructs the expected rows
+    directly — any perturbation (reorder, truncation, loss) hash-mismatches."""
+    d = docs_with_coords(spark, sf_dir)
+    kinds = ["text", "image", "audio"]
+    spans = F.array(
+        *[
+            F.struct(
+                F.lit(kinds[i]).alias("kind"),
+                F.substring("text", i * 10 + 1, 8).alias("piece"),
+                (
+                    F.lit("")
+                    if kinds[i] == "text"
+                    else F.concat(F.lit("media://"), F.col("doc_id").cast("string"), F.lit(f"/{i}"))
+                ).alias("media_ref"),
+                F.lit(i).cast("long").alias("offset"),
+            )
+            for i in range(3)
+        ]
+    )
+    with_spans = d.withColumn("spans", spans)
+    from .bbox import grid_spec_for
+
+    spec = grid_spec_for(d, RES, square=True)
+    wc = R.assign_tiles(with_spans, spec)
+    meta = wc.groupBy("cell_id").agg(F.count(F.lit(1)).alias("num_cell"))
+    joined = wc.join(F.broadcast(meta), "cell_id")
+    out = joined.select(
+        "doc_id", "num_cell", F.posexplode("spans").alias("span_idx", "_s")
+    )
+    return out.select(
+        "doc_id",
+        F.col("span_idx").cast("long").alias("span_idx"),
+        F.col("_s.kind").alias("kind"),
+        F.col("_s.piece").alias("piece"),
+        F.col("_s.media_ref").alias("media_ref"),
+        F.col("_s.offset").alias("offset"),
+        F.col("num_cell").cast("long").alias("num_cell"),
+    )
+
+
+def _sql_span_roundtrip() -> str:
+    kinds = ["text", "image", "audio"]
+    parts = []
+    for i, k in enumerate(kinds):
+        media = "''" if k == "text" else f"'media://' || CAST(doc_id AS VARCHAR) || '/{i}'"
+        parts.append(
+            f"SELECT c.doc_id, CAST({i} AS BIGINT) AS span_idx, '{k}' AS kind, "
+            f"substr(c.text, {i * 10 + 1}, 8) AS piece, {media} AS media_ref, "
+            f"CAST({i} AS BIGINT) AS offset, n.num_cell "
+            f"FROM c JOIN n USING (row_i, col_i)"
+        )
+    body = "\nUNION ALL\n".join(parts)
+    return f"""
+WITH {_SQL_DOCS}, {_SQL_BBOX}, {_SQL_SQ_CELLS},
+n AS (SELECT row_i, col_i, count(*) AS num_cell FROM c GROUP BY 1, 2)
+{body}
+"""
+
+
+SQL_SPAN_ROUNDTRIP = _sql_span_roundtrip()
+
+
 # raster -> vector ------------------------------------------------------------
 
 
@@ -1420,6 +1487,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multires_tile_counts": q_multires_tile_counts,
         "tile_pyramid": q_tile_pyramid,
         "raster_assay": q_raster_assay,
+        "span_roundtrip": q_span_roundtrip,
         "tile_wkt": q_tile_wkt,
         "polygon_filter": q_polygon_filter,
         "raster_restricted": q_raster_restricted,
@@ -1460,6 +1528,7 @@ def oracle_sql() -> dict[str, str]:
         "multires_tile_counts": SQL_MULTIRES_TILE_COUNTS,
         "tile_pyramid": SQL_TILE_PYRAMID,
         "raster_assay": SQL_RASTER_ASSAY,
+        "span_roundtrip": SQL_SPAN_ROUNDTRIP,
         "tile_wkt": SQL_TILE_WKT,
         "polygon_filter": SQL_POLYGON_FILTER,
         "raster_restricted": SQL_RASTER_RESTRICTED,

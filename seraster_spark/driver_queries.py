@@ -1238,6 +1238,46 @@ SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= 5
 SQL_LSH_ANN = _sql_lsh_ann()
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate CLUSTERS (pairs are not clusters — duplicates are
+    transitive): MinHash md5 pairs at jaccard ≥ 0.5 → distributed hash-min
+    connected components → canonical per cluster. Oracle: recursive-CTE
+    transitive closure over the identical pair set."""
+    corpus = _dedup_corpus(spark, sf_dir)
+    pairs = TX.minhash_lsh_candidates(corpus, verify_threshold=0.5, hash="md5")
+    return TX.dedup_clusters(pairs).select(
+        F.col("node").alias("doc_id"),
+        "cluster_id",
+        "cluster_size",
+        "is_canonical",
+    )
+
+
+SQL_DEDUP_CLUSTERS = f"""
+WITH RECURSIVE pr AS ({_sql_minhash_pairs(threshold=0.5)}),
+edges AS (
+  SELECT id_a AS s, id_b AS d FROM pr
+  UNION
+  SELECT id_b AS s, id_a AS d FROM pr
+),
+nodes AS (SELECT DISTINCT s AS node FROM edges),
+reach(node, lbl) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT e.d, r.lbl FROM reach r JOIN edges e ON e.s = r.node
+),
+comp AS (SELECT node, min(lbl) AS cluster_id FROM reach GROUP BY node),
+sized AS (
+  SELECT c.node, c.cluster_id,
+         count(*) OVER (PARTITION BY c.cluster_id) AS cluster_size
+  FROM comp c
+)
+SELECT node AS doc_id, cluster_id, CAST(cluster_size AS BIGINT) AS cluster_size,
+       node = cluster_id AS is_canonical
+FROM sized
+"""
+
+
 def q_raster_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tile-aligned raster algebra: ct3 raster minus ct5 raster (outer join,
     missing tiles = structural zeros)."""
@@ -1501,6 +1541,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_pairs": q_minhash_pairs,
         "simhash": q_simhash,
         "lsh_ann": q_lsh_ann,
+        "dedup_clusters": q_dedup_clusters,
         "raster_algebra": q_raster_algebra,
         "ngram_jaccard": q_ngram_jaccard,
         "cosine_near_dup": q_cosine_near_dup,
@@ -1542,6 +1583,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_pairs": SQL_MINHASH_PAIRS,
         "simhash": SQL_SIMHASH,
         "lsh_ann": SQL_LSH_ANN,
+        "dedup_clusters": SQL_DEDUP_CLUSTERS,
         "raster_algebra": SQL_RASTER_ALGEBRA,
         "ngram_jaccard": SQL_NGRAM_JACCARD,
         "cosine_near_dup": SQL_COSINE_NEAR_DUP,

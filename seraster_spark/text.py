@@ -435,6 +435,93 @@ def ngram_jaccard(
 
 
 # ---------------------------------------------------------------------------
+# duplicate clustering (pairs → components)
+
+
+def connected_components(
+    pairs: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Connected components over near-duplicate candidate pairs — the dedup
+    capstone: pairwise matches are not clusters (duplicates are transitive:
+    A≈B, B≈C ⇒ {A,B,C} is ONE group with one canonical doc).
+
+    Hash-min label propagation: every node starts labeled with itself; each
+    round a node takes the min label among itself and its neighbors; stop
+    when a round changes nothing. Rounds = graph diameter — tiny for dup
+    clusters (near-clique, typically 2-4). Each round is two slim shuffles
+    (labels⋈edges groupBy-min, then a label-update join), materialized via
+    ``localCheckpoint`` so lineage never stacks across rounds and the driver
+    sees only a changed-count. For web-scale graphs with giant components,
+    swap in the large-star/small-star variant (Kiveris et al.) — same
+    DataFrame skeleton, alternating neighborhood contractions.
+
+    Returns (node, component) with component = min node id of the cluster;
+    only nodes present in `pairs` appear (singletons are trivially their
+    own component and typically not materialized at scale).
+    """
+    edges = (
+        pairs.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+        .unionByName(pairs.select(F.col(dst).alias("s"), F.col(src).alias("d")))
+        .dropDuplicates()
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        edges.select(F.col("s").alias("node"))
+        .dropDuplicates()
+        .withColumn("component", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        # min label among each node's neighbors (edges carry only ids)
+        nbr_min = (
+            edges.join(labels, edges["d"] == labels["node"])
+            .groupBy("s")
+            .agg(F.min("component").alias("_nbr"))
+        )
+        updated = (
+            labels.join(nbr_min, labels["node"] == nbr_min["s"], "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("component"), F.coalesce(F.col("_nbr"), F.col("component"))
+                ).alias("component"),
+                (F.coalesce(F.col("_nbr"), F.col("component")) < F.col("component")).alias(
+                    "_chg"
+                ),
+            )
+            .localCheckpoint(eager=True)
+        )
+        n_changed = updated.filter(F.col("_chg")).count()
+        labels = updated.drop("_chg")
+        if n_changed == 0:
+            return labels
+    raise RuntimeError(f"connected_components did not converge in {max_iter} rounds")
+
+
+def dedup_clusters(
+    pairs: DataFrame, src: str = "id_a", dst: str = "id_b"
+) -> DataFrame:
+    """Cluster near-duplicate pairs and pick canonicals: (node, cluster_id =
+    min id in the component, cluster_size, is_canonical)."""
+    cc = connected_components(pairs, src, dst)
+    from pyspark.sql import Window as W2
+
+    w = W2.partitionBy("component")
+    return (
+        cc.withColumn("cluster_size", F.count(F.lit(1)).over(w).cast("long"))
+        .select(
+            F.col("node"),
+            F.col("component").alias("cluster_id"),
+            "cluster_size",
+            (F.col("node") == F.col("component")).alias("is_canonical"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # SimHash
 
 

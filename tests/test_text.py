@@ -210,6 +210,46 @@ def test_simhash_hex_candidates(spark, corpus):
         assert h == exp, (a, b)
 
 
+def test_connected_components_union_find_oracle(spark):
+    """Hash-min label propagation vs a python union-find over random-ish
+    edge sets, including chains (diameter > 1 → multi-round convergence)."""
+    edges = [
+        (1, 2), (2, 3), (3, 4), (4, 5),          # chain of 5 (diameter 4)
+        (10, 11), (11, 12), (10, 12),            # triangle
+        (20, 21),                                 # pair
+        (30, 31), (32, 33), (31, 32),             # chain via two pairs
+    ]
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {
+        r["node"]: r["component"]
+        for r in X.connected_components(pairs).collect()
+    }
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    exp = {n: find(n) for n in parent}
+    assert got == exp
+    clusters = X.dedup_clusters(pairs).collect()
+    by_cluster = {}
+    for r in clusters:
+        by_cluster.setdefault(r["cluster_id"], []).append(r)
+    assert {c: len(v) for c, v in by_cluster.items()} == {1: 5, 10: 3, 20: 2, 30: 4}
+    for c, rows in by_cluster.items():
+        canon = [r["node"] for r in rows if r["is_canonical"]]
+        assert canon == [c]
+        assert all(r["cluster_size"] == len(rows) for r in rows)
+
+
 def test_quality_score(spark, corpus):
     got = {r["doc_id"]: r for r in X.quality_score(corpus).collect()}
     assert got["d07"]["distinct_token_ratio"] == pytest.approx(1 / 8)

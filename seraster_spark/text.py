@@ -3,17 +3,19 @@ SimHash, n-gram Jaccard), language ID, quality scoring, token counting,
 document fingerprinting.
 
 Not part of the reference (SEraster is spatial-omics only) — these are the
-first-class pipeline ops a 100 TB document corpus needs. Everything stays
-JVM-side: hashing via ``xxhash64``/``md5``, shingling via higher-order array
-functions (``transform``/``array_min``), SimHash bit counting via 64 grouped
-aggregate expressions — no Python in the hot path at all.
+first-class pipeline ops a 100 TB document corpus needs. Hashing stays
+JVM-side (``xxhash64``/``md5``); per-row compute-dense stages (shingling,
+the num_perm permutation mins) run as Arrow-batched numpy/pandas kernels —
+interpreted HOF expression chains measured ~8× slower; never row-at-a-time
+Python anywhere.
 
 Scale shape:
-* exact dedup — one hash groupBy (map-side combine, AQE-skew safe);
-* MinHash-LSH — signatures map-side, candidate generation is an equi-join on
-  (band, band_hash) i.e. the classic shuffle-once LSH bucket join; exact
-  Jaccard verification only touches candidate pairs;
-* SimHash — map-side bit votes + one groupBy; banding join for candidates.
+* exact dedup — slim (id, hash) groupBy with map-side combine + unique-id
+  join-back (payload never rides the skewed hash exchange);
+* MinHash-LSH — signatures map-side, candidate generation is a slim
+  (_id, band, bhash) self-join, exact Jaccard only on candidate pairs;
+* SimHash — map-side bit votes + one groupBy; banding join for candidates;
+* duplicate clustering — hash-min connected components, checkpointed rounds.
 """
 
 from __future__ import annotations

@@ -1238,6 +1238,97 @@ SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= 5
 SQL_LSH_ANN = _sql_lsh_ann()
 
 
+# IVF ANN with explicit integer centroids: list assignment is an exact
+# integer argmin (first-index tie-break, verified tie-free for every vector
+# class at build time), so both engines compute identical inverted lists.
+IVF_CENTROIDS = [
+    [float(((c * 7 + j * 13) % 97) + 1) for j in range(_LSH_DIM)] for c in range(8)
+]
+_IVF_NPROBE = 3
+
+
+def _ivf_query_probes() -> list[int]:
+    """The (single-class) query vector is all-ones (vec_id%97==0 ⇒ every
+    component (0*j)%97+1 = 1); its n_probe nearest centroid indices are a
+    compile-time constant shared by the Spark call and the SQL text."""
+    q = [1.0] * _LSH_DIM
+    d = [
+        (sum((q[j] - IVF_CENTROIDS[c][j]) ** 2 for j in range(_LSH_DIM)), c)
+        for c in range(len(IVF_CENTROIDS))
+    ]
+    return [c for _, c in sorted(d)[:_IVF_NPROBE]]
+
+
+def q_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN over deterministic integer vectors with fixed integer
+    centroids: assignment/probing exact in both engines; exact cosine
+    re-rank inside the probed lists only."""
+    import numpy as np
+
+    from . import similarity as S
+
+    e = read_table(spark, sf_dir, "embeddings")
+    items = e.select("vec_id", _vec16_expr().alias("embedding"))
+    queries_pdf = (
+        items.filter(F.col("vec_id") % 97 == 0)
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+        .toPandas()
+    )
+    out = S.ivf_topk(
+        items, queries_pdf, 5, dim=_LSH_DIM,
+        n_probe=_IVF_NPROBE, centroids=np.array(IVF_CENTROIDS),
+    )
+    return out.select(
+        F.col("query_id").cast("long").alias("query_id"),
+        F.col("vec_id").alias("neighbor_id"),
+        "cosine",
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+def _sql_ivf_ann() -> str:
+    emb = ", ".join(
+        f"CAST((vec_id * {j}) % 97 + 1 AS DOUBLE)" for j in range(1, _LSH_DIM + 1)
+    )
+    dists = []
+    for c, cent in enumerate(IVF_CENTROIDS):
+        terms = " + ".join(
+            f"(emb[{j + 1}] - {cent[j]}) * (emb[{j + 1}] - {cent[j]})"
+            for j in range(_LSH_DIM)
+        )
+        dists.append(f"({terms}) AS d{c}")
+    m = "least(" + ", ".join(f"d{c}" for c in range(len(IVF_CENTROIDS))) + ")"
+    assign = "CASE " + " ".join(
+        f"WHEN d{c} = {m} THEN {c}" for c in range(len(IVF_CENTROIDS))
+    ) + " END"
+    probes = ", ".join(str(p) for p in _ivf_query_probes())
+    return f"""
+WITH v AS (SELECT vec_id, [{emb}] AS emb FROM embeddings),
+dd AS (SELECT vec_id, emb, {", ".join(dists)} FROM v),
+lists AS (SELECT vec_id, emb, {assign} AS list_id FROM dd),
+q AS (SELECT vec_id AS query_id, emb AS qemb FROM v WHERE vec_id % 97 = 0),
+cand AS (
+  SELECT q.query_id, l.vec_id AS neighbor_id, q.qemb, l.emb
+  FROM q, lists l WHERE l.list_id IN ({probes})
+),
+scored AS (
+  SELECT query_id, neighbor_id,
+         list_sum(list_transform(list_zip(emb, qemb), z -> z[1] * z[2]))
+           / (sqrt(list_sum(list_transform(emb, e -> e * e)))
+              * sqrt(list_sum(list_transform(qemb, e -> e * e)))) AS cosine
+  FROM cand
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= 5
+"""
+
+
+SQL_IVF_ANN = _sql_ivf_ann()
+
+
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate CLUSTERS (pairs are not clusters — duplicates are
     transitive): MinHash md5 pairs at jaccard ≥ 0.5 → distributed hash-min
@@ -1541,6 +1632,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_pairs": q_minhash_pairs,
         "simhash": q_simhash,
         "lsh_ann": q_lsh_ann,
+        "ivf_ann": q_ivf_ann,
         "dedup_clusters": q_dedup_clusters,
         "raster_algebra": q_raster_algebra,
         "ngram_jaccard": q_ngram_jaccard,
@@ -1583,6 +1675,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_pairs": SQL_MINHASH_PAIRS,
         "simhash": SQL_SIMHASH,
         "lsh_ann": SQL_LSH_ANN,
+        "ivf_ann": SQL_IVF_ANN,
         "dedup_clusters": SQL_DEDUP_CLUSTERS,
         "raster_algebra": SQL_RASTER_ALGEBRA,
         "ngram_jaccard": SQL_NGRAM_JACCARD,

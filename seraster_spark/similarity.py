@@ -136,26 +136,34 @@ def ivf_topk(
     sample_size: int = 2000,
     seed: int = 7,
     kmeans_iters: int = 8,
+    centroids: np.ndarray | None = None,
 ) -> DataFrame:
     """IVF approximate top-k: coarse k-means centroids trained driver-side on
     a sample, items assigned to their nearest centroid (one numpy matmul per
     Arrow batch), queries probe their n_probe nearest centroid lists, exact
-    cosine re-rank inside the probed lists only."""
-    sample = np.stack(
-        [
-            np.asarray(v, dtype=np.float64)
-            for v in items.select(vec_col).limit(sample_size).toPandas()[vec_col]
-        ]
-    )
-    rng = np.random.default_rng(seed)
-    cent = sample[rng.choice(len(sample), min(n_centroids, len(sample)), replace=False)]
-    for _ in range(kmeans_iters):
-        d = ((sample[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
-        assign = d.argmin(axis=1)
-        for c in range(len(cent)):
-            mask = assign == c
-            if mask.any():
-                cent[c] = sample[mask].mean(axis=0)
+    cosine re-rank inside the probed lists only.
+
+    Pass explicit ``centroids`` (n_centroids × dim) to skip training — e.g.
+    integer centroids whose distance comparisons are exact, making list
+    assignment reproducible outside numpy (the SQL-oracle variant)."""
+    if centroids is not None:
+        cent = np.asarray(centroids, dtype=np.float64)
+    else:
+        sample = np.stack(
+            [
+                np.asarray(v, dtype=np.float64)
+                for v in items.select(vec_col).limit(sample_size).toPandas()[vec_col]
+            ]
+        )
+        rng = np.random.default_rng(seed)
+        cent = sample[rng.choice(len(sample), min(n_centroids, len(sample)), replace=False)]
+        for _ in range(kmeans_iters):
+            d = ((sample[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+            assign = d.argmin(axis=1)
+            for c in range(len(cent)):
+                mask = assign == c
+                if mask.any():
+                    cent[c] = sample[mask].mean(axis=0)
 
     cent_b = cent.copy()
 

@@ -301,21 +301,32 @@ def cosine_near_duplicates(
     planes: np.ndarray | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs: LSH self-bucket-join + exact cosine
-    filter. Returns (id_a, id_b, cosine) with id_a < id_b."""
+    filter. Returns (id_a, id_b, cosine) with id_a < id_b.
+
+    100 TB shape (mirrors the MinHash band join): the bucket self-join
+    shuffles ONLY (id, bucket) — embedding vectors never ride the (skewed)
+    bucket exchange. Candidate ids materialize eagerly (localCheckpoint,
+    size-known → AQE broadcasts them), and vectors re-attach map-side for
+    the exact cosine verification."""
     bucket = lsh_bucket_udf(dim, n_planes, seed, planes=planes)
-    it = items.select(
-        F.col(id_col).alias("_id"), F.col(vec_col).alias("_vec")
-    ).withColumn("bucket", bucket(F.col("_vec")))
-    l, r = it.alias("l"), it.alias("r")
-    pairs = l.join(
-        r, (F.col("l.bucket") == F.col("r.bucket")) & (F.col("l._id") < F.col("r._id"))
-    )
-    cos = _dot(F.col("l._vec"), F.col("r._vec")) / (
-        norm_expr(F.col("l._vec")) * norm_expr(F.col("r._vec"))
-    )
-    return (
-        pairs.withColumn("cosine", cos)
-        .filter(F.col("cosine") >= threshold)
-        .select(F.col("l._id").alias("id_a"), F.col("r._id").alias("id_b"), "cosine")
+    it = items.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_vec"))
+    slim = it.withColumn("bucket", bucket(F.col("_vec"))).select("_id", "bucket")
+    l, r = slim.alias("l"), slim.alias("r")
+    pairs = (
+        l.join(
+            r, (F.col("l.bucket") == F.col("r.bucket")) & (F.col("l._id") < F.col("r._id"))
+        )
+        .select(F.col("l._id").alias("id_a"), F.col("r._id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
+        .localCheckpoint(eager=True)
+    )
+    j = (
+        pairs.join(it.select(F.col("_id").alias("id_a"), F.col("_vec").alias("_va")), "id_a")
+        .join(it.select(F.col("_id").alias("id_b"), F.col("_vec").alias("_vb")), "id_b")
+    )
+    cos = _dot(F.col("_va"), F.col("_vb")) / (norm_expr(F.col("_va")) * norm_expr(F.col("_vb")))
+    return (
+        j.withColumn("cosine", cos)
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
     )

@@ -411,13 +411,20 @@ def ngram_jaccard(
     text_col: str = "text",
     n: int = 3,
     threshold: float = 0.5,
+    impl: str = "arrow",
 ) -> DataFrame:
     """Exact all-pairs n-gram Jaccard above a threshold, pruned by a shared-
     shingle inverted-index join (a pair must share ≥1 shingle — no cross
     join). For corpus-scale use minhash_lsh_candidates instead."""
+    if impl not in ("arrow", "expr"):
+        raise ValueError("impl must be 'arrow' or 'expr'")
+    shing = (
+        (lambda c: _shingles_pandas_udf(n)(c)) if impl == "arrow"
+        else (lambda c: shingles_expr(c, n))
+    )
     df_b = df_b if df_b is not None else df_a
-    a = df_a.select(F.col(id_col).alias("id_a"), shingles_expr(F.col(text_col), n).alias("sh_a"))
-    b = df_b.select(F.col(id_col).alias("id_b"), shingles_expr(F.col(text_col), n).alias("sh_b"))
+    a = df_a.select(F.col(id_col).alias("id_a"), shing(F.col(text_col)).alias("sh_a"))
+    b = df_b.select(F.col(id_col).alias("id_b"), shing(F.col(text_col)).alias("sh_b"))
     ia = a.select("id_a", F.explode("sh_a").alias("g")).dropDuplicates()
     ib = b.select("id_b", F.explode("sh_b").alias("g")).dropDuplicates()
     cand = (

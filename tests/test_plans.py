@@ -146,6 +146,26 @@ def test_minhash_band_join_is_slim_and_checkpointed(spark, docs_text):
             assert not any(f in ("_sh", "sh_a", "sh_b") for f in fields), (header, fields)
 
 
+def test_cosine_near_dup_vectors_never_shuffle(spark):
+    """Embedding vectors must not ride the bucket self-join exchange —
+    candidate ids shuffle slim; vectors re-attach against the checkpointed
+    (broadcastable) pair list."""
+    from seraster_spark.similarity import cosine_near_duplicates
+
+    items = spark.range(0, 400).selectExpr(
+        "id AS vec_id",
+        "transform(sequence(1, 8), j -> CAST((id % 50) * j AS DOUBLE) + 1.0) AS embedding",
+    )
+    out = cosine_near_duplicates(items, threshold=0.999, dim=8)
+    assert out.count() > 0  # id%50 collisions → identical vectors pair up
+    for header, fields in _exchange_schemas(out):
+        if "ShuffleExchange" in header or "hashpartitioning" in header:
+            assert not any(f in ("_vec", "_va", "_vb", "embedding") for f in fields), (
+                header,
+                fields,
+            )
+
+
 def test_bucketed_tiles_join_without_shuffle(spark, docs):
     """Two rasters written with write_tiles_bucketed (same bucketing on
     cell_id) must join with NO shuffle exchange — the bucket-aware scan

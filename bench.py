@@ -167,6 +167,23 @@ def bench_queries(spark, sf_dir: str, n_docs: int):
         ),
     )
 
+    # q5b: polygon containment spatial join (north-rule flagship): docs ×
+    # 2 overlapping polygons via covering-cell equi-join + Arrow PIP
+    from seraster_spark.vector import spatial_join
+
+    polys = {
+        "A": [(300.0, 200.0), (2600.0, 400.0), (2500.0, 1800.0), (500.0, 1700.0)],
+        "B": [(1400.0, 100.0), (2900.0, 900.0), (1500.0, 1900.0)],
+    }
+    timed(
+        "spatial_join",
+        lambda: force(
+            spatial_join(
+                R.assign_tiles(docs.select("doc_id", "x", "y"), SPEC_SQ), polys, SPEC_SQ
+            ).select("doc_id", "poly_id")
+        ),
+    )
+
     # q6: kNN, 500 queries against the full corpus
     queries = (
         spark.range(0, 500)

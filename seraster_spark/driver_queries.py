@@ -1171,6 +1171,33 @@ def _vec16_expr():
     )
 
 
+# shared SQL fragments — the ONE source of truth mirroring _vec16_expr /
+# LSH_PLANES; every embedding oracle (lsh_ann, ivf_ann, cosine_near_dup)
+# must build from these so a change can't silently fork the vector space
+def _sql_emb16() -> str:
+    return ", ".join(
+        f"CAST((vec_id * {j}) % 97 + 1 AS DOUBLE)" for j in range(1, _LSH_DIM + 1)
+    )
+
+
+def _sql_bucket_expr() -> str:
+    terms = []
+    for p, plane in enumerate(LSH_PLANES):
+        dot = " ".join(
+            f"{'+' if s > 0 else '-'} emb[{j + 1}]" for j, s in enumerate(plane)
+        )
+        terms.append(f"(CASE WHEN ({dot}) > 0 THEN {1 << p} ELSE 0 END)")
+    return " + ".join(terms)
+
+
+def _sql_cosine(a: str = "emb", b: str = "qemb") -> str:
+    return (
+        f"list_sum(list_transform(list_zip({a}, {b}), z -> z[1] * z[2]))"
+        f" / (sqrt(list_sum(list_transform({a}, e -> e * e)))"
+        f" * sqrt(list_sum(list_transform({b}, e -> e * e))))"
+    )
+
+
 def q_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH multi-probe ANN over deterministic integer vectors with ±1 integer
     hyperplanes — buckets, candidates, and cosines all engine-reproducible
@@ -1196,22 +1223,12 @@ def q_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _sql_lsh_ann() -> str:
-    emb = ", ".join(
-        f"CAST((vec_id * {j}) % 97 + 1 AS DOUBLE)" for j in range(1, _LSH_DIM + 1)
-    )
-    bucket_terms = []
-    for p, plane in enumerate(LSH_PLANES):
-        dot = " ".join(
-            f"{'+' if s > 0 else '-'} emb[{j + 1}]" for j, s in enumerate(plane)
-        )
-        bucket_terms.append(f"(CASE WHEN ({dot}) > 0 THEN {1 << p} ELSE 0 END)")
-    bucket = " + ".join(bucket_terms)
     probes = ", ".join(
         ["qb"] + [f"xor(qb, {1 << b})" for b in range(_LSH_PLANES_N)]
     )
     return f"""
-WITH v AS (SELECT vec_id, [{emb}] AS emb FROM embeddings),
-bk AS (SELECT vec_id, emb, {bucket} AS bucket FROM v),
+WITH v AS (SELECT vec_id, [{_sql_emb16()}] AS emb FROM embeddings),
+bk AS (SELECT vec_id, emb, {_sql_bucket_expr()} AS bucket FROM v),
 q AS (SELECT vec_id AS query_id, emb AS qemb, bucket AS qb FROM bk WHERE vec_id % 97 = 0),
 probes AS (SELECT query_id, qemb, unnest([{probes}]) AS bucket FROM q),
 cand AS (
@@ -1220,13 +1237,7 @@ cand AS (
   FROM probes p JOIN bk b ON b.bucket = p.bucket
   GROUP BY 1, 2
 ),
-scored AS (
-  SELECT query_id, neighbor_id,
-         list_sum(list_transform(list_zip(emb, qemb), z -> z[1] * z[2]))
-           / (sqrt(list_sum(list_transform(emb, e -> e * e)))
-              * sqrt(list_sum(list_transform(qemb, e -> e * e)))) AS cosine
-  FROM cand
-),
+scored AS (SELECT query_id, neighbor_id, {_sql_cosine()} AS cosine FROM cand),
 ranked AS (
   SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
   FROM scored
@@ -1287,9 +1298,7 @@ def q_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _sql_ivf_ann() -> str:
-    emb = ", ".join(
-        f"CAST((vec_id * {j}) % 97 + 1 AS DOUBLE)" for j in range(1, _LSH_DIM + 1)
-    )
+    emb = _sql_emb16()
     dists = []
     for c, cent in enumerate(IVF_CENTROIDS):
         terms = " + ".join(
@@ -1311,13 +1320,7 @@ cand AS (
   SELECT q.query_id, l.vec_id AS neighbor_id, q.qemb, l.emb
   FROM q, lists l WHERE l.list_id IN ({probes})
 ),
-scored AS (
-  SELECT query_id, neighbor_id,
-         list_sum(list_transform(list_zip(emb, qemb), z -> z[1] * z[2]))
-           / (sqrt(list_sum(list_transform(emb, e -> e * e)))
-              * sqrt(list_sum(list_transform(qemb, e -> e * e)))) AS cosine
-  FROM cand
-),
+scored AS (SELECT query_id, neighbor_id, {_sql_cosine()} AS cosine FROM cand),
 ranked AS (
   SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
   FROM scored
@@ -1447,32 +1450,16 @@ def q_cosine_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _sql_cosine_near_dup() -> str:
-    emb = ", ".join(
-        f"CAST((vec_id * {j}) % 97 + 1 AS DOUBLE)" for j in range(1, _LSH_DIM + 1)
-    )
-    bucket_terms = []
-    for p, plane in enumerate(LSH_PLANES):
-        dot = " ".join(
-            f"{'+' if s > 0 else '-'} emb[{j + 1}]" for j, s in enumerate(plane)
-        )
-        bucket_terms.append(f"(CASE WHEN ({dot}) > 0 THEN {1 << p} ELSE 0 END)")
-    bucket = " + ".join(bucket_terms)
     return f"""
-WITH v AS (SELECT vec_id, [{emb}] AS emb FROM embeddings),
-bk AS (SELECT vec_id, emb, {bucket} AS bucket FROM v),
+WITH v AS (SELECT vec_id, [{_sql_emb16()}] AS emb FROM embeddings),
+bk AS (SELECT vec_id, emb, {_sql_bucket_expr()} AS bucket FROM v),
 pairs AS (
   SELECT l.vec_id AS id_a, r.vec_id AS id_b,
          any_value(l.emb) AS ea, any_value(r.emb) AS eb
   FROM bk l JOIN bk r ON l.bucket = r.bucket AND l.vec_id < r.vec_id
   GROUP BY 1, 2
 ),
-scored AS (
-  SELECT id_a, id_b,
-         list_sum(list_transform(list_zip(ea, eb), z -> z[1] * z[2]))
-           / (sqrt(list_sum(list_transform(ea, e -> e * e)))
-              * sqrt(list_sum(list_transform(eb, e -> e * e)))) AS cosine
-  FROM pairs
-)
+scored AS (SELECT id_a, id_b, {_sql_cosine('ea', 'eb')} AS cosine FROM pairs)
 SELECT id_a, id_b, cosine FROM scored WHERE cosine >= 0.999
 """
 
@@ -1570,11 +1557,12 @@ def _sql_simhash_pairs(max_hamming: int = 8, bands: int = 4) -> str:
         f"SELECT _id, sim, {b} AS band, substr(sim, {b * width + 1}, {width}) AS bval FROM s"
         for b in range(bands)
     )
-    ham = " + ".join(
-        f"bit_count(xor(strpos('{hexs}', substr(l.sim, {j + 1}, 1)) - 1, "
-        f"strpos('{hexs}', substr(r.sim, {j + 1}, 1)) - 1))"
-        for j in range(16)
-    )
+    def ham(ca: str, cb: str) -> str:
+        return " + ".join(
+            f"bit_count(xor(strpos('{hexs}', substr({ca}, {j + 1}, 1)) - 1, "
+            f"strpos('{hexs}', substr({cb}, {j + 1}, 1)) - 1))"
+            for j in range(16)
+        )
     return f"""
 WITH {_SQL_DEDUP_CORPUS},
 s AS (SELECT doc_id AS _id, simhash_hex AS sim FROM ({sim_inner})),
@@ -1586,7 +1574,7 @@ p AS (
   GROUP BY 1, 2
 ),
 hd AS (
-  SELECT id_a, id_b, CAST(({ham.replace('l.sim', 'sima').replace('r.sim', 'simb')}) AS BIGINT) AS hamming
+  SELECT id_a, id_b, CAST(({ham('sima', 'simb')}) AS BIGINT) AS hamming
   FROM p
 )
 SELECT id_a, id_b, hamming FROM hd WHERE hamming <= {max_hamming}

@@ -177,6 +177,7 @@ def knn_join(
             .agg(F.count(F.lit(1)).alias("_n"), F.max("dist").alias("_dmax"))
             .filter((F.col("_n") >= k) & (F.col("_dmax") <= bound))
             .select("_qid")
+            .localCheckpoint(eager=True)  # used 3×: semi, count, anti
         )
         done_frames.append(ranked.join(done_q, "_qid", "left_semi"))
         n_done = done_q.count()  # cheap: derives from the checkpointed ranked

@@ -38,9 +38,14 @@ def _fan_out(df: DataFrame) -> DataFrame:
     partitions than cores (tiny files / one fat row-group) — compute-dense
     per-row ops would otherwise serialize on one core upstream of the first
     shuffle. No-op at corpus scale, where inputs have far more partitions."""
-    target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target)
+    try:
+        target = df.sparkSession.sparkContext.defaultParallelism
+        if df.rdd.getNumPartitions() < target:
+            return df.repartition(target)
+    except Exception:
+        # Spark Connect exposes neither sparkContext nor df.rdd — skip the
+        # guard there (Connect backends size scans themselves)
+        pass
     return df
 
 
@@ -139,7 +144,10 @@ def exact_dedup(
 
     Contract: ``id_col`` must be unique per row (a document id); duplicate
     ids would multiply rows through the annotation join."""
-    h = F.md5(F.col(text_col))
+    # NULL texts form one dup group (the old window's partitionBy(NULL)
+    # semantics); md5(NULL)=NULL would silently DROP those rows through the
+    # inner equi-joins, so hash through a sentinel
+    h = F.coalesce(F.md5(F.col(text_col)), F.lit("__null_text__"))
     slim = df.select(F.col(id_col).alias("_did"), h.alias("content_hash"))
     stats = slim.groupBy("content_hash").agg(
         F.count(F.lit(1)).alias("dup_group_size"),

@@ -46,6 +46,19 @@ def test_exact_dedup(spark, corpus):
     ).hexdigest()
 
 
+def test_exact_dedup_null_text_not_dropped(spark):
+    """Regression: md5(NULL)=NULL would silently drop NULL-text rows through
+    the inner annotation joins; they must survive as ONE dup group (the old
+    window's partitionBy(NULL) semantics)."""
+    rows = [(1, "a"), (2, None), (3, None), (4, "b"), (5, "a")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in X.exact_dedup(df).collect()}
+    assert set(got) == {1, 2, 3, 4, 5}  # no row lost
+    assert got[2]["dup_group_size"] == 2 and got[3]["dup_group_size"] == 2
+    assert got[2]["is_canonical"] and not got[3]["is_canonical"]
+    assert got[1]["dup_group_size"] == 2 and got[1]["is_canonical"]
+
+
 def test_shingles(spark, corpus):
     row = corpus.filter(F.col("doc_id") == "d03").select(
         X.shingles_expr(F.col("text"), 3).alias("sh")

@@ -201,7 +201,14 @@ def bench_queries(spark, sf_dir: str, n_docs: int):
     # table-backed ops at sf_dir
     d = read_table(spark, sf_dir, "documents")
     timed("dedup_exact", lambda: force(TX.exact_dedup(d).select("doc_id", "dup_group_size", "is_canonical")))
-    timed("minhash_lsh", lambda: force(TX.minhash_lsh_candidates(d, verify_threshold=0.3)))
+    # cap on: the production-default safe configuration (degenerate-bucket
+    # guard costs one slim agg + join on the band key)
+    timed(
+        "minhash_lsh",
+        lambda: force(
+            TX.minhash_lsh_candidates(d, verify_threshold=0.3, max_bucket_size=100_000)
+        ),
+    )
     timed("simhash", lambda: force(TX.simhash(d)))
     timed("token_quality", lambda: force(TX.quality_score(TX.token_count(d)).select(
         "doc_id", "n_tokens", "quality_score")))

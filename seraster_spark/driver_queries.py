@@ -900,6 +900,47 @@ FROM events GROUP BY 1, 2
 """
 
 
+def q_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful-streaming semantics, oracle-checked: the update-mode running
+    per-tile totals of streaming/stateful.py (applyInPandasWithState state =
+    running doc count + kind set) replayed as a batch cumulative aggregate —
+    row (tile, batch) is exactly the stateful operator's emission at trigger
+    ``batch`` (pytest test_stateful_streaming asserts streaming == replay;
+    this query gives the semantics a DuckDB row). Triggers simulated as
+    batch = doc_id % 3."""
+    from .bbox import grid_spec_for
+    from .streaming.stateful import batch_replay_running_totals
+
+    d = docs_with_coords(spark, sf_dir).withColumn(
+        "batch_id", (F.col("doc_id") % 3).cast("long")
+    )
+    spec = grid_spec_for(d, RES, square=True)
+    out = batch_replay_running_totals(d, spec)
+    row, col = X.unpack_rowcol(F.col("cell_id"))
+    return out.select(
+        row.cast("long").alias("row_i"),
+        col.cast("long").alias("col_i"),
+        F.col("batch_id").alias("batch"),
+        F.col("total_docs").cast("long").alias("total_docs"),
+        F.col("n_kinds").cast("long").alias("n_kinds"),
+        F.col("batch_docs").cast("long").alias("batch_docs"),
+    )
+
+
+SQL_STATEFUL_TOTALS = f"""
+WITH {_SQL_DOCS}, {_SQL_BBOX}, {_SQL_SQ_CELLS},
+r AS (SELECT row_i, col_i, CAST(doc_id % 3 AS BIGINT) AS batch, kind FROM c),
+gb AS (SELECT DISTINCT row_i, col_i, batch FROM r)
+SELECT gb.row_i, gb.col_i, gb.batch,
+       count(*) AS total_docs,
+       CAST(count(DISTINCT t.kind) AS BIGINT) AS n_kinds,
+       CAST(sum(CASE WHEN t.batch = gb.batch THEN 1 ELSE 0 END) AS BIGINT) AS batch_docs
+FROM gb JOIN r t
+  ON t.row_i = gb.row_i AND t.col_i = gb.col_i AND t.batch <= gb.batch
+GROUP BY gb.row_i, gb.col_i, gb.batch
+"""
+
+
 # text pipeline ----------------------------------------------------------------
 
 
@@ -1075,16 +1116,34 @@ corpus AS (
 
 def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = _dedup_corpus(spark, sf_dir)
-    return TX.minhash_lsh_candidates(corpus, verify_threshold=0.3, hash="md5")
+    # cap far above any fixture bucket: exercises the guarded code path
+    # while keeping the (cap-free) oracle SQL exact
+    return TX.minhash_lsh_candidates(
+        corpus, verify_threshold=0.3, hash="md5", max_bucket_size=100_000
+    )
 
 
-def _sql_minhash_pairs(num_perm: int = 32, bands: int = 8, n: int = 3, threshold: float = 0.3) -> str:
+def _sql_minhash_pairs(
+    num_perm: int = 32,
+    bands: int = 8,
+    n: int = 3,
+    threshold: float = 0.3,
+    max_bucket_size: int | None = None,
+    corpus_sql: str | None = None,
+) -> str:
     rows = num_perm // bands
     sig_elems = ",\n    ".join(
         f"list_min(list_transform(sh, s -> md5('{p}:' || s)))" for p in range(num_perm)
     )
+    # degenerate-bucket cap twin (text.cap_buckets): HAVING over band sizes
+    cap_ctes, pairs_src = "", "banded"
+    if max_bucket_size is not None:
+        cap_ctes = f""",
+bs AS (SELECT band, bhash FROM banded GROUP BY band, bhash HAVING count(*) <= {max_bucket_size}),
+bandedc AS (SELECT banded.* FROM banded JOIN bs USING (band, bhash))"""
+        pairs_src = "bandedc"
     return rf"""
-WITH {_SQL_DEDUP_CORPUS},
+WITH {corpus_sql or _SQL_DEDUP_CORPUS},
 tk AS (
   SELECT doc_id AS _id, regexp_split_to_array(trim(lower(text)), '\s+') AS t FROM corpus
 ),
@@ -1098,10 +1157,10 @@ banded AS (
   SELECT _id, b.band,
          md5(array_to_string(sig[({rows}*b.band+1):({rows}*b.band+{rows})], ',')) AS bhash
   FROM sig, (SELECT unnest(range(0, {bands})) AS band) b
-),
+){cap_ctes},
 p AS (
   SELECT l._id AS id_a, r._id AS id_b
-  FROM banded l JOIN banded r ON l.band = r.band AND l.bhash = r.bhash AND l._id < r._id
+  FROM {pairs_src} l JOIN {pairs_src} r ON l.band = r.band AND l.bhash = r.bhash AND l._id < r._id
   GROUP BY 1, 2
 ),
 jac AS (
@@ -1115,6 +1174,58 @@ SELECT id_a, id_b, jaccard FROM jac WHERE jaccard >= {threshold}
 
 
 SQL_MINHASH_PAIRS = _sql_minhash_pairs()
+
+
+# degenerate-bucket cap, oracle-checked with a cap that actually BITES -------
+_CAP_CLONES = 40
+_CAP_SIZE = 20
+
+
+def _capped_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """_dedup_corpus ∪ a degenerate block: 40 verbatim copies of doc 17's
+    text (with doc 17 itself ⇒ a 41-member bucket in EVERY band — the
+    pathological hot bucket the cap exists for)."""
+    base = _dedup_corpus(spark, sf_dir)
+    clone_src = (
+        read_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") == 17)
+        .select("text")
+    )
+    clones = (
+        spark.range(_CAP_CLONES)
+        .crossJoin(F.broadcast(clone_src))
+        .select((F.col("id") + 2000000).alias("doc_id"), "text")
+    )
+    return base.unionByName(clones)
+
+
+_SQL_CAPPED_CORPUS = f"""
+corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text || '{_DUP_SUFFIX}' AS text
+  FROM documents WHERE doc_id % 10 = 0
+  UNION ALL
+  SELECT 2000000 + t.r AS doc_id, d.text
+  FROM range(0, {_CAP_CLONES}) t(r), (SELECT text FROM documents WHERE doc_id = 17) d
+)"""
+
+
+def q_minhash_pairs_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash pairs over a corpus seeded with a degenerate 41-member LSH
+    bucket, with max_bucket_size=20: the hot bucket's 820 clone pairs are
+    dropped in BOTH engines (engine: cap_buckets; oracle: HAVING count(*)
+    <= cap on band sizes) and the genuine near-dup pairs survive — the cap
+    semantics themselves are bit-exact vs the oracle."""
+    corpus = _capped_corpus(spark, sf_dir)
+    return TX.minhash_lsh_candidates(
+        corpus, verify_threshold=0.3, hash="md5", max_bucket_size=_CAP_SIZE
+    )
+
+
+SQL_MINHASH_PAIRS_CAPPED = _sql_minhash_pairs(
+    max_bucket_size=_CAP_SIZE, corpus_sql=_SQL_CAPPED_CORPUS
+)
 
 
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1338,7 +1449,9 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     connected components → canonical per cluster. Oracle: recursive-CTE
     transitive closure over the identical pair set."""
     corpus = _dedup_corpus(spark, sf_dir)
-    pairs = TX.minhash_lsh_candidates(corpus, verify_threshold=0.5, hash="md5")
+    pairs = TX.minhash_lsh_candidates(
+        corpus, verify_threshold=0.5, hash="md5", max_bucket_size=100_000
+    )
     return TX.dedup_clusters(pairs).select(
         F.col("node").alias("doc_id"),
         "cluster_id",
@@ -1403,9 +1516,10 @@ FROM a2 FULL OUTER JOIN b2 ON a2.row_i = b2.row_i AND a2.col_i = b2.col_i
 
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact all-pairs n-gram Jaccard (inverted-index pruned) over the
-    near-dup-seeded corpus."""
+    near-dup-seeded corpus, with the df>50 stop-shingle cap applied
+    identically in the SQL twin (HAVING over the inverted index)."""
     corpus = _dedup_corpus(spark, sf_dir)
-    return TX.ngram_jaccard(corpus, threshold=0.4)
+    return TX.ngram_jaccard(corpus, threshold=0.4, max_df=50)
 
 
 SQL_NGRAM_JACCARD = rf"""
@@ -1419,9 +1533,11 @@ base AS (
   FROM tk WHERE len(t) >= 3
 ),
 inv AS (SELECT _id, unnest(sh) AS g FROM base),
+freq AS (SELECT g FROM inv GROUP BY g HAVING count(*) <= 50),
+invc AS (SELECT inv._id, inv.g FROM inv JOIN freq USING (g)),
 cand AS (
   SELECT l._id AS id_a, r._id AS id_b
-  FROM inv l JOIN inv r ON l.g = r.g AND l._id < r._id
+  FROM invc l JOIN invc r ON l.g = r.g AND l._id < r._id
   GROUP BY 1, 2
 ),
 jac AS (
@@ -1445,7 +1561,11 @@ def q_cosine_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = read_table(spark, sf_dir, "embeddings")
     items = e.select("vec_id", _vec16_expr().alias("embedding"))
     return S.cosine_near_duplicates(
-        items, threshold=0.999, dim=_LSH_DIM, planes=np.array(LSH_PLANES)
+        items,
+        threshold=0.999,
+        dim=_LSH_DIM,
+        planes=np.array(LSH_PLANES),
+        max_bucket_size=100_000,
     )
 
 
@@ -1546,7 +1666,7 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     signatures → 4-hex-char band join → exact nibble-XOR-popcount hamming."""
     corpus = _dedup_corpus(spark, sf_dir)
     sim = TX.simhash_md5(corpus)
-    return TX.simhash_hex_candidates(sim, max_hamming=8)
+    return TX.simhash_hex_candidates(sim, max_hamming=8, max_bucket_size=100_000)
 
 
 def _sql_simhash_pairs(max_hamming: int = 8, bands: int = 4) -> str:
@@ -1612,12 +1732,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "raster_restricted": q_raster_restricted,
         "spatial_join": q_spatial_join,
         "events_window": q_events_window,
+        "stateful_totals": q_stateful_totals,
         "dedup_exact": q_dedup_exact,
         "token_stats": q_token_stats,
         "lang_markers": q_lang_markers,
         "fingerprint": q_fingerprint,
         "ann_topk": q_ann_topk,
         "minhash_pairs": q_minhash_pairs,
+        "minhash_pairs_capped": q_minhash_pairs_capped,
         "simhash": q_simhash,
         "lsh_ann": q_lsh_ann,
         "ivf_ann": q_ivf_ann,
@@ -1655,12 +1777,14 @@ def oracle_sql() -> dict[str, str]:
         "raster_restricted": SQL_RASTER_RESTRICTED,
         "spatial_join": SQL_SPATIAL_JOIN,
         "events_window": SQL_EVENTS_WINDOW,
+        "stateful_totals": SQL_STATEFUL_TOTALS,
         "dedup_exact": SQL_DEDUP_EXACT,
         "token_stats": SQL_TOKEN_STATS,
         "lang_markers": SQL_LANG_MARKERS,
         "fingerprint": SQL_FINGERPRINT,
         "ann_topk": SQL_ANN_TOPK,
         "minhash_pairs": SQL_MINHASH_PAIRS,
+        "minhash_pairs_capped": SQL_MINHASH_PAIRS_CAPPED,
         "simhash": SQL_SIMHASH,
         "lsh_ann": SQL_LSH_ANN,
         "ivf_ann": SQL_IVF_ANN,

@@ -126,11 +126,24 @@ def checkpointed_write(
         finally:
             spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
         wall = round(time.time() - t0, 3)
-        # per-unit row counts from the written files (columnar count, cheap)
+        # per-unit row counts in ONE grouped job over the written root
+        # (a per-unit read+count loop is one job per unit — thousands of
+        # scheduler round-trips at scale); underscore-prefixed manifest/
+        # lineage files are ignored by the parquet reader
         finished = time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())
+        try:
+            counts = {
+                r["_u"]: r["_n"]
+                for r in spark.read.parquet(out_dir)
+                .filter(F.col(unit_col).cast("string").isin(pending))
+                .groupBy(F.col(unit_col).cast("string").alias("_u"))
+                .agg(F.count(F.lit(1)).alias("_n"))
+                .collect()
+            }
+        except Exception:  # nothing written at all (every pending unit empty)
+            counts = {}
         for u in pending:
-            upath = os.path.join(out_dir, f"{unit_col}={u}")
-            rows = spark.read.parquet(upath).count() if os.path.exists(upath) else 0
+            rows = int(counts.get(u, 0))
             rec = {
                 "job_id": job_id,
                 "unit": u,

@@ -127,10 +127,15 @@ def knn_join(
 
     Fully distributed rounds: the pending query set, per-round ranked
     candidates, and accumulated results all stay as DataFrames —
-    ``localCheckpoint`` materializes each round's slim (qid, pid, dist, rank)
-    output (ONE job over the big points table per round, lineage cut so
-    rounds never re-trigger earlier joins) and the driver only ever sees a
-    per-round isEmpty() flag, so Q can be arbitrarily large (doc↔doc kNN).
+    ``localCheckpoint`` materializes each round's slim (qid, pid, dist,
+    rank, done) output (ONE job over the big points table per round,
+    lineage cut so rounds never re-trigger earlier joins) and the driver
+    only ever sees per-round counts, so Q can be arbitrarily large (doc↔doc
+    kNN). The per-query completeness flag is computed INSIDE the same
+    window pass as the ranking (count/max windows over the identical
+    partition key — no extra shuffle, no extra job), so a round costs
+    exactly two jobs: the candidate join + one trivial aggregate over the
+    checkpointed output.
     ``broadcast_queries=True`` (default) broadcast-hash-joins the exploded
     query rings into the points scan — right while pending×ring rows fit a
     broadcast; pass False to fall back to a shuffled equi-join on cell_id
@@ -159,31 +164,35 @@ def knn_join(
         ddy = F.col("_py") - F.col("_qy")
         # explicit products (not **2): bit-identical to the SQL oracle's x*x
         dist = F.sqrt(ddx * ddx + ddy * ddy)
+        bound = _complete_bound(spec, radius)
+        w_q = W.partitionBy("_qid")
         ranked = (
             joined.withColumn("dist", dist)
             .withColumn(
                 "rank",
                 F.row_number().over(
-                    W.partitionBy("_qid").orderBy(F.col("dist").asc(), F.col("_pid").asc())
+                    w_q.orderBy(F.col("dist").asc(), F.col("_pid").asc())
                 ),
             )
             .filter(F.col("rank") <= k)
-            .select("_qid", "_pid", "dist", "rank")
+            # completeness flag in the SAME pass: unordered windows over the
+            # identical partition key reuse the rank window's exchange/sort
+            .withColumn(
+                "_done",
+                (F.count(F.lit(1)).over(w_q) >= k) & (F.max("dist").over(w_q) <= bound),
+            )
+            .select("_qid", "_pid", "dist", "rank", "_done")
             .localCheckpoint(eager=True)  # the one big job this round
         )
-        bound = _complete_bound(spec, radius)
-        done_q = (
-            ranked.groupBy("_qid")
-            .agg(F.count(F.lit(1)).alias("_n"), F.max("dist").alias("_dmax"))
-            .filter((F.col("_n") >= k) & (F.col("_dmax") <= bound))
-            .select("_qid")
-            .localCheckpoint(eager=True)  # used 3×: semi, count, anti
+        done_frames.append(ranked.filter(F.col("_done")).drop("_done"))
+        # one trivial aggregate over the checkpointed slim output
+        n_done = (
+            ranked.filter(F.col("_done")).select("_qid").distinct().count()
         )
-        done_frames.append(ranked.join(done_q, "_qid", "left_semi"))
-        n_done = done_q.count()  # cheap: derives from the checkpointed ranked
         if n_done == pending_n:  # common case: one round resolves everything —
             pending_n = 0        # skip building/checkpointing an empty pending set
             break
+        done_q = ranked.filter(F.col("_done")).select("_qid").distinct()
         pending = pending.join(done_q, "_qid", "left_anti").localCheckpoint(eager=True)
         pending_n -= n_done
         radius *= 2

@@ -74,9 +74,12 @@ def plot_raster(
     ``factor_levels`` switches to the reference's discrete mode
     (main.R:815-830): values are treated as categorical in the given level
     order and colored with a discrete viridis palette (scale_fill_viridis_d);
+    values absent from the levels are coerced to NA and rendered grey50,
+    exactly like R's ``factor(fill, levels=...)`` (main.R:822);
     ``show_legend``/``show_axis`` mirror showLegend/showAxis
     (main.R:832-849)."""
     import numpy as np
+    from pandas import isna as pd_isna
 
     try:
         import matplotlib
@@ -95,11 +98,15 @@ def plot_raster(
         cmap = matplotlib.colormaps["viridis"].resampled(max(len(factor_levels), 1))
         level_idx = {lv: i for i, lv in enumerate(factor_levels)}
         idx = pdf["val"].map(level_idx)
-        if idx.isna().any():
-            bad = sorted(set(pdf["val"][idx.isna()]))
-            raise ValueError(f"values not in factor_levels: {bad} (R/main.R:822)")
+        # reference parity: factor(fill, levels=...) coerces values absent
+        # from the levels to NA and still renders (R/main.R:822); ggplot's
+        # default na.value is grey50
+        _NA_COLOR = (0.5, 0.5, 0.5, 1.0)
         pc = PolyCollection(
-            list(verts), facecolors=[cmap(i) for i in idx.to_numpy(int)]
+            list(verts),
+            facecolors=[
+                _NA_COLOR if pd_isna(i) else cmap(int(i)) for i in idx.to_numpy()
+            ],
         )
         ax.add_collection(pc)
         if show_legend:

@@ -448,6 +448,13 @@ def rollup_tiles(
         raise ValueError("rollup_tiles requires a square grid (hex cells do not nest)")
     if factor < 2:
         raise ValueError("factor must be >= 2")
+    if spec.level >= 63:
+        # clamping would alias two pyramid levels into one (mode, level)
+        # packed-id space — fail instead of silently colliding tile ids
+        raise ValueError(
+            "rollup_tiles: parent level would exceed the 6-bit level space "
+            f"(spec.level={spec.level}, max parent level is 63)"
+        )
     ks = list(keys or [])
     row, col = X.unpack_rowcol(F.col("cell_id"))
     prow = F.floor(row / F.lit(float(factor))).cast("long")
@@ -459,7 +466,7 @@ def rollup_tiles(
         spec.ymax,
         spec.resolution * factor,
         square=True,
-        level=min(spec.level + 1, 63),
+        level=spec.level + 1,
     )
     parent_id = X._pack(parent_spec.mode, parent_spec.level, prow, pcol)
     rolled = (

@@ -123,6 +123,71 @@ def brute_force_topk_arrow(
     return ranked.select(query_id, F.col("_iid").alias(id_col), "cosine", "rank")
 
 
+def train_ivf_centroids(
+    items: DataFrame,
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    kmeans_iters: int = 8,
+    seed: int = 7,
+    sample_size: int = 2000,
+) -> np.ndarray:
+    """Cluster-side coarse k-means for IVF list training.
+
+    100 TB shape: the training set is a SEEDED UNIFORM Bernoulli sample
+    (``df.sample`` — per-row, unlike ``limit()`` which takes whole leading
+    partitions and is not a uniform draw), materialized once
+    (localCheckpoint) so every iteration re-reads the small sample, not the
+    corpus. Each k-means iteration is ONE job: an Arrow ``mapInPandas``
+    kernel emits per-batch partial sums ``(centroid, count, sum_vec)`` —
+    at most n_centroids rows per Arrow batch — and the driver combines
+    those tiny partials (only O(n_centroids × dim) floats ever leave the
+    executors). Initial centroids are the first ``n_centroids`` distinct
+    sampled vectors (sample membership is already a uniform coin flip per
+    row). Empty clusters keep their previous centroid.
+    """
+    vecs = items.select(F.col(vec_col).alias("_v")).filter(F.col("_v").isNotNull())
+    n = vecs.count()
+    if n == 0:
+        raise ValueError("train_ivf_centroids: no vectors to train on")
+    frac = 1.0 if n <= sample_size else min(1.0, 1.25 * sample_size / n)
+    train = vecs.sample(fraction=frac, seed=seed).localCheckpoint(eager=True)
+    if train.isEmpty():  # pathological tiny input + low fraction
+        train = vecs.localCheckpoint(eager=True)
+    init = train.dropDuplicates().limit(n_centroids).collect()
+    cent = np.stack([np.asarray(r["_v"], dtype=np.float64) for r in init])
+
+    part_schema = T.StructType(
+        [
+            T.StructField("c", T.IntegerType()),
+            T.StructField("n", T.LongType()),
+            T.StructField("s", T.ArrayType(T.DoubleType())),
+        ]
+    )
+    for _ in range(kmeans_iters):
+        cent_b = cent.copy()  # snapshot shipped in the closure
+
+        def partial(batches, _cent=cent_b):
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                m = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["_v"]])
+                d = ((m[:, None, :] - _cent[None, :, :]) ** 2).sum(axis=2)
+                a = d.argmin(axis=1)
+                rows = []
+                for c in np.unique(a):
+                    mask = a == c
+                    rows.append((int(c), int(mask.sum()), m[mask].sum(axis=0).tolist()))
+                yield pd.DataFrame(rows, columns=["c", "n", "s"])
+
+        parts = train.mapInPandas(partial, part_schema).toPandas()
+        for c in range(len(cent)):
+            sub = parts[parts["c"] == c]
+            if len(sub):
+                tot = np.stack([np.asarray(s, dtype=np.float64) for s in sub["s"]]).sum(axis=0)
+                cent[c] = tot / float(sub["n"].sum())
+    return cent
+
+
 def ivf_topk(
     items: DataFrame,
     queries_pdf: pd.DataFrame,
@@ -138,10 +203,11 @@ def ivf_topk(
     kmeans_iters: int = 8,
     centroids: np.ndarray | None = None,
 ) -> DataFrame:
-    """IVF approximate top-k: coarse k-means centroids trained driver-side on
-    a sample, items assigned to their nearest centroid (one numpy matmul per
-    Arrow batch), queries probe their n_probe nearest centroid lists, exact
-    cosine re-rank inside the probed lists only.
+    """IVF approximate top-k: coarse k-means centroids trained CLUSTER-SIDE
+    (seeded uniform sample + mapInPandas partial-sum iterations — see
+    :func:`train_ivf_centroids`), items assigned to their nearest centroid
+    (one numpy matmul per Arrow batch), queries probe their n_probe nearest
+    centroid lists, exact cosine re-rank inside the probed lists only.
 
     Pass explicit ``centroids`` (n_centroids × dim) to skip training — e.g.
     integer centroids whose distance comparisons are exact, making list
@@ -149,21 +215,14 @@ def ivf_topk(
     if centroids is not None:
         cent = np.asarray(centroids, dtype=np.float64)
     else:
-        sample = np.stack(
-            [
-                np.asarray(v, dtype=np.float64)
-                for v in items.select(vec_col).limit(sample_size).toPandas()[vec_col]
-            ]
+        cent = train_ivf_centroids(
+            items,
+            vec_col=vec_col,
+            n_centroids=n_centroids,
+            kmeans_iters=kmeans_iters,
+            seed=seed,
+            sample_size=sample_size,
         )
-        rng = np.random.default_rng(seed)
-        cent = sample[rng.choice(len(sample), min(n_centroids, len(sample)), replace=False)]
-        for _ in range(kmeans_iters):
-            d = ((sample[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
-            assign = d.argmin(axis=1)
-            for c in range(len(cent)):
-                mask = assign == c
-                if mask.any():
-                    cent[c] = sample[mask].mean(axis=0)
 
     cent_b = cent.copy()
 
@@ -299,6 +358,7 @@ def cosine_near_duplicates(
     n_planes: int = 12,
     seed: int = 7,
     planes: np.ndarray | None = None,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs: LSH self-bucket-join + exact cosine
     filter. Returns (id_a, id_b, cosine) with id_a < id_b.
@@ -307,10 +367,16 @@ def cosine_near_duplicates(
     shuffles ONLY (id, bucket) — embedding vectors never ride the (skewed)
     bucket exchange. Candidate ids materialize eagerly (localCheckpoint,
     size-known → AQE broadcasts them), and vectors re-attach map-side for
-    the exact cosine verification."""
+    the exact cosine verification. ``max_bucket_size`` drops degenerate hot
+    buckets (e.g. a mass of zero/constant vectors all hashing to one
+    signature) before the quadratic self-join — see
+    :func:`seraster_spark.text.cap_buckets`; at corpus scale always set it."""
+    from .text import cap_buckets
+
     bucket = lsh_bucket_udf(dim, n_planes, seed, planes=planes)
     it = items.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_vec"))
     slim = it.withColumn("bucket", bucket(F.col("_vec"))).select("_id", "bucket")
+    slim = cap_buckets(slim, ["bucket"], max_bucket_size, "cosine_near_duplicates")
     l, r = slim.alias("l"), slim.alias("r")
     pairs = (
         l.join(

@@ -74,6 +74,45 @@ def stream_running_tile_totals(
     )
 
 
+def batch_replay_running_totals(
+    docs: DataFrame, spec: GridSpec, batch_col: str = "batch_id"
+) -> DataFrame:
+    """Batch twin of :func:`stream_running_tile_totals`: replay the
+    update-mode emissions as a cumulative window aggregate. Row
+    ``(cell, b)`` equals exactly what the stateful operator emits for that
+    cell at trigger ``b`` (state = running doc count + kind set; update
+    mode emits only cells touched in the trigger — hence grouping on the
+    observed (cell, batch) pairs).
+
+    This is the oracle-checkable statement of the stateful semantics (the
+    driver query ``stateful_totals`` runs it against a DuckDB cumulative
+    join); the streaming pytest asserts the applyInPandasWithState path
+    emits these same rows. Scale shape: one groupBy + one window over
+    (cell, batch) — batch cardinality is tiny (trigger count), so the
+    cumulative window is O(rows)."""
+    from pyspark.sql import Window as W
+
+    with_cell = docs.withColumn("cell_id", cell_id_expr(F.col("x"), F.col("y"), spec))
+    per = with_cell.groupBy("cell_id", batch_col).agg(
+        F.count(F.lit(1)).alias("batch_docs"),
+        F.collect_set("kind").alias("_ks"),
+    )
+    w = (
+        W.partitionBy("cell_id")
+        .orderBy(batch_col)
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return per.select(
+        "cell_id",
+        batch_col,
+        F.sum("batch_docs").over(w).alias("total_docs"),
+        F.size(F.array_distinct(F.flatten(F.collect_list("_ks").over(w)))).alias(
+            "n_kinds"
+        ),
+        "batch_docs",
+    )
+
+
 def drain_update(stream_df: DataFrame, out_dir: str, checkpoint_dir: str):
     """Drain available data in update mode via foreachBatch → parquet append
     (the memory sink cannot recover from a checkpoint; foreachBatch can)."""

@@ -20,9 +20,13 @@ Scale shape:
 
 from __future__ import annotations
 
+import logging
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame, Window as W, functions as F
+
+_log = logging.getLogger("seraster_spark")
 
 # ---------------------------------------------------------------------------
 # tokenization / fingerprint primitives (all Column expressions)
@@ -47,6 +51,52 @@ def _fan_out(df: DataFrame) -> DataFrame:
         # guard there (Connect backends size scans themselves)
         pass
     return df
+
+
+def cap_buckets(
+    banded: DataFrame,
+    keys: list[str],
+    max_bucket_size: int | None,
+    op: str,
+) -> DataFrame:
+    """Degenerate-bucket guard for LSH-family band self-joins.
+
+    A band bucket with m members yields m·(m-1)/2 candidate pairs, so ONE
+    pathological band value (a mass of near-empty docs, constant vectors, a
+    boilerplate page repeated millions of times) turns the candidate join
+    quadratic. Buckets larger than ``max_bucket_size`` carry no
+    discriminative signal — their members are better handled by
+    :func:`exact_dedup` upstream — so they are dropped, and the dropped
+    bucket count is surfaced as a warning metric. (Salting the hot bucket is
+    the alternative when its pairs must be kept; dropping is the standard
+    dedup-pipeline choice because a 10M-member bucket's 5·10^13 pairs are
+    unusable anyway.)
+
+    Cost: one slim aggregation over the already-slim banded rows (map-side
+    combine collapses each bucket to one cell per mapper) plus an equi-join
+    on the band key — the same key the self-join shuffles on. The sizes
+    frame is localCheckpoint'd so the dropped-count job and the kept-join
+    share one materialization.
+    """
+    if max_bucket_size is None:
+        return banded
+    if max_bucket_size < 2:
+        raise ValueError("max_bucket_size must be >= 2 (a pair needs 2 members)")
+    sizes = (
+        banded.groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("_bn"))
+        .localCheckpoint(eager=True)
+    )
+    n_dropped = sizes.filter(F.col("_bn") > max_bucket_size).count()
+    if n_dropped:
+        _log.warning(
+            "%s: dropped %d degenerate LSH bucket(s) larger than %d members",
+            op,
+            n_dropped,
+            max_bucket_size,
+        )
+    kept = sizes.filter(F.col("_bn") <= max_bucket_size).drop("_bn")
+    return banded.join(kept, keys)
 
 
 def token_count(df: DataFrame, text_col: str = "text", out: str = "n_tokens") -> DataFrame:
@@ -126,7 +176,10 @@ def fingerprint(df: DataFrame, text_col: str = "text", out: str = "fp64") -> Dat
 
 
 def exact_dedup(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    validate_ids: bool = False,
 ) -> DataFrame:
     """Exact duplicate detection by content hash. Adds ``content_hash``,
     ``dup_group_size`` and ``is_canonical`` (the min id per group survives).
@@ -142,13 +195,36 @@ def exact_dedup(
     sort-merge); Catalyst prunes any payload column the consumer doesn't
     select out of that join entirely.
 
-    Contract: ``id_col`` must be unique per row (a document id); duplicate
-    ids would multiply rows through the annotation join."""
+    Contract: ``id_col`` must be non-NULL and unique per row (a document
+    id). A NULL id would silently vanish through the inner equi-joins, so it
+    fails fast at execution time (a row-local ``raise_error`` branch — no
+    extra job); duplicate ids would silently multiply rows, which only a
+    pass over the data can detect — set ``validate_ids=True`` to spend one
+    slim aggregation job asserting uniqueness before the annotation join."""
+    if validate_ids:
+        chk = df.agg(
+            F.count(F.lit(1)).alias("_rows"),
+            F.count(id_col).alias("_nonnull"),
+            F.countDistinct(id_col).alias("_distinct"),
+        ).first()
+        if chk["_nonnull"] != chk["_rows"] or chk["_distinct"] != chk["_rows"]:
+            raise ValueError(
+                f"exact_dedup: {id_col} must be non-NULL and unique "
+                f"(rows={chk['_rows']}, non-null={chk['_nonnull']}, "
+                f"distinct={chk['_distinct']})"
+            )
     # NULL texts form one dup group (the old window's partitionBy(NULL)
     # semantics); md5(NULL)=NULL would silently DROP those rows through the
     # inner equi-joins, so hash through a sentinel
     h = F.coalesce(F.md5(F.col(text_col)), F.lit("__null_text__"))
-    slim = df.select(F.col(id_col).alias("_did"), h.alias("content_hash"))
+    # NULL ids never equi-join — fail fast row-locally instead of dropping
+    id_type = df.schema[id_col].dataType.simpleString()
+    safe_id = F.when(F.col(id_col).isNotNull(), F.col(id_col)).otherwise(
+        F.raise_error(f"exact_dedup: NULL {id_col} (ids must be non-NULL and unique)").cast(
+            id_type
+        )
+    )
+    slim = df.select(safe_id.alias("_did"), h.alias("content_hash"))
     stats = slim.groupBy("content_hash").agg(
         F.count(F.lit(1)).alias("dup_group_size"),
         F.min("_did").alias("_min_id"),
@@ -187,15 +263,21 @@ _MERSENNE61 = (1 << 61) - 1
 
 
 def _shingles_pandas_udf(n: int):
-    """Arrow-batched shingling: tokenize + n-gram + first-occurrence dedup in
-    Python per batch. ~8× faster than the interpreted slice/array_join HOF
-    chain (measured 12s → 1.4s for 260k shingles on 5k docs) and
-    result-identical to :func:`shingles_expr`: re.ASCII \\s+ matches Java's
-    ASCII-only \\s, ``strip(' ')`` matches F.trim (which removes SPACES
-    only, so a leading tab survives and yields a leading empty token in
-    both engines — ``.strip()`` would NOT match), re.split keeps the
-    leading/trailing empty fields Java split keeps under limit=-1, and
-    dict.fromkeys preserves first-occurrence order like array_distinct."""
+    """Arrow-batched shingling over PRE-LOWERCASED text (callers pass
+    ``F.lower(col)`` so case folding happens JVM-side on BOTH paths —
+    Python ``str.lower()`` and JVM ``lower()`` diverge on locale-sensitive
+    code points like U+0130, which would make impl='arrow' vs impl='expr'
+    produce different dedup candidates on multilingual corpora).
+
+    ~8× faster than the interpreted slice/array_join HOF chain (measured
+    12s → 1.4s for 260k shingles on 5k docs) and result-identical to
+    :func:`shingles_expr` for ANY input: re.ASCII \\s+ matches Java's
+    ASCII-only \\s (same 6-char set), ``strip(' ')`` matches F.trim (which
+    removes SPACES only, so a leading tab survives and yields a leading
+    empty token in both engines — ``.strip()`` would NOT match), re.split
+    keeps the leading/trailing empty fields Java split keeps under
+    limit=-1, and dict.fromkeys preserves first-occurrence order like
+    array_distinct."""
     import re
 
     ws = re.compile(r"\s+", re.ASCII)
@@ -207,7 +289,7 @@ def _shingles_pandas_udf(n: int):
             if t is None:
                 out.append([])
                 continue
-            toks = ws.split(t.lower().strip(" "))
+            toks = ws.split(t.strip(" "))
             if len(toks) < n:
                 out.append([])
                 continue
@@ -306,6 +388,7 @@ def minhash_lsh_candidates(
     verify_threshold: float | None = 0.5,
     hash: str = "xxhash64",
     impl: str = "arrow",
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """MinHash+LSH near-duplicate candidate pairs.
 
@@ -331,6 +414,8 @@ def minhash_lsh_candidates(
     returning (no cache leak; checkpoint blocks are GC-cleaned), and the
     Jaccard verification re-derives shingle sets map-side, joined against the
     (small, size-known → AQE broadcast) candidate list.
+    ``max_bucket_size`` guards the band join against degenerate hot buckets
+    (see :func:`cap_buckets`) — at corpus scale always set it.
     """
     if impl not in ("arrow", "expr"):
         raise ValueError("impl must be 'arrow' or 'expr'")
@@ -338,8 +423,9 @@ def minhash_lsh_candidates(
     # shingling + signatures are compute-dense per byte — ensure parallelism
     slim = _fan_out(df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_text")))
     if hash == "xxhash64" and impl == "arrow":
+        # lower() JVM-side: exact case-fold parity with the expr path
         raw = slim.select(
-            "_id", _shingles_pandas_udf(n)(F.col("_text")).alias("_s")
+            "_id", _shingles_pandas_udf(n)(F.lower(F.col("_text"))).alias("_s")
         ).filter(F.size("_s") > 0)
     else:
         raw = slim.select(
@@ -383,9 +469,10 @@ def minhash_lsh_candidates(
             )
         ).alias("_b"),
     ).select("_id", F.col("_b.band").alias("band"), F.col("_b.bhash").alias("bhash"))
-    left = banded.alias("l")
-    right = banded.alias("r")
     try:
+        banded = cap_buckets(banded, ["band", "bhash"], max_bucket_size, "minhash_lsh")
+        left = banded.alias("l")
+        right = banded.alias("r")
         pairs = (
             left.join(
                 right,
@@ -420,21 +507,45 @@ def ngram_jaccard(
     n: int = 3,
     threshold: float = 0.5,
     impl: str = "arrow",
+    max_df: int | None = None,
 ) -> DataFrame:
     """Exact all-pairs n-gram Jaccard above a threshold, pruned by a shared-
     shingle inverted-index join (a pair must share ≥1 shingle — no cross
-    join). For corpus-scale use minhash_lsh_candidates instead."""
+    join). For corpus-scale use minhash_lsh_candidates instead.
+
+    ``max_df`` drops shingles whose document frequency exceeds it from the
+    INVERTED INDEX only (a stop-phrase trigram shared by m docs generates
+    O(m²) candidates while discriminating nothing); the exact Jaccard still
+    runs on the FULL shingle sets of each surviving candidate pair. Pairs
+    whose every shared shingle is hot are missed — at a sane cap such a pair
+    is far below any useful threshold anyway. Set it whenever the corpus is
+    not known to be boilerplate-free."""
     if impl not in ("arrow", "expr"):
         raise ValueError("impl must be 'arrow' or 'expr'")
     shing = (
-        (lambda c: _shingles_pandas_udf(n)(c)) if impl == "arrow"
+        (lambda c: _shingles_pandas_udf(n)(F.lower(c))) if impl == "arrow"
         else (lambda c: shingles_expr(c, n))
     )
+    is_self = df_b is None
     df_b = df_b if df_b is not None else df_a
     a = df_a.select(F.col(id_col).alias("id_a"), shing(F.col(text_col)).alias("sh_a"))
     b = df_b.select(F.col(id_col).alias("id_b"), shing(F.col(text_col)).alias("sh_b"))
     ia = a.select("id_a", F.explode("sh_a").alias("g")).dropDuplicates()
     ib = b.select("id_b", F.explode("sh_b").alias("g")).dropDuplicates()
+    if max_df is not None:
+        if max_df < 2:
+            raise ValueError("max_df must be >= 2 (a pair needs 2 postings)")
+        # document frequency over the full posting set (one side in the
+        # self-join case — ia and ib are the same postings there)
+        postings = ia.select("g") if is_self else ia.select("g").unionByName(ib.select("g"))
+        keep = (
+            postings.groupBy("g")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") <= max_df)
+            .drop("_df")
+        )
+        ia = ia.join(keep, "g")
+        ib = ib.join(keep, "g")
     cand = (
         ia.join(ib, "g")
         .filter(F.col("id_a") < F.col("id_b"))
@@ -471,9 +582,9 @@ def connected_components(
     clusters (near-clique, typically 2-4). Each round is two slim shuffles
     (labels⋈edges groupBy-min, then a label-update join), materialized via
     ``localCheckpoint`` so lineage never stacks across rounds and the driver
-    sees only a changed-count. For web-scale graphs with giant components,
-    swap in the large-star/small-star variant (Kiveris et al.) — same
-    DataFrame skeleton, alternating neighborhood contractions.
+    sees only a changed-count. For web-scale graphs with giant HIGH-DIAMETER
+    components, use :func:`connected_components_star` (implemented below) —
+    O(log n) rounds regardless of diameter.
 
     Returns (node, component) with component = min node id of the cluster;
     only nodes present in `pairs` appear (singletons are trivially their
@@ -516,6 +627,92 @@ def connected_components(
         if n_changed == 0:
             return labels
     raise RuntimeError(f"connected_components did not converge in {max_iter} rounds")
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """One large-star round: every node connects its STRICTLY LARGER
+    neighbors to the minimum of its closed neighborhood. Input edges are
+    undirected (any orientation); output edges point larger → smaller."""
+    nbrs = edges.select("s", "d").unionByName(
+        edges.select(F.col("d").alias("s"), F.col("s").alias("d"))
+    )
+    mins = nbrs.groupBy("s").agg(F.min("d").alias("_mn")).select(
+        "s", F.least(F.col("_mn"), F.col("s")).alias("m")
+    )
+    return (
+        nbrs.join(mins, "s")
+        .filter(F.col("d") > F.col("s"))
+        .select(F.col("d").alias("s"), F.col("m").alias("d"))
+        .dropDuplicates()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """One small-star round: every node connects its smaller neighbors (and
+    itself) to the minimum among them. Input/output edges point larger →
+    smaller."""
+    mins = edges.groupBy("s").agg(F.min("d").alias("m"))
+    to_min = (
+        edges.join(mins, "s")
+        .filter(F.col("d") != F.col("m"))
+        .select(F.col("d").alias("s"), F.col("m").alias("d"))
+    )
+    self_to_min = mins.select("s", F.col("m").alias("d"))
+    return to_min.unionByName(self_to_min).dropDuplicates()
+
+
+def connected_components_star(
+    pairs: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Connected components via alternating large-star/small-star rounds
+    (Kiveris et al., *Connected Components in MapReduce and Beyond*, SoCC'14
+    — public algorithm). Same (node, component) contract as
+    :func:`connected_components`.
+
+    Why a second variant: hash-min label propagation needs O(diameter)
+    rounds — fine for near-clique dup clusters (diameter 2-4), but a
+    web-scale graph with a giant threadlike component (e.g. chained
+    boilerplate) makes diameter the bottleneck. Star contractions converge
+    in O(log n) rounds regardless of diameter, and every round is the same
+    slim shape as hash-min: two groupBy-min aggregations + equi-joins over
+    (node, node) pairs, localCheckpoint'd so lineage never stacks. The
+    fixed point is a star forest: every non-root points directly at its
+    component minimum."""
+    edges = (
+        pairs.select(
+            F.greatest(F.col(src), F.col(dst)).alias("s"),
+            F.least(F.col(src), F.col(dst)).alias("d"),
+        )
+        .filter(F.col("s") != F.col("d"))
+        .dropDuplicates()
+        .localCheckpoint(eager=True)
+    )
+    all_nodes = (
+        edges.select(F.col("s").alias("node"))
+        .unionByName(edges.select(F.col("d").alias("node")))
+        .dropDuplicates()
+        .localCheckpoint(eager=True)
+    )
+    prev_n = edges.count()
+    for _ in range(max_iter):
+        new = _small_star(_large_star(edges)).localCheckpoint(eager=True)
+        n = new.count()
+        # fixed point: identical edge multiset (both are deduped sets, so
+        # count equality + empty difference suffices)
+        if n == prev_n and new.exceptAll(edges).isEmpty():
+            # star forest: (s → d) with d = component root
+            non_roots = new.select(F.col("s").alias("node"), F.col("d").alias("component"))
+            roots = all_nodes.join(
+                new.select(F.col("s").alias("node")), "node", "left_anti"
+            ).withColumn("component", F.col("node"))
+            return non_roots.unionByName(roots)
+        edges, prev_n = new, n
+    raise RuntimeError(
+        f"connected_components_star did not converge in {max_iter} rounds"
+    )
 
 
 def dedup_clusters(
@@ -612,6 +809,7 @@ def simhash_hex_candidates(
     sim_col: str = "simhash_hex",
     max_hamming: int = 3,
     bands: int = 4,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Near-dup candidate pairs over :func:`simhash_md5` hex signatures —
     same pigeonhole banding as :func:`simhash_candidates` but on hex-char
@@ -634,6 +832,7 @@ def simhash_hex_candidates(
             )
         ).alias("_b"),
     ).select("_id", "_sim", F.col("_b.band").alias("band"), F.col("_b.bval").alias("bval"))
+    banded = cap_buckets(banded, ["band", "bval"], max_bucket_size, "simhash_hex_candidates")
     l, r = banded.alias("l"), banded.alias("r")
     pairs = (
         l.join(
@@ -663,7 +862,11 @@ def simhash_hex_candidates(
 
 
 def simhash_candidates(
-    sim_df: DataFrame, id_col: str = "doc_id", max_hamming: int = 3, bands: int = 4
+    sim_df: DataFrame,
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    bands: int = 4,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Near-dup candidates from SimHash by band-join (pigeonhole: hamming ≤
     bands-1 guarantees one identical 16-bit band), verified with exact
@@ -687,6 +890,7 @@ def simhash_candidates(
             )
         ).alias("_b"),
     ).select("_id", "simhash", F.col("_b.band").alias("band"), F.col("_b.bval").alias("bval"))
+    banded = cap_buckets(banded, ["band", "bval"], max_bucket_size, "simhash_candidates")
     l, r = banded.alias("l"), banded.alias("r")
     pairs = (
         l.join(

@@ -62,3 +62,29 @@ def test_write_tiles_partitioned(spark, docs, tmp_path):
     # partition pruning: reading one unit touches one directory
     one = spark.read.parquet(out).filter(F.col("unit") == "2")
     assert 0 < one.count() < tiles.count()
+
+
+def test_checkpointed_write_counts_in_one_job(spark, docs, tmp_path):
+    """Manifest row counts come from ONE grouped job over the written root,
+    not one read+count job per unit (per-unit jobs are thousands of
+    scheduler round-trips at scale)."""
+    n_units = 8
+    tiles = (
+        _tiles(spark, docs)
+        .withColumn("unit", F.pmod(F.col("grid_index"), F.lit(n_units)).cast("string"))
+        .localCheckpoint()  # materialize upstream first
+    )
+    out = str(tmp_path / "tiles_out_jobcount")
+    units = [str(u) for u in range(n_units)]
+    sc = spark.sparkContext
+    sc.setJobGroup("cw_jobcount", "checkpointed_write job count")
+    try:
+        rec = sio.checkpointed_write(tiles, out, "unit", units, job_id="jobX")
+    finally:
+        sc.setLocalProperty("spark.jobGroup.id", None)
+    assert rec["units_written"] == n_units
+    assert sum(r["rows"] for r in rec["records"]) == tiles.count()
+    ids = sc.statusTracker().getJobIdsForGroup("cw_jobcount")
+    # write job + one grouped count (+AQE stage-materialization slack) —
+    # the old per-unit count loop was 1 + n_units = 9 jobs here
+    assert 0 < len(ids) <= 5, f"expected <=5 jobs, saw {len(ids)}"

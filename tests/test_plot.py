@@ -56,10 +56,16 @@ def test_plot_raster_discrete_factor_levels(spark, docs, tmp_path):
     )
     assert (tmp_path / "re.png").exists()
     assert fig is not None
-    with pytest.raises(ValueError, match="factor_levels"):
-        plot.plot_raster(
-            one_kind.withColumn("kind", F.lit("re_bin")),
-            spec,
-            feature_name="re_bin",
-            factor_levels=["1"],  # '0' values missing from levels
-        )
+    # values absent from factor_levels render as NA (grey50) — the
+    # reference's factor(fill, levels=...) coercion (R/main.R:822)
+    fig_na = plot.plot_raster(
+        one_kind.withColumn("kind", F.lit("re_bin")),
+        spec,
+        feature_name="re_bin",
+        factor_levels=["1"],  # '0' values coerce to NA, still rendered
+    )
+    pc = fig_na.axes[0].collections[0]
+    colors = pc.get_facecolors()
+    grey = [c for c in colors if abs(c[0] - 0.5) < 1e-9 and abs(c[1] - 0.5) < 1e-9]
+    assert len(grey) > 0  # the out-of-level tiles are grey50
+    assert len(grey) < len(colors)  # the in-level tiles are not

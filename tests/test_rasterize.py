@@ -393,3 +393,16 @@ def test_multiresolution_sweep(spark, docs):
     sq = pdf[pdf["type"] == "square"]
     counts = sq.groupby("resolution")["cell_id"].nunique()
     assert counts[50.0] >= counts[100.0] >= counts[200.0]
+
+
+def test_rollup_rejects_level_overflow(spark):
+    """A parent level beyond the 6-bit packed-id space must fail loudly —
+    clamping would alias two pyramid levels into one id space."""
+    from pyspark.sql import functions as F
+
+    spec63 = GridSpec(0.0, 0.0, 100.0, 100.0, 1.0, square=True, level=63)
+    tiles = spark.range(1).select(
+        F.lit(0).cast("long").alias("cell_id"), F.lit(1.0).alias("pixelval")
+    )
+    with pytest.raises(ValueError, match="level"):
+        rasterize.rollup_tiles(tiles, spec63)

@@ -85,3 +85,30 @@ def test_cosine_near_duplicates(spark, items):
     pairs = {(r.id_a, r.id_b) for r in dups.itertuples()}
     assert (0, N - 1) in pairs  # exact copy
     assert (1, N - 2) in pairs  # 1% perturbed copy
+
+
+def test_cosine_near_dup_bucket_cap(spark):
+    """A constant-vector block hashes to ONE bucket (quadratic); the cap
+    drops it while a genuine near-identical pair in another bucket
+    survives. Planes chosen so the two groups provably bucket apart
+    (all-ones dot with plane0 = 0 → bit 0; the 5.0-leading vectors → +4
+    → bit 1)."""
+    import numpy as np
+
+    planes = np.array(
+        [[1.0, -1.0, 0, 0, 0, 0, 0, 0], [0, 0, 0, 0, 0, 0, 0, 1.0]]
+    )
+    rows = [(i, [1.0] * 8) for i in range(100)]
+    rows += [
+        (1000, [5.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0]),
+        (1001, [5.0, 1.02, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    capped = S.cosine_near_duplicates(
+        df, threshold=0.99, dim=8, planes=planes, max_bucket_size=20
+    ).collect()
+    found = {(r["id_a"], r["id_b"]) for r in capped}
+    assert found == {(1000, 1001)}
+    # uncapped produces the quadratic block
+    n = S.cosine_near_duplicates(df, threshold=0.99, dim=8, planes=planes).count()
+    assert n == 100 * 99 // 2 + 1

@@ -63,3 +63,42 @@ def test_ivf_topk_recall(spark, clustered):
         hits += len(exp & grp)
         total += 5
     assert hits / total >= 0.8  # clustered data, 2 probes over 8 lists
+
+
+def test_ivf_trained_distributed_100k_recall(spark):
+    """Cluster-side IVF training at 10^5 vectors: seeded uniform sample +
+    mapInPandas partial-sum k-means (no limit().toPandas() pull), then the
+    trained index reaches >=0.9 recall@5 vs exact brute force on clustered
+    data. The corpus is generated DISTRIBUTED (spark.range + expressions)."""
+    n = 100_000
+    items = spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(DIM - 1)),
+            lambda j: (
+                F.when(F.pmod(j, F.lit(8)) == F.pmod(F.col("id"), F.lit(8)), 100.0)
+                .otherwise(1.0)
+                + F.pmod(F.xxhash64(F.col("id"), j), F.lit(7)).cast("double")
+            ),
+        ).alias("embedding"),
+    ).localCheckpoint()
+    qidx = [0, 3, 11, 42, 77]
+    qrows = items.filter(F.col("vec_id").isin(qidx)).collect()
+    qpdf = pd.DataFrame(
+        {
+            "query_id": [str(r["vec_id"]) for r in qrows],
+            "embedding": [list(r["embedding"]) for r in qrows],
+        }
+    )
+    exact = S.brute_force_topk_arrow(items, qpdf, 5).toPandas()
+    got = S.ivf_topk(
+        items, qpdf, 5, dim=DIM, n_centroids=8, n_probe=2,
+        sample_size=2000, kmeans_iters=4, seed=11,
+    ).toPandas()
+    hits = total = 0
+    for q in qpdf["query_id"]:
+        exp = set(exact[exact["query_id"] == q]["vec_id"])
+        grp = set(got[got["query_id"] == q]["vec_id"])
+        hits += len(exp & grp)
+        total += 5
+    assert hits / total >= 0.9

@@ -62,3 +62,21 @@ def test_running_totals_across_restarts(spark, tmp_path):
         )
     )
     assert latest.agg(F.sum("total_docs")).collect()[0][0] == 350
+
+    # the stateful emissions equal the batch cumulative replay exactly
+    # (drain 1 = trigger/batch 0, drain 2 = trigger/batch 1)
+    from seraster_spark.streaming.stateful import batch_replay_running_totals
+
+    batch_in = _rows(spark, 0, 200).withColumn("batch_id", F.lit(0)).unionByName(
+        _rows(spark, 1000, 150).withColumn("batch_id", F.lit(1))
+    )
+    replay = {
+        (r["cell_id"], r["batch_id"]): (r["total_docs"], r["n_kinds"], r["batch_docs"])
+        for r in batch_replay_running_totals(batch_in, SPEC).collect()
+    }
+    emitted = {
+        (r["cell_id"], b): (r["total_docs"], r["n_kinds"], r["batch_docs"])
+        for b, t in ((0, t1), (1, t2))
+        for r in t.collect()
+    }
+    assert emitted == replay

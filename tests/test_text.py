@@ -286,3 +286,118 @@ def test_fingerprint_whitespace_robust(spark):
     fp = {r["doc_id"]: r["fp64"] for r in X.fingerprint(df).collect()}
     assert fp["a"] == fp["b"] == fp["c"]
     assert fp["d"] != fp["a"]
+
+
+# ---------------------------------------------------------------------------
+# degenerate-bucket caps + id-contract guards (round-3 hardening)
+
+
+def test_minhash_bucket_cap_drops_degenerate_bucket(spark, caplog):
+    """A 200-member identical-text block is one hot bucket in EVERY band
+    (200·199/2 = 19900 quadratic pairs); with the cap it is dropped in
+    bounded work, the drop is logged, and genuine near-dups still surface."""
+    import logging
+
+    rows = [(i, "spam spam spam spam wonderful spam") for i in range(200)]
+    # signature-identical pair (collides in EVERY band, bucket size 2 < cap)
+    rows += [
+        (1000, "alpha beta gamma delta epsilon zeta eta theta"),
+        (1001, "alpha beta gamma delta epsilon zeta eta theta"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    with caplog.at_level(logging.WARNING, logger="seraster_spark"):
+        capped = X.minhash_lsh_candidates(
+            df, verify_threshold=0.3, max_bucket_size=50
+        ).collect()
+    found = {(r["id_a"], r["id_b"]) for r in capped}
+    assert (1000, 1001) in found  # genuine near-dup pair survives the cap
+    assert all(a >= 1000 for a, _ in found)  # no pair from the hot block
+    assert any("dropped" in rec.message for rec in caplog.records)
+    # sanity: uncapped DOES produce the quadratic block
+    n_uncapped = X.minhash_lsh_candidates(df, verify_threshold=0.3).count()
+    assert n_uncapped >= 200 * 199 // 2
+
+
+def test_simhash_bucket_cap(spark):
+    """Identical docs share every simhash band value; the cap drops those
+    buckets, leaving zero pairs from the degenerate block."""
+    rows = [(i, "buy cheap pills online now fast") for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sim = X.simhash(df)
+    assert X.simhash_candidates(sim, max_hamming=3, max_bucket_size=20).count() == 0
+    assert X.simhash_candidates(sim, max_hamming=3).count() == 100 * 99 // 2
+
+
+def test_ngram_max_df_keeps_exact_jaccard(spark):
+    """Hot stop-shingles leave the inverted index under max_df, but Jaccard
+    still runs on FULL shingle sets: above-threshold pairs are unchanged."""
+    rows = [(i, f"click here now unique{i} token{i} word{i}") for i in range(100)]
+    rows += [
+        (1000, "alpha beta gamma delta epsilon"),
+        (1001, "alpha beta gamma delta zeta"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    capped = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in X.ngram_jaccard(df, threshold=0.4, max_df=10).collect()
+    }
+    uncapped = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in X.ngram_jaccard(df, threshold=0.4).collect()
+    }
+    assert capped == uncapped  # 'click here now' (df=100) only prunes candidates
+    assert capped[(1000, 1001)] == pytest.approx(2 / 4)  # shares 2 of 4 shingles
+
+
+def test_exact_dedup_null_id_fails_fast(spark):
+    """A NULL id would silently vanish through the annotation equi-joins —
+    the row-local raise_error guard turns that into a loud failure."""
+    df = spark.createDataFrame([(1, "a"), (None, "b")], "doc_id long, text string")
+    with pytest.raises(Exception, match="NULL doc_id"):
+        X.exact_dedup(df).collect()
+
+
+def test_exact_dedup_validate_ids_rejects_duplicates(spark):
+    df = spark.createDataFrame([(1, "a"), (1, "b"), (2, "c")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="unique"):
+        X.exact_dedup(df, validate_ids=True)
+    # clean ids pass validation and annotate normally
+    ok = spark.createDataFrame([(1, "a"), (2, "a")], "doc_id long, text string")
+    got = {r["doc_id"]: r for r in X.exact_dedup(ok, validate_ids=True).collect()}
+    assert got[1]["dup_group_size"] == 2 and got[1]["is_canonical"]
+
+
+def test_star_components_equal_hashmin_on_random_graphs(spark):
+    """large-star/small-star must produce the identical (node, component)
+    labeling as hash-min on random graphs (both label by component min)."""
+    import random
+
+    rnd = random.Random(23)
+    for trial in range(3):
+        n = 60
+        edges = {
+            tuple(sorted(rnd.sample(range(n), 2)))
+            for _ in range(rnd.randint(20, 80))
+        }
+        pairs = spark.createDataFrame(
+            [(a, b) for a, b in edges], "id_a long, id_b long"
+        )
+        hashmin = {
+            r["node"]: r["component"] for r in X.connected_components(pairs).collect()
+        }
+        star = {
+            r["node"]: r["component"]
+            for r in X.connected_components_star(pairs).collect()
+        }
+        assert star == hashmin, f"trial {trial}"
+
+
+def test_star_components_long_path(spark):
+    """A 200-node path (diameter 199 — hash-min's worst case) collapses to
+    one component labeled by its minimum in O(log n) star rounds."""
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(199)], "id_a long, id_b long"
+    )
+    got = X.connected_components_star(pairs, max_iter=12).collect()
+    assert len(got) == 200
+    assert all(r["component"] == 0 for r in got)

@@ -1,18 +1,26 @@
 """Property-based parity fuzz: the Arrow shingling kernel must equal the
-Column-expression path on arbitrary ASCII texts — whitespace structure is
-the seam where they can drift (F.trim strips SPACES only; Java split keeps
+Column-expression path on arbitrary texts — whitespace structure is the
+seam where they can drift (F.trim strips SPACES only; Java split keeps
 leading empties; re.ASCII vs Java \\s). A code-review round caught a real
-strip()/trim divergence here; this fuzz pins the contract."""
+strip()/trim divergence here; this fuzz pins the contract. Case folding
+happens JVM-side on BOTH paths (callers pass F.lower), so the alphabet
+includes locale-sensitive code points (U+0130 İ, ß, Σ, final sigma) that
+would diverge under Python str.lower()."""
 
 from hypothesis import HealthCheck, given, settings, strategies as st
 from pyspark.sql import functions as F
 
 from seraster_spark import text as X
 
-# printable ASCII + every ASCII whitespace Java \s matches: \t\n\x0b\x0c\r ' '
-_ALPHABET = st.characters(
-    codec="ascii", min_codepoint=0x09, max_codepoint=0x7E, exclude_categories=["Cc"]
-) | st.sampled_from("\t\n\x0b\x0c\r ")
+# printable ASCII + every ASCII whitespace Java \s matches (\t\n\x0b\x0c\r ' ')
+# + locale-sensitive case-fold traps (lowercasing is JVM-side on both paths)
+_ALPHABET = (
+    st.characters(
+        codec="ascii", min_codepoint=0x09, max_codepoint=0x7E, exclude_categories=["Cc"]
+    )
+    | st.sampled_from("\t\n\x0b\x0c\r ")
+    | st.sampled_from("İıßΣσςÉé ")  # NBSP: non-ASCII whitespace, must NOT split
+)
 
 _texts = st.lists(
     st.one_of(st.none(), st.text(alphabet=_ALPHABET, max_size=60)),
@@ -34,7 +42,7 @@ def test_arrow_shingles_equal_expr_shingles(spark, texts):
     arrow = {
         r["doc_id"]: list(r["s"])
         for r in df.select(
-            "doc_id", X._shingles_pandas_udf(3)(F.col("text")).alias("s")
+            "doc_id", X._shingles_pandas_udf(3)(F.lower(F.col("text"))).alias("s")
         ).collect()
     }
     expr = {

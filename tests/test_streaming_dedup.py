@@ -1,0 +1,55 @@
+"""Streaming exact dedup (dropDuplicatesWithinWatermark): first occurrence
+admitted, in-horizon duplicates dropped, dedup state survives a restart from
+checkpoint."""
+
+from datetime import datetime
+
+from pyspark.sql import functions as F, types as T
+
+from seraster_spark.streaming.dedup import drain_append, stream_exact_dedup
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("ts", T.TimestampType()),
+    ]
+)
+
+T0 = datetime(2026, 1, 1, 12, 0, 0)
+
+
+def _rows(spark, rows):
+    return spark.createDataFrame([(i, t, T0) for i, t in rows], SCHEMA)
+
+
+def test_stream_dedup_within_and_across_drains(spark, tmp_path):
+    in_dir = str(tmp_path / "in")
+    ckpt = str(tmp_path / "ck")
+    out1 = str(tmp_path / "out1")
+    out2 = str(tmp_path / "out2")
+
+    # drain 1: two distinct texts, one duplicated in-batch
+    _rows(spark, [(1, "alpha"), (2, "beta"), (3, "alpha")]).write.mode(
+        "append"
+    ).parquet(in_dir)
+    drain_append(stream_exact_dedup(spark, in_dir, SCHEMA), out1, ckpt)
+    t1 = spark.read.parquet(out1)
+    assert t1.count() == 2
+    assert {r["text"] for r in t1.collect()} == {"alpha", "beta"}
+    # in-batch dedup keeps ONE of the 'alpha' rows
+    assert t1.filter(F.col("text") == "alpha").count() == 1
+
+    # drain 2 (restart from the same checkpoint): a replay of 'alpha', a new
+    # text, and a NULL text — state restored across restart suppresses the
+    # replay; NULL hashes through the sentinel instead of vanishing
+    _rows(spark, [(4, "alpha"), (5, "gamma"), (6, None)]).write.mode(
+        "append"
+    ).parquet(in_dir)
+    drain_append(stream_exact_dedup(spark, in_dir, SCHEMA), out2, ckpt)
+    t2 = spark.read.parquet(out2)
+    got = {r["text"] for r in t2.collect()}
+    assert got == {"gamma", None}
+    assert t2.count() == 2
+    # batch parity: the admitted set equals the batch canonical set
+    assert t1.unionByName(t2).select("content_hash").distinct().count() == 4

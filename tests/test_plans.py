@@ -227,3 +227,46 @@ def test_group_agg_has_partial_combine(spark, docs):
     tiles = rasterize.rasterize_cell_type(docs, 100.0, fun="sum")
     plan = _physical(tiles)
     assert "partial_count" in plan
+
+
+def test_capped_minhash_band_join_stays_slim(spark, docs_text):
+    """The degenerate-bucket cap (size aggregate + kept-bucket join) must not
+    widen any shuffle: with max_bucket_size set, shingle arrays still never
+    ride a shuffle exchange, and the extra exchanges carry only the slim
+    (band, bhash[, count]) columns."""
+    from seraster_spark.text import minhash_lsh_candidates
+
+    out = minhash_lsh_candidates(docs_text, verify_threshold=0.0, max_bucket_size=1000)
+    for header, fields in _exchange_schemas(out):
+        if "ShuffleExchange" in header or "hashpartitioning" in header:
+            assert not any(f in ("_sh", "sh_a", "sh_b") for f in fields), (header, fields)
+
+
+def test_knn_done_flag_reuses_rank_exchange(spark):
+    """The kNN completeness flag (count/max windows over the rank window's
+    partition key) must add NO exchange: exactly one hashpartitioning
+    shuffle feeds the whole window stack, and Spark's WindowGroupLimit
+    (map-side top-k pushdown) survives."""
+    from pyspark.sql import Window as W
+
+    df = spark.range(0, 5000).selectExpr(
+        "id AS _pid", "id % 37 AS _qid", "CAST(pmod(hash(id), 1000) AS DOUBLE) AS dist"
+    )
+    w_q = W.partitionBy("_qid")
+    ranked = (
+        df.withColumn(
+            "rank", F.row_number().over(w_q.orderBy(F.col("dist").asc(), F.col("_pid").asc()))
+        )
+        .filter(F.col("rank") <= 5)
+        .withColumn(
+            "_done",
+            (F.count(F.lit(1)).over(w_q) >= 5) & (F.max("dist").over(w_q) <= 100.0),
+        )
+    )
+    plan = _physical(ranked)
+    assert "WindowGroupLimit" in plan, plan
+    shuffles = [
+        h for h, _ in _exchange_schemas(ranked)
+        if "ShuffleExchange" in h or "hashpartitioning" in h
+    ]
+    assert len(shuffles) == 1, shuffles

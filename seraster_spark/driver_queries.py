@@ -941,6 +941,82 @@ GROUP BY gb.row_i, gb.col_i, gb.batch
 """
 
 
+def q_events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-window aggregation over the events table (§2.10 streaming
+    category, session windows): per event_type, events closer than the gap
+    merge into one session. ``F.session_window`` is the identical expression
+    the streaming path would use (stream-capable with a watermark); run here
+    in batch so DuckDB can replay it as classic gaps-and-islands. Spark
+    semantics: each event opens [ts, ts+gap); sessions merge iff they
+    OVERLAP, so a successor exactly gap away starts a NEW session (end
+    exclusive) — the oracle's new-session condition is therefore
+    ``diff >= gap``. Session end = last event + gap."""
+    e = read_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.session_window("ts", "10 minutes").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.floor(F.col("value") * 100.0)).cast("long").alias("sum_cents"),
+        )
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("session_start_epoch"),
+            F.unix_timestamp(F.col("w.end")).alias("session_end_epoch"),
+            "event_type",
+            "n_events",
+            "sum_cents",
+        )
+    )
+
+
+SQL_EVENTS_SESSIONS = """
+WITH o AS (
+  SELECT event_type, ts, value,
+         CASE WHEN lag(ts) OVER (PARTITION BY event_type ORDER BY ts) IS NULL
+                OR ts - lag(ts) OVER (PARTITION BY event_type ORDER BY ts)
+                   >= INTERVAL '10 minutes'
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+),
+s AS (
+  SELECT *, sum(is_new) OVER (PARTITION BY event_type ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS sid
+  FROM o
+)
+SELECT CAST(floor(epoch(min(ts))) AS BIGINT) AS session_start_epoch,
+       CAST(floor(epoch(max(ts) + INTERVAL '10 minutes')) AS BIGINT) AS session_end_epoch,
+       event_type, count(*) AS n_events,
+       CAST(sum(floor(value * 100.0)) AS BIGINT) AS sum_cents
+FROM s GROUP BY event_type, sid
+"""
+
+
+def q_cube_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping sets over (kind, source) — all four aggregation levels
+    in ONE pass over the data (SURVEY §2.10 'grouping sets/cube' category;
+    Spark expands the cube map-side, so the shuffle still carries partially
+    aggregated rows). grouping_id disambiguates a NULL-as-total row from a
+    NULL group value; DuckDB's GROUPING() uses the same first-arg-is-MSB
+    bitmask."""
+    d = docs_with_coords(spark, sf_dir)
+    return (
+        d.cube("kind", "source")
+        .agg(
+            F.grouping_id().cast("long").alias("gid"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("doc_id").cast("long").alias("sum_id"),
+        )
+        .select("kind", "source", "gid", "n_docs", "sum_id")
+    )
+
+
+SQL_CUBE_COUNTS = f"""
+WITH {_SQL_DOCS}
+SELECT kind, source, CAST(GROUPING(kind, source) AS BIGINT) AS gid,
+       count(*) AS n_docs, CAST(sum(doc_id) AS BIGINT) AS sum_id
+FROM d GROUP BY CUBE (kind, source)
+"""
+
+
 # text pipeline ----------------------------------------------------------------
 
 
@@ -1732,6 +1808,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "raster_restricted": q_raster_restricted,
         "spatial_join": q_spatial_join,
         "events_window": q_events_window,
+        "events_sessions": q_events_sessions,
+        "cube_counts": q_cube_counts,
         "stateful_totals": q_stateful_totals,
         "dedup_exact": q_dedup_exact,
         "token_stats": q_token_stats,
@@ -1777,6 +1855,8 @@ def oracle_sql() -> dict[str, str]:
         "raster_restricted": SQL_RASTER_RESTRICTED,
         "spatial_join": SQL_SPATIAL_JOIN,
         "events_window": SQL_EVENTS_WINDOW,
+        "events_sessions": SQL_EVENTS_SESSIONS,
+        "cube_counts": SQL_CUBE_COUNTS,
         "stateful_totals": SQL_STATEFUL_TOTALS,
         "dedup_exact": SQL_DEDUP_EXACT,
         "token_stats": SQL_TOKEN_STATS,

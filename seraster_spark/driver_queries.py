@@ -941,6 +941,44 @@ GROUP BY gb.row_i, gb.col_i, gb.batch
 """
 
 
+def q_events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SLIDING-window rollup (1 hour window, 30 min slide): every event
+    lands in exactly duration/slide = 2 windows. Completes the window-family
+    triple (tumbling `events_window`, session `events_sessions`). DuckDB
+    twin: union of the two slide-aligned bucket assignments — window starts
+    s with s ≤ ts < s+1h and s ≡ 0 (mod 30m) are exactly
+    time_bucket(30m, ts) and time_bucket(30m, ts) − 30m."""
+    e = read_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.floor(F.col("value") * 100.0)).cast("long").alias("sum_cents"),
+        )
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("window_start_epoch"),
+            "event_type",
+            "n_events",
+            "sum_cents",
+        )
+    )
+
+
+SQL_EVENTS_SLIDING = """
+WITH w AS (
+  SELECT time_bucket(INTERVAL '30 minutes', ts) AS ws, event_type, value FROM events
+  UNION ALL
+  SELECT time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes' AS ws,
+         event_type, value
+  FROM events
+)
+SELECT CAST(floor(epoch(ws)) AS BIGINT) AS window_start_epoch,
+       event_type, count(*) AS n_events,
+       CAST(sum(floor(value * 100.0)) AS BIGINT) AS sum_cents
+FROM w GROUP BY 1, 2
+"""
+
+
 def q_events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Session-window aggregation over the events table (§2.10 streaming
     category, session windows): per event_type, events closer than the gap
@@ -1808,6 +1846,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "raster_restricted": q_raster_restricted,
         "spatial_join": q_spatial_join,
         "events_window": q_events_window,
+        "events_sliding": q_events_sliding,
         "events_sessions": q_events_sessions,
         "cube_counts": q_cube_counts,
         "stateful_totals": q_stateful_totals,
@@ -1855,6 +1894,7 @@ def oracle_sql() -> dict[str, str]:
         "raster_restricted": SQL_RASTER_RESTRICTED,
         "spatial_join": SQL_SPATIAL_JOIN,
         "events_window": SQL_EVENTS_WINDOW,
+        "events_sliding": SQL_EVENTS_SLIDING,
         "events_sessions": SQL_EVENTS_SESSIONS,
         "cube_counts": SQL_CUBE_COUNTS,
         "stateful_totals": SQL_STATEFUL_TOTALS,

@@ -1028,6 +1028,34 @@ FROM s GROUP BY event_type, sid
 """
 
 
+def q_token_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT percentile aggregates per source (statistical-aggregate
+    category): median and p90 of document length. Exact percentiles are
+    sort-based with linear interpolation at rank p·(n−1) — identical
+    definition in Spark `percentile` and DuckDB `quantile_cont`, and exact
+    on integer-valued doubles (no order-dependent float summation, unlike
+    stddev/corr which are NOT bit-reproducible across partitionings)."""
+    d = read_table(spark, sf_dir, "documents")
+    nc = F.col("n_chars").cast("double")
+    return d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.percentile(nc, F.lit(0.5)).alias("p50_chars"),
+        F.percentile(nc, F.lit(0.9)).alias("p90_chars"),
+        F.min(nc).alias("min_chars"),
+        F.max(nc).alias("max_chars"),
+    )
+
+
+SQL_TOKEN_QUANTILES = """
+SELECT source, count(*) AS n_docs,
+       quantile_cont(CAST(n_chars AS DOUBLE), 0.5) AS p50_chars,
+       quantile_cont(CAST(n_chars AS DOUBLE), 0.9) AS p90_chars,
+       min(CAST(n_chars AS DOUBLE)) AS min_chars,
+       max(CAST(n_chars AS DOUBLE)) AS max_chars
+FROM documents GROUP BY source
+"""
+
+
 def q_cube_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUBE grouping sets over (kind, source) — all four aggregation levels
     in ONE pass over the data (SURVEY §2.10 'grouping sets/cube' category;
@@ -1849,6 +1877,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sliding": q_events_sliding,
         "events_sessions": q_events_sessions,
         "cube_counts": q_cube_counts,
+        "token_quantiles": q_token_quantiles,
         "stateful_totals": q_stateful_totals,
         "dedup_exact": q_dedup_exact,
         "token_stats": q_token_stats,
@@ -1897,6 +1926,7 @@ def oracle_sql() -> dict[str, str]:
         "events_sliding": SQL_EVENTS_SLIDING,
         "events_sessions": SQL_EVENTS_SESSIONS,
         "cube_counts": SQL_CUBE_COUNTS,
+        "token_quantiles": SQL_TOKEN_QUANTILES,
         "stateful_totals": SQL_STATEFUL_TOTALS,
         "dedup_exact": SQL_DEDUP_EXACT,
         "token_stats": SQL_TOKEN_STATS,

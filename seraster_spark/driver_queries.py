@@ -845,6 +845,43 @@ SELECT doc_id, 'B' AS poly_id, x, y FROM d WHERE {_sql_pip(_POLY_B)}
 """
 
 
+def q_zonal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zonal statistics — the aggregate form of the spatial join: per
+    polygon, doc count, value sum (integer-valued doubles ⇒ exact), kind
+    cardinality, and the per-zone centroid-of-points. One covering-cell
+    equi-join + one groupBy; the polygons table never exceeds broadcast
+    size. Overlapping zones count shared docs in BOTH (multi-membership,
+    same as q_spatial_join)."""
+    from .bbox import grid_spec_for
+    from .vector import spatial_join
+
+    d = docs_with_coords(spark, sf_dir)
+    spec = grid_spec_for(d, RES, square=True)
+    wc = R.assign_tiles(d, spec)
+    j = spatial_join(wc, {"A": _POLY_A, "B": _POLY_B}, spec)
+    return j.groupBy("poly_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("val").alias("sum_val"),
+        F.countDistinct("kind").alias("n_kinds"),
+        F.avg("x").alias("mean_x"),
+        F.avg("y").alias("mean_y"),
+    )
+
+
+SQL_ZONAL_STATS = f"""
+WITH {_SQL_DOCS},
+m AS (
+  SELECT doc_id, 'A' AS poly_id, x, y, val, kind FROM d WHERE {_sql_pip(_POLY_A)}
+  UNION ALL
+  SELECT doc_id, 'B' AS poly_id, x, y, val, kind FROM d WHERE {_sql_pip(_POLY_B)}
+)
+SELECT poly_id, count(*) AS n_docs, sum(val) AS sum_val,
+       CAST(count(DISTINCT kind) AS BIGINT) AS n_kinds,
+       avg(x) AS mean_x, avg(y) AS mean_y
+FROM m GROUP BY poly_id
+"""
+
+
 def q_raster_restricted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cell-type-restricted rasterization (vignette:153-157): filter to one
     kind BEFORE the pipeline — a plain pushed-down predicate."""
@@ -1873,6 +1910,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "polygon_filter": q_polygon_filter,
         "raster_restricted": q_raster_restricted,
         "spatial_join": q_spatial_join,
+        "zonal_stats": q_zonal_stats,
         "events_window": q_events_window,
         "events_sliding": q_events_sliding,
         "events_sessions": q_events_sessions,
@@ -1922,6 +1960,7 @@ def oracle_sql() -> dict[str, str]:
         "polygon_filter": SQL_POLYGON_FILTER,
         "raster_restricted": SQL_RASTER_RESTRICTED,
         "spatial_join": SQL_SPATIAL_JOIN,
+        "zonal_stats": SQL_ZONAL_STATS,
         "events_window": SQL_EVENTS_WINDOW,
         "events_sliding": SQL_EVENTS_SLIDING,
         "events_sessions": SQL_EVENTS_SESSIONS,

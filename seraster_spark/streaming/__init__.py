@@ -1,11 +1,13 @@
 from .incremental import (
     drain_available_now_to_files,
     run_available_now,
+    stream_event_sessions,
     stream_rasterize_cell_type,
 )
 
 __all__ = [
     "stream_rasterize_cell_type",
+    "stream_event_sessions",
     "run_available_now",
     "drain_available_now_to_files",
 ]

@@ -111,3 +111,32 @@ def drain_available_now_to_files(
     )
     q.awaitTermination()
     return q
+
+
+def stream_event_sessions(
+    spark: SparkSession,
+    input_path: str,
+    schema: T.StructType,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    gap: str = "10 minutes",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Streaming SESSION-window counts per key — the same `session_window`
+    expression the batch oracle query `events_sessions` checks against
+    DuckDB (merge-iff-overlap, end = last event + gap). In append mode a
+    session emits once the watermark passes its end (state evicted); the
+    no-data micro-batch after an availableNow drain advances the watermark,
+    so closed sessions emit within the drain that closed them."""
+    e = spark.readStream.schema(schema).parquet(input_path)
+    return (
+        e.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(F.col(ts_col), gap).alias("w"), key_col)
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            key_col,
+            F.col("n_events").cast("long").alias("n_events"),
+        )
+    )

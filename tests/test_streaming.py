@@ -123,3 +123,56 @@ def test_append_mode_drops_late_beyond_watermark(spark, tmp_path):
     assert 20 in emitted3
     m20 = sum(r["pixelval"] for r in out3 if r["window_start"].minute == 20)
     assert m20 == 30  # only the on-time minute-20 rows
+
+
+def test_streaming_session_windows_emit_on_close(spark, tmp_path):
+    """Session windows in TRUE streaming (append mode): a session emits only
+    once the watermark passes its end; gap-adjacent events merge into one
+    session; a later burst both closes earlier sessions and opens new state.
+    Session end = last event + gap (merge-iff-overlap — same semantics the
+    batch oracle events_sessions proves against DuckDB)."""
+    from seraster_spark.streaming import stream_event_sessions
+    from seraster_spark.streaming.incremental import drain_available_now_to_files
+
+    schema = T.StructType(
+        [
+            T.StructField("event_type", T.StringType()),
+            T.StructField("ts", T.TimestampType()),
+        ]
+    )
+    in_dir = str(tmp_path / "sess_in")
+    out_dir = str(tmp_path / "sess_out")
+    ckpt = str(tmp_path / "sess_ckpt")
+
+    def rows(pairs):
+        return spark.createDataFrame(
+            [(k, datetime.datetime(2026, 1, 1, 0, m, s)) for k, m, s in pairs], schema
+        )
+
+    def drain():
+        sdf = stream_event_sessions(
+            spark, in_dir, schema, key_col="event_type", gap="1 minute",
+            watermark="2 minutes",
+        )
+        drain_available_now_to_files(sdf, out_dir, ckpt)
+        try:
+            return spark.read.parquet(out_dir).collect()
+        except Exception:
+            return []
+
+    # 'a': three events 20s apart (one session); 'b': one event
+    rows([("a", 0, 0), ("a", 0, 20), ("a", 0, 40), ("b", 0, 0)]).write.mode(
+        "append"
+    ).parquet(in_dir)
+    assert drain() == []  # watermark hasn't passed the session ends yet
+
+    # a burst 30 min later advances the watermark past the first sessions
+    rows([("a", 30, 0)]).write.mode("append").parquet(in_dir)
+    out = drain()
+    got = {
+        (r["event_type"], r["session_start"].second, r["n_events"]) for r in out
+    }
+    assert got == {("a", 0, 3), ("b", 0, 1)}
+    # end = last event + gap: a's session [00:00:00, 00:01:40)
+    enda = [r["session_end"] for r in out if r["event_type"] == "a"][0]
+    assert (enda.minute, enda.second) == (1, 40)

@@ -97,3 +97,19 @@ def test_knn_deterministic(spark, docs, queries):
     a = knn.knn_join(docs, queries, 5, spec).toPandas().sort_values(["query_id", "rank"])
     b = knn.knn_join(docs, queries, 5, spec).toPandas().sort_values(["query_id", "rank"])
     assert (a.reset_index(drop=True)["doc_id"] == b.reset_index(drop=True)["doc_id"]).all()
+
+
+def test_knn_resolution_invariant(spark, docs, queries):
+    """The probe-grid resolution is a search-schedule knob, not a semantics
+    knob: results at a coarse and a fine grid are identical (the bench
+    density-matches the grid relying on exactly this)."""
+    coarse = grid_spec_for(docs, 200.0, square=True)
+    fine = grid_spec_for(docs, 25.0, square=True)
+    a = knn.knn_join(docs, queries, 5, coarse).toPandas().sort_values(
+        ["query_id", "rank"]
+    ).reset_index(drop=True)
+    b = knn.knn_join(docs, queries, 5, fine).toPandas().sort_values(
+        ["query_id", "rank"]
+    ).reset_index(drop=True)
+    assert (a["doc_id"] == b["doc_id"]).all()
+    assert (a["dist"] == b["dist"]).all()

@@ -209,6 +209,29 @@ def bench_queries(spark, sf_dir: str, n_docs: int):
         lambda: force(K.knn_join(docs.select("doc_id", "x", "y"), queries, 10, spec_knn)),
     )
 
+    # q6b: as-of join at corpus scale — every sampled doc (10%) matched to
+    # the latest earlier doc (by id-as-timestamp) of its kind among a 1/3
+    # subset: 2.2M rows through the ONE union+window shuffle on 16 keys
+    # (deliberately coarse keys: stresses the per-key window sort)
+    from seraster_spark.joins import asof_join
+
+    timed(
+        "asof_join",
+        lambda: force(
+            asof_join(
+                docs.filter(F.col("doc_id") % 10 == 0).select("doc_id", "kind", "x"),
+                docs.filter(F.col("doc_id") % 3 == 0).select(
+                    "kind", "doc_id",
+                    F.col("doc_id").alias("rid"), F.col("y").alias("v"),
+                ),
+                on=["kind"],
+                ts_col="doc_id",
+                right_cols=["rid", "v"],
+                tiebreak="rid",
+            ).select("doc_id", "kind", "asof_rid", "asof_v")
+        ),
+    )
+
     # table-backed ops at sf_dir
     d = read_table(spark, sf_dir, "documents")
     timed("dedup_exact", lambda: force(TX.exact_dedup(d).select("doc_id", "dup_group_size", "is_canonical")))

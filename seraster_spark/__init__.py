@@ -5,8 +5,11 @@ aggregation instead of materialized grids + spatial-index joins)."""
 
 from .bbox import BBox, compute_bbox, grid_spec_for
 from .datasets import rasterize_datasets, union_datasets
+from .focal import focal_stats, morans_i
 from .grid import GridSpec
+from .joins import asof_join
 from .knn import knn_join
+from .sketch import hash_sample, kmv_distinct, md5_uniform
 from .permutate import angle_schedule, midrange_origin, permutate_by_rotation
 from .rasterize import (
     RasterizedMatrix,
@@ -47,6 +50,12 @@ __all__ = [
     "union_datasets",
     "rasterize_datasets",
     "knn_join",
+    "asof_join",
+    "focal_stats",
+    "morans_i",
+    "kmv_distinct",
+    "md5_uniform",
+    "hash_sample",
     "spatial_join",
     "raster_algebra",
     "filter_by_polygon",

@@ -1887,6 +1887,213 @@ SQL_SIMHASH_PAIRS = _sql_simhash_pairs()
 # registry
 
 
+# ---------------------------------------------------------------------------
+# neighborhood statistics / autocorrelation (focal.py)
+
+
+def q_focal_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Focal (moving-window 3×3 queen, center included) statistics over the
+    square count raster: per existing tile, the sum/count/mean of doc counts
+    over its existing neighbors. Raster-cardinality neighborhood join —
+    constant 9× explode of the aggregated tiles, never a doc-level op."""
+    from .focal import focal_stats
+
+    t, _ = _sq_tiles(spark, sf_dir)
+    raster = t.groupBy("row_i", "col_i").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+    return focal_stats(raster, "n_docs").select(
+        "row_i", "col_i", "n_docs", "focal_sum", "focal_n", "focal_mean"
+    )
+
+
+SQL_FOCAL_MEAN = f"""
+WITH {_SQL_DOCS}, {_SQL_BBOX}, {_SQL_SQ_CELLS},
+r AS (SELECT row_i, col_i, count(*) AS n_docs FROM c GROUP BY 1, 2)
+SELECT a.row_i, a.col_i, a.n_docs,
+       CAST(sum(b.n_docs) AS BIGINT) AS focal_sum,
+       count(*) AS focal_n,
+       CAST(sum(b.n_docs) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS focal_mean
+FROM r a JOIN r b
+  ON b.row_i BETWEEN a.row_i - 1 AND a.row_i + 1
+ AND b.col_i BETWEEN a.col_i - 1 AND a.col_i + 1
+GROUP BY a.row_i, a.col_i, a.n_docs
+"""
+
+
+def q_moran_i(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global Moran's I (queen contiguity, binary weights) of the per-tile
+    doc counts. Integer-scaled deviations (n·x − Σx) keep numerator and
+    denominator exact BIGINTs; the statistic is the single final division,
+    bit-identical in DuckDB."""
+    from .focal import morans_i
+
+    t, _ = _sq_tiles(spark, sf_dir)
+    raster = t.groupBy("row_i", "col_i").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+    return morans_i(raster, "n_docs")
+
+
+SQL_MORAN_I = f"""
+WITH {_SQL_DOCS}, {_SQL_BBOX}, {_SQL_SQ_CELLS},
+r AS (SELECT row_i, col_i, CAST(count(*) AS BIGINT) AS x FROM c GROUP BY 1, 2),
+st AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS s FROM r),
+dv AS (SELECT row_i, col_i, st.n * x - st.s AS dev FROM r, st),
+dn AS (SELECT CAST(sum(dev * dev) AS BIGINT) AS den_scaled FROM dv),
+p AS (
+  SELECT CAST(count(*) AS BIGINT) AS w_sum,
+         CAST(sum(a.dev * b.dev) AS BIGINT) AS num_scaled
+  FROM dv a JOIN dv b
+    ON b.row_i BETWEEN a.row_i - 1 AND a.row_i + 1
+   AND b.col_i BETWEEN a.col_i - 1 AND a.col_i + 1
+   AND NOT (b.row_i = a.row_i AND b.col_i = a.col_i)
+)
+SELECT st.n AS n_tiles, p.w_sum, p.num_scaled, dn.den_scaled,
+       CAST(st.n * p.num_scaled AS DOUBLE)
+         / CAST(p.w_sum * dn.den_scaled AS DOUBLE) AS moran_i
+FROM st, dn, p
+"""
+
+
+# ---------------------------------------------------------------------------
+# as-of join (joins.py)
+
+
+def q_events_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join on the events stream: every purchase matched to the user's
+    most recent view at-or-before it (ties: equal-ts views visible; among
+    equal-ts views the highest event_id wins). Engine side = single-shuffle
+    union+window merge; oracle = the quadratic LEFT JOIN … QUALIFY top-1
+    formulation — genuinely independent algorithms."""
+    from .joins import asof_join
+
+    e = read_table(spark, sf_dir, "events")
+    lefts = e.filter(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+    rights = e.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    j = asof_join(
+        lefts, rights, on=["user_id"], ts_col="ts",
+        right_cols=["event_id", "value"], tiebreak="event_id",
+    )
+    return j.select(
+        "event_id",
+        "user_id",
+        F.unix_timestamp("ts").alias("ts_epoch"),
+        F.col("asof_event_id").alias("view_event_id"),
+        (F.unix_timestamp("ts") - F.unix_timestamp("asof_ts")).alias("gap_sec"),
+        F.floor(F.col("asof_value") * 100.0).cast("long").alias("view_cents"),
+    )
+
+
+SQL_EVENTS_ASOF = """
+WITH l AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+r AS (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'view'),
+m AS (
+  SELECT l.event_id, l.user_id, l.ts,
+         r.event_id AS view_event_id, r.ts AS rts, r.value,
+         row_number() OVER (PARTITION BY l.event_id
+                            ORDER BY r.ts DESC, r.event_id DESC) AS rn
+  FROM l LEFT JOIN r ON r.user_id = l.user_id AND r.ts <= l.ts
+)
+SELECT event_id, user_id,
+       CAST(floor(epoch(ts)) AS BIGINT) AS ts_epoch,
+       view_event_id,
+       CAST(floor(epoch(ts)) - floor(epoch(rts)) AS BIGINT) AS gap_sec,
+       CAST(floor(value * 100.0) AS BIGINT) AS view_cents
+FROM m WHERE rn = 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# deterministic sketches + sampling (sketch.py)
+
+_KMV_K = 128
+
+# first-15-hex-chars integer value of an md5 hex string (DuckDB side of
+# sketch.kmv_distinct's F.conv): digit-positional fold with exact shifts
+_SQL_HEX15 = """(
+  SELECT CAST(sum(
+           CAST(strpos('0123456789abcdef',
+                       substr({h}, CAST(t.r AS INTEGER) + 1, 1)) - 1 AS BIGINT)
+           << (4 * (14 - CAST(t.r AS INTEGER)))) AS BIGINT)
+  FROM range(0, 15) t(r)
+)"""
+
+_SQL_HEX8 = """(
+  SELECT CAST(sum(
+           CAST(strpos('0123456789abcdef',
+                       substr({h}, CAST(t.r AS INTEGER) + 1, 1)) - 1 AS BIGINT)
+           << (4 * (7 - CAST(t.r AS INTEGER)))) AS BIGINT)
+  FROM range(0, 8) t(r)
+)"""
+
+
+def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV distinct-count sketch of the corpus token vocabulary, alongside
+    the exact count. Deterministic md5 hashing makes the APPROXIMATE
+    estimate itself oracle-checkable bit-for-bit (HLL isn't)."""
+    from .sketch import kmv_distinct
+
+    d = read_table(spark, sf_dir, "documents")
+    toks = d.select(F.explode(TX.tokens_expr(F.col("text"))).alias("tok")).filter(
+        F.col("tok") != ""
+    )
+    sk = kmv_distinct(toks, F.col("tok"), k=_KMV_K)
+    exact = toks.agg(F.countDistinct("tok").cast("long").alias("true_distinct"))
+    return sk.crossJoin(exact)
+
+
+SQL_KMV_DISTINCT = rf"""
+WITH toks AS (
+  SELECT t.tok
+  FROM documents d,
+       unnest(regexp_split_to_array(trim(lower(d.text)), '\s+')) AS t(tok)
+  WHERE t.tok <> ''
+),
+hs AS (SELECT DISTINCT md5(tok) AS h FROM toks),
+topk AS (SELECT h FROM hs ORDER BY h LIMIT {_KMV_K}),
+kth AS (SELECT CAST(count(*) AS BIGINT) AS k_used, max(h) AS kth_hex FROM topk),
+kv AS (SELECT k_used, kth_hex,
+              {_SQL_HEX15.format(h="kth_hex")} AS kth_val
+       FROM kth)
+SELECT k_used, kth_hex, kth_val,
+       CASE WHEN k_used < {_KMV_K} THEN CAST(k_used AS DOUBLE)
+            ELSE CAST(k_used - 1 AS DOUBLE) * 1152921504606846976.0
+                   / CAST(kth_val AS DOUBLE) END AS est_distinct,
+       (SELECT CAST(count(DISTINCT tok) AS BIGINT) FROM toks) AS true_distinct
+FROM kv
+"""
+
+
+_SAMPLE_RATES = {"en": 0.5, "de": 0.25}
+_SAMPLE_DEFAULT = 0.1
+_SAMPLE_SALT = "mix1"
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified (per-language) downsample — the re-balancing
+    step of a training-data mix. Hash-threshold Bernoulli: reproducible
+    across runs, engines, and cluster sizes; map-only."""
+    from .sketch import hash_sample
+
+    d = read_table(spark, sf_dir, "documents")
+    s = hash_sample(
+        d, F.col("doc_id"), strata=F.col("lang"),
+        rates=_SAMPLE_RATES, default_rate=_SAMPLE_DEFAULT, salt=_SAMPLE_SALT,
+    )
+    return s.select("doc_id", "lang", "source")
+
+
+SQL_STRATIFIED_SAMPLE = f"""
+SELECT doc_id, lang, source FROM documents
+WHERE CAST({_SQL_HEX8.format(h="md5('mix1' || CAST(doc_id AS VARCHAR))")} AS DOUBLE)
+        / 4294967296.0
+      < CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 0.25 ELSE 0.1 END
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "bbox_pad": q_bbox_pad,
@@ -1911,6 +2118,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "raster_restricted": q_raster_restricted,
         "spatial_join": q_spatial_join,
         "zonal_stats": q_zonal_stats,
+        "focal_mean": q_focal_mean,
+        "moran_i": q_moran_i,
+        "events_asof": q_events_asof,
+        "kmv_distinct": q_kmv_distinct,
+        "stratified_sample": q_stratified_sample,
         "events_window": q_events_window,
         "events_sliding": q_events_sliding,
         "events_sessions": q_events_sessions,
@@ -1961,6 +2173,11 @@ def oracle_sql() -> dict[str, str]:
         "raster_restricted": SQL_RASTER_RESTRICTED,
         "spatial_join": SQL_SPATIAL_JOIN,
         "zonal_stats": SQL_ZONAL_STATS,
+        "focal_mean": SQL_FOCAL_MEAN,
+        "moran_i": SQL_MORAN_I,
+        "events_asof": SQL_EVENTS_ASOF,
+        "kmv_distinct": SQL_KMV_DISTINCT,
+        "stratified_sample": SQL_STRATIFIED_SAMPLE,
         "events_window": SQL_EVENTS_WINDOW,
         "events_sliding": SQL_EVENTS_SLIDING,
         "events_sessions": SQL_EVENTS_SESSIONS,

@@ -1,0 +1,166 @@
+"""Neighborhood (focal) statistics and spatial autocorrelation on square
+rasters.
+
+These extend the reference's raster-algebra family (R/main.R keeps per-pixel
+aggregates only) with the two classic "next" raster operations a spatial
+analyst reaches for: a moving-window (focal) statistic and global Moran's I.
+Both operate on the ALREADY-AGGREGATED tile table — cardinality = #tiles,
+orders of magnitude below the document table — so the quadratic-looking
+neighborhood expansion is a constant 9× explode of a small input, never a
+doc-level self-join.
+
+Scale shape:
+- ``focal_stats``: explode each tile's value to its (2r+1)² neighbor
+  coordinates (map-side, constant fan-out), one groupBy on the target
+  (row, col), one equi-join back to the raster to keep only real tiles.
+  Two slim shuffles on integer keys; payload is a single value column.
+- ``morans_i``: one global agg for (n, Σx), a broadcast of that 1-row
+  frame, the same constant-fan-out neighbor join, and two scalar aggs.
+  Everything after the raster itself is tile-cardinality.
+
+Bit-exactness: deviations are computed INTEGER-SCALED — with n tiles and
+S = Σx, the quantity n·(x_i − x̄) = n·x_i − S is an exact BIGINT, so the
+Moran numerator Σ w_ij (n·x_i − S)(n·x_j − S) and denominator
+Σ (n·x_i − S)² are exact integers (the n² factors cancel in the ratio).
+The only float op is the final single division, performed identically in
+the DuckDB oracle. Overflow bound: |n·x − S| ≤ n·max(x); the numerator sum
+is ≤ 8·n·(n·max)² — safe in int64 up to ~10⁵ tiles of count rasters
+(raise the grid resolution, i.e. fewer tiles, beyond that).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def neighbor_offsets(radius: int = 1, queen: bool = True, include_center: bool = False):
+    """(dr, dc) offsets of the focal window. ``queen`` = full square window;
+    rook keeps only axis-aligned offsets (|dr|+|dc| ≤ radius)."""
+    offs = []
+    for dr in range(-radius, radius + 1):
+        for dc in range(-radius, radius + 1):
+            if dr == 0 and dc == 0 and not include_center:
+                continue
+            if not queen and abs(dr) + abs(dc) > radius:
+                continue
+            offs.append((dr, dc))
+    return offs
+
+
+def _neighbor_contributions(
+    tiles: DataFrame,
+    value_col: str,
+    offsets: list[tuple[int, int]],
+    row_col: str = "row_i",
+    col_col: str = "col_i",
+) -> DataFrame:
+    """Each tile's value re-addressed to every window position it falls in:
+    tile t contributes to target (t.row - dr, t.col - dc) for each offset —
+    equivalently, target cell g aggregates tiles at (g.row + dr, g.col + dc).
+    Constant fan-out explode; stays map-side until the target groupBy."""
+    offs = F.array(
+        *[F.struct(F.lit(dr).alias("dr"), F.lit(dc).alias("dc")) for dr, dc in offsets]
+    )
+    o = F.explode(offs).alias("o")
+    return tiles.select(
+        (F.col(row_col) - F.col("o.dr")).alias("t_row"),
+        (F.col(col_col) - F.col("o.dc")).alias("t_col"),
+        F.col(value_col).alias("_v"),
+        o,
+    ).drop("o")
+
+
+def focal_stats(
+    tiles: DataFrame,
+    value_col: str,
+    radius: int = 1,
+    queen: bool = True,
+    include_center: bool = True,
+    row_col: str = "row_i",
+    col_col: str = "col_i",
+) -> DataFrame:
+    """Moving-window statistics over a square raster.
+
+    For every EXISTING tile, the sum / count / mean of ``value_col`` over
+    the (2·radius+1)² window centered on it, counting only neighbors that
+    exist in the raster (absent tiles are structural missing, not zero —
+    matching the engine-wide "empty pixels dropped" convention, F1).
+
+    Returns the input columns plus ``focal_sum`` (input type), ``focal_n``
+    (long) and ``focal_mean`` (double).
+    """
+    offsets = neighbor_offsets(radius=radius, queen=queen, include_center=include_center)
+    contrib = _neighbor_contributions(tiles, value_col, offsets, row_col, col_col)
+    agg = contrib.groupBy("t_row", "t_col").agg(
+        F.sum("_v").alias("focal_sum"),
+        F.count(F.lit(1)).cast("long").alias("focal_n"),
+    )
+    out = tiles.join(
+        agg,
+        (F.col(row_col) == F.col("t_row")) & (F.col(col_col) == F.col("t_col")),
+        "inner",
+    ).drop("t_row", "t_col")
+    return out.withColumn(
+        "focal_mean", F.col("focal_sum").cast("double") / F.col("focal_n").cast("double")
+    )
+
+
+def morans_i(
+    tiles: DataFrame,
+    value_col: str,
+    queen: bool = True,
+    row_col: str = "row_i",
+    col_col: str = "col_i",
+) -> DataFrame:
+    """Global Moran's I with binary contiguity weights (queen or rook).
+
+        I = (n / W) · Σ_ij w_ij (x_i − x̄)(x_j − x̄) / Σ_i (x_i − x̄)²
+
+    ``value_col`` must be integer-valued (counts): deviations are kept
+    integer-scaled (see module docstring) so num/den are exact BIGINTs and
+    the statistic is bit-deterministic across partitionings and engines.
+
+    Returns one row: (n_tiles, w_sum, num_scaled, den_scaled, moran_i).
+    """
+    offsets = neighbor_offsets(radius=1, queen=queen, include_center=False)
+    v = tiles.select(
+        F.col(row_col).alias("r"),
+        F.col(col_col).alias("c"),
+        F.col(value_col).cast("long").alias("x"),
+    )
+    stats = v.agg(
+        F.count(F.lit(1)).cast("long").alias("n_tiles"),
+        F.sum("x").cast("long").alias("s_x"),
+    )
+    # dev_i = n·x_i − S  (exact integer deviation, scaled by n)
+    dv = v.crossJoin(F.broadcast(stats)).select(
+        "r", "c", "n_tiles", (F.col("n_tiles") * F.col("x") - F.col("s_x")).alias("dev")
+    )
+    den = dv.agg(
+        F.sum(F.col("dev") * F.col("dev")).cast("long").alias("den_scaled"),
+        F.max("n_tiles").alias("n_tiles"),
+    )
+    # directed neighbor pairs: re-address each tile's dev to its neighbors,
+    # inner-join against existing tiles (w_ij = 1 iff both exist & adjacent)
+    contrib = _neighbor_contributions(
+        dv.select("r", "c", "dev"), "dev", offsets, row_col="r", col_col="c"
+    )
+    num = contrib.join(
+        dv.select(F.col("r").alias("t_row"), F.col("c").alias("t_col"), "dev"),
+        ["t_row", "t_col"],
+        "inner",
+    ).agg(
+        F.sum(F.col("_v") * F.col("dev")).cast("long").alias("num_scaled"),
+        F.count(F.lit(1)).cast("long").alias("w_sum"),
+    )
+    out = den.crossJoin(num)
+    return out.select(
+        "n_tiles",
+        "w_sum",
+        "num_scaled",
+        "den_scaled",
+        (
+            (F.col("n_tiles") * F.col("num_scaled")).cast("double")
+            / (F.col("w_sum") * F.col("den_scaled")).cast("double")
+        ).alias("moran_i"),
+    )

@@ -1,0 +1,131 @@
+"""Deterministic sketches and sampling for corpus-scale pipelines.
+
+Unlike Spark's builtin ``approx_count_distinct`` (HyperLogLog++, whose
+estimate depends on internal hashing and register layout and therefore
+cannot be cross-checked against another engine), the KMV (k-minimum-values)
+sketch here is FULLY deterministic given the hash function: both Spark and
+DuckDB compute the same lowercase-hex md5, so the sketch — and the estimate
+derived from it — is bit-identical across engines and partitionings. That
+makes an *approximate* algorithm oracle-checkable, which is the whole point.
+
+KMV estimator (Bar-Yossef et al. 2002): hash every distinct value to
+U(0,1); with h(k) the k-th smallest hash, E[h(k)] ≈ k/(D+1), so
+D̂ = (k−1)/h(k). We use the first 15 hex chars (60 bits) of md5 as the
+integer hash — md5 hex is lexicographically order-isomorphic to its value,
+so "k smallest hex strings" IS "k smallest hashes".
+
+Scale shape: a per-partition Arrow pass keeps only the k smallest DISTINCT
+hashes of each partition (``mapInPandas`` with a running numpy buffer —
+constant memory, no full-partition materialization), so only
+k × n_partitions slim rows ever reach the single final exchange; the global
+distinct-sort-limit then runs on that tiny frame. The full corpus is never
+shuffled — compare exact countDistinct, whose first phase shuffles every
+distinct value.
+
+Hash sampling: ``md5_uniform`` maps a key to U(0,1) by its first 8 hex
+chars / 2³². Used for reproducible, engine-portable Bernoulli and
+stratified sampling — the property a training-data mixing pipeline needs
+(re-running the job, on any cluster size, selects the SAME documents).
+Map-only; infinitely scalable.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame, functions as F
+
+TWO_60 = float(1 << 60)  # max of a 15-hex-char hash + 1; exact double
+TWO_32 = float(1 << 32)
+
+
+def md5_uniform(key: Column, salt: str = "") -> Column:
+    """Deterministic U(0,1) from a key: first 8 hex chars of
+    md5(salt || key) / 2³². Engine-portable (same md5, same division)."""
+    h = F.md5(F.concat(F.lit(salt), key.cast("string")))
+    return F.conv(F.substring(h, 1, 8), 16, 10).cast("long").cast("double") / F.lit(TWO_32)
+
+
+def hash_sample(
+    df: DataFrame,
+    key: Column,
+    rate: float | None = None,
+    strata: Column | None = None,
+    rates: dict[str, float] | None = None,
+    default_rate: float = 0.0,
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic Bernoulli / stratified sample: keep a row iff its
+    hash-uniform < the (stratum's) rate. With ``strata``+``rates``, each
+    stratum gets its own rate (absent strata fall back to ``default_rate``)
+    — the standard language/source re-balancing step of a training-data
+    mix. Pure filter: map-only, no shuffle, reproducible across runs and
+    cluster sizes."""
+    u = md5_uniform(key, salt=salt)
+    if strata is not None:
+        if not rates:
+            raise ValueError("strata given but no rates")
+        r: Column = F.lit(float(default_rate))
+        for s, p in sorted(rates.items()):
+            r = F.when(strata == s, F.lit(float(p))).otherwise(r)
+    else:
+        if rate is None:
+            raise ValueError("need rate= or (strata=, rates=)")
+        r = F.lit(float(rate))
+    return df.filter(u < r)
+
+
+def _partial_min_k(k: int):
+    """mapInPandas kernel: per partition, the k smallest distinct md5-hex
+    values. Running buffer stays ≤ 2k entries between batches."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        best: np.ndarray | None = None
+        for pdf in batches:
+            vals = np.unique(pdf["h"].to_numpy())  # sorted ascending
+            vals = vals[:k]
+            if best is None:
+                best = vals
+            else:
+                best = np.unique(np.concatenate([best, vals]))[:k]
+        if best is not None and len(best):
+            yield pd.DataFrame({"h": best})
+
+    return fn
+
+
+def kmv_distinct(
+    df: DataFrame, col: Column, k: int = 256, alias: str = "est_distinct"
+) -> DataFrame:
+    """KMV distinct-count sketch over ``col``. Returns ONE row:
+
+    (k_used, kth_hex, kth_val, est_distinct)
+
+    - k_used: number of hashes retained (= k, or the exact distinct count
+      when the domain is smaller than k — then the estimate IS exact).
+    - kth_hex / kth_val: the largest retained hash (hex; first-15-chars
+      integer value).
+    - est_distinct: (k−1)·2⁶⁰ / kth_val, or exactly k_used when k_used < k.
+    """
+    hashes = df.select(F.md5(col.cast("string")).alias("h")).filter(F.col("h").isNotNull())
+    partial = hashes.mapInPandas(_partial_min_k(k), schema="h string")
+    topk = partial.distinct().orderBy("h").limit(k)
+    kth = topk.agg(
+        F.count(F.lit(1)).cast("long").alias("k_used"),
+        F.max("h").alias("kth_hex"),
+    )
+    kth = kth.withColumn(
+        "kth_val", F.conv(F.substring("kth_hex", 1, 15), 16, 10).cast("long")
+    )
+    return kth.select(
+        "k_used",
+        "kth_hex",
+        "kth_val",
+        F.when(F.col("k_used") < k, F.col("k_used").cast("double"))
+        .otherwise(
+            (F.col("k_used") - 1).cast("double") * F.lit(TWO_60) / F.col("kth_val").cast("double")
+        )
+        .alias(alias),
+    )

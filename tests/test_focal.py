@@ -1,0 +1,112 @@
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from seraster_spark.focal import focal_stats, morans_i, neighbor_offsets
+
+
+def _raster(spark, cells):
+    """cells: list of (row_i, col_i, value)."""
+    return spark.createDataFrame(cells, "row_i long, col_i long, n long")
+
+
+def _numpy_focal(cells, radius=1, include_center=True):
+    vals = {(r, c): v for r, c, v in cells}
+    out = {}
+    for (r, c), v in vals.items():
+        s = cnt = 0
+        for dr in range(-radius, radius + 1):
+            for dc in range(-radius, radius + 1):
+                if dr == 0 and dc == 0 and not include_center:
+                    continue
+                if (r + dr, c + dc) in vals:
+                    s += vals[(r + dr, c + dc)]
+                    cnt += 1
+        out[(r, c)] = (s, cnt)
+    return out
+
+
+def _numpy_moran(cells, queen=True):
+    vals = {(r, c): v for r, c, v in cells}
+    xs = np.array(list(vals.values()), dtype=float)
+    xb = xs.mean()
+    offs = neighbor_offsets(queen=queen)
+    num = w = 0.0
+    for (r, c), v in vals.items():
+        for dr, dc in offs:
+            if (r + dr, c + dc) in vals:
+                num += (v - xb) * (vals[(r + dr, c + dc)] - xb)
+                w += 1
+    den = ((xs - xb) ** 2).sum()
+    return (len(xs) / w) * num / den
+
+
+CELLS = [
+    (0, 0, 5), (0, 1, 1), (0, 2, 7),
+    (1, 0, 2), (1, 2, 3),
+    (2, 0, 9), (2, 1, 4), (5, 5, 11),
+]
+
+
+def test_focal_matches_naive(spark):
+    got = {
+        (r["row_i"], r["col_i"]): (r["focal_sum"], r["focal_n"], r["focal_mean"])
+        for r in focal_stats(_raster(spark, CELLS), "n").collect()
+    }
+    want = _numpy_focal(CELLS)
+    assert set(got) == set(want)
+    for k, (s, cnt) in want.items():
+        assert got[k] == (s, cnt, s / cnt)
+
+
+def test_focal_isolated_tile_counts_itself(spark):
+    got = focal_stats(_raster(spark, CELLS), "n").filter(
+        (F.col("row_i") == 5) & (F.col("col_i") == 5)
+    ).first()
+    assert (got["focal_sum"], got["focal_n"]) == (11, 1)
+
+
+def test_focal_exclude_center_and_rook(spark):
+    out = {
+        (r["row_i"], r["col_i"]): (r["focal_sum"], r["focal_n"])
+        for r in focal_stats(
+            _raster(spark, CELLS), "n", queen=False, include_center=False
+        ).collect()
+    }
+    # (1,0): rook neighbors present = (0,0)=5, (2,0)=9
+    assert out[(1, 0)] == (14, 2)
+    # isolated tile has NO neighbors -> absent from the result (no 0-div row)
+    assert (5, 5) not in out
+
+
+def test_moran_checkerboard_is_negative(spark):
+    cells = [(r, c, 10 if (r + c) % 2 == 0 else 0) for r in range(6) for c in range(6)]
+    # rook: orthogonal neighbors always opposite-colored -> strongly negative
+    row = morans_i(_raster(spark, cells), "n", queen=False).first()
+    assert row["moran_i"] < -0.9
+    assert row["moran_i"] == pytest.approx(_numpy_moran(cells, queen=False), rel=1e-12)
+    # queen: the 4 diagonal neighbors are SAME-colored, so only mildly negative
+    qrow = morans_i(_raster(spark, cells), "n").first()
+    assert -0.2 < qrow["moran_i"] < 0.0
+    assert qrow["moran_i"] == pytest.approx(_numpy_moran(cells), rel=1e-12)
+
+
+def test_moran_smooth_gradient_is_positive(spark):
+    cells = [(r, c, r * 3 + c) for r in range(6) for c in range(6)]
+    row = morans_i(_raster(spark, cells), "n").first()
+    assert row["moran_i"] > 0.4
+    assert row["moran_i"] == pytest.approx(_numpy_moran(cells), rel=1e-12)
+
+
+def test_moran_rook_matches_naive(spark):
+    row = morans_i(_raster(spark, CELLS[:7]), "n", queen=False).first()
+    assert row["moran_i"] == pytest.approx(_numpy_moran(CELLS[:7], queen=False), rel=1e-12)
+
+
+def test_moran_partitioning_invariant(spark):
+    cells = [(r, c, (r * 7 + c * 13) % 5) for r in range(8) for c in range(8)]
+    a = morans_i(_raster(spark, cells), "n").first()
+    b = morans_i(_raster(spark, cells).repartition(7), "n").first()
+    assert (a["num_scaled"], a["den_scaled"], a["w_sum"], a["moran_i"]) == (
+        b["num_scaled"], b["den_scaled"], b["w_sum"], b["moran_i"]
+    )

@@ -1,0 +1,116 @@
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from seraster_spark.joins import asof_join
+
+
+def _frames(spark, seed=7, n_keys=5, n_left=80, n_right=120):
+    rng = np.random.default_rng(seed)
+    lpdf = pd.DataFrame(
+        {
+            "k": rng.integers(0, n_keys, n_left),
+            "ts": rng.integers(0, 1000, n_left),
+            "lid": np.arange(n_left),
+        }
+    )
+    rpdf = pd.DataFrame(
+        {
+            "k": rng.integers(0, n_keys, n_right),
+            "ts": rng.integers(0, 1000, n_right),
+            "rid": np.arange(n_right),
+            "v": rng.integers(0, 100, n_right),
+        }
+    )
+    left = spark.createDataFrame(lpdf.astype(int))
+    right = spark.createDataFrame(rpdf.astype(int))
+    return lpdf, rpdf, left, right
+
+
+def _naive_backward(lpdf, rpdf):
+    out = {}
+    for _, lrow in lpdf.iterrows():
+        cand = rpdf[(rpdf.k == lrow.k) & (rpdf.ts <= lrow.ts)]
+        if len(cand):
+            best = cand.sort_values(["ts", "rid"]).iloc[-1]
+            out[lrow.lid] = (best.rid, best.v, best.ts)
+        else:
+            out[lrow.lid] = (None, None, None)
+    return out
+
+
+def test_asof_backward_matches_naive(spark):
+    lpdf, rpdf, left, right = _frames(spark)
+    got = {
+        r["lid"]: (r["asof_rid"], r["asof_v"], r["asof_ts"])
+        for r in asof_join(
+            left, right, on=["k"], ts_col="ts", right_cols=["rid", "v"], tiebreak="rid"
+        ).collect()
+    }
+    want = _naive_backward(lpdf, rpdf)
+    assert len(got) == len(lpdf)
+    for lid, w in want.items():
+        assert got[lid] == w, f"lid={lid}"
+
+
+def test_asof_forward_matches_naive(spark):
+    lpdf, rpdf, left, right = _frames(spark, seed=11)
+    got = {
+        r["lid"]: (r["asof_rid"], r["asof_ts"])
+        for r in asof_join(
+            left, right, on=["k"], ts_col="ts", right_cols=["rid"],
+            tiebreak="rid", direction="forward",
+        ).collect()
+    }
+    for _, lrow in lpdf.iterrows():
+        cand = rpdf[(rpdf.k == lrow.k) & (rpdf.ts >= lrow.ts)]
+        if len(cand):
+            # smallest ts; ties -> highest rid wins (same rule as backward)
+            best = cand.sort_values(["ts", "rid"], ascending=[False, True]).iloc[-1]
+            assert got[lrow.lid] == (best.rid, best.ts), f"lid={lrow.lid}"
+        else:
+            assert got[lrow.lid] == (None, None)
+
+
+def test_asof_equal_ts_right_is_visible_and_highest_tiebreak_wins(spark):
+    left = spark.createDataFrame([(1, 100, 0)], "k long, ts long, lid long")
+    right = spark.createDataFrame(
+        [(1, 100, 7, 70), (1, 100, 9, 90), (1, 50, 5, 50)],
+        "k long, ts long, rid long, v long",
+    )
+    row = asof_join(
+        left, right, on=["k"], ts_col="ts", right_cols=["rid", "v"], tiebreak="rid"
+    ).first()
+    assert (row["asof_rid"], row["asof_v"]) == (9, 90)
+
+
+def test_asof_no_match_keeps_left_row_with_nulls(spark):
+    left = spark.createDataFrame([(1, 10, 0), (2, 10, 1)], "k long, ts long, lid long")
+    right = spark.createDataFrame([(1, 99, 3, 1)], "k long, ts long, rid long, v long")
+    rows = {r["lid"]: r for r in asof_join(
+        left, right, on=["k"], ts_col="ts", right_cols=["rid", "v"]
+    ).collect()}
+    assert len(rows) == 2
+    assert rows[0]["asof_rid"] is None and rows[1]["asof_rid"] is None
+
+
+def test_asof_tolerance_nulls_stale_matches(spark):
+    left = spark.createDataFrame([(1, 100, 0), (1, 500, 1)], "k long, ts long, lid long")
+    right = spark.createDataFrame([(1, 90, 3, 1)], "k long, ts long, rid long, v long")
+    rows = {r["lid"]: r for r in asof_join(
+        left, right, on=["k"], ts_col="ts", right_cols=["rid"], tolerance=F.lit(50)
+    ).collect()}
+    assert rows[0]["asof_rid"] == 3      # gap 10 <= 50
+    assert rows[1]["asof_rid"] is None   # gap 410 > 50
+
+
+def test_asof_single_shuffle_plan(spark):
+    """The whole as-of is ONE exchange (hash on the key) — no join operator,
+    no second shuffle: union is partition-local, the window sorts within
+    the single hash partitioning."""
+    _, _, left, right = _frames(spark)
+    j = asof_join(left, right, on=["k"], ts_col="ts", right_cols=["rid"], tiebreak="rid")
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan, plan

@@ -1,0 +1,104 @@
+import pytest
+from pyspark.sql import functions as F
+
+from seraster_spark.sketch import hash_sample, kmv_distinct, md5_uniform
+
+
+def _vals(spark, n, dups=1):
+    return spark.range(n).selectExpr(
+        f"concat('val_', CAST(id % {n // dups if dups > 1 else n} AS STRING)) AS s"
+    )
+
+
+def test_kmv_exact_below_k(spark):
+    df = _vals(spark, 50)
+    row = kmv_distinct(df, F.col("s"), k=128).first()
+    assert row["k_used"] == 50
+    assert row["est_distinct"] == 50.0
+
+
+def test_kmv_duplicates_dont_consume_slots(spark):
+    # 40 distinct values, each repeated 10x: still exact
+    df = _vals(spark, 400, dups=10)
+    row = kmv_distinct(df, F.col("s"), k=64).first()
+    assert row["k_used"] == 40
+    assert row["est_distinct"] == 40.0
+
+
+def test_kmv_partitioning_invariant(spark):
+    df = _vals(spark, 5000)
+    a = kmv_distinct(df.repartition(1), F.col("s"), k=256).first()
+    b = kmv_distinct(df.repartition(13), F.col("s"), k=256).first()
+    assert a["kth_hex"] == b["kth_hex"]
+    assert a["est_distinct"] == b["est_distinct"]
+
+
+def test_kmv_estimate_accuracy(spark):
+    n = 5000
+    row = kmv_distinct(_vals(spark, n), F.col("s"), k=256).first()
+    assert row["k_used"] == 256
+    # KMV relative error ~ 1/sqrt(k-2) ≈ 6.3%; allow 4 sigma
+    assert abs(row["est_distinct"] - n) / n < 0.25
+
+
+def test_md5_uniform_range_and_determinism(spark):
+    df = spark.range(1000).select(md5_uniform(F.col("id"), salt="t").alias("u"))
+    mn, mx, avg = df.agg(F.min("u"), F.max("u"), F.avg("u")).first()
+    assert 0.0 <= mn and mx < 1.0
+    assert 0.4 < avg < 0.6
+    again = spark.range(1000).select(md5_uniform(F.col("id"), salt="t").alias("u"))
+    assert df.exceptAll(again).count() == 0
+
+
+def test_hash_sample_is_monotone_in_rate(spark):
+    """Raising the rate only ADDS rows — the hash-threshold property that
+    makes sample sizes tunable without reshuffling the selection."""
+    df = spark.range(2000)
+    small = {r["id"] for r in hash_sample(df, F.col("id"), rate=0.2, salt="s").collect()}
+    big = {r["id"] for r in hash_sample(df, F.col("id"), rate=0.5, salt="s").collect()}
+    assert small <= big
+    assert 0.12 * 2000 < len(small) < 0.28 * 2000
+    assert 0.4 * 2000 < len(big) < 0.6 * 2000
+
+
+def test_hash_sample_stratified_rates(spark):
+    df = spark.range(6000).withColumn(
+        "lang", F.when(F.col("id") % 2 == 0, "en").otherwise("rare")
+    )
+    s = hash_sample(
+        df, F.col("id"), strata=F.col("lang"),
+        rates={"en": 0.1, "rare": 0.9}, default_rate=0.0, salt="mix",
+    )
+    counts = {r["lang"]: r["n"] for r in s.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert 0.05 * 3000 < counts["en"] < 0.16 * 3000
+    assert 0.84 * 3000 < counts["rare"] < 0.96 * 3000
+
+
+def test_hash_sample_partitioning_invariant(spark):
+    df = spark.range(3000)
+    a = sorted(r["id"] for r in hash_sample(df.repartition(1), F.col("id"), rate=0.3).collect())
+    b = sorted(r["id"] for r in hash_sample(df.repartition(17), F.col("id"), rate=0.3).collect())
+    assert a == b
+
+
+def test_hash_sample_requires_rate_or_strata(spark):
+    df = spark.range(10)
+    with pytest.raises(ValueError):
+        hash_sample(df, F.col("id"))
+    with pytest.raises(ValueError):
+        hash_sample(df, F.col("id"), strata=F.col("id"))
+
+
+def test_kmv_no_full_shuffle_of_hashes(spark):
+    """The pre-aggregation property: only ≤ k rows per partition reach the
+    exchange — asserted structurally: the mapInPandas sits BELOW the first
+    exchange in the plan."""
+    df = _vals(spark, 2000).repartition(8)
+    sk = kmv_distinct(df, F.col("s"), k=64)
+    plan = sk._jdf.queryExecution().executedPlan().toString()
+    # partial kernel (ArrowEvalPython/MapInPandas) must appear after the
+    # LAST exchange in the printed tree (deeper = later in string)
+    import re
+    ex = [m.start() for m in re.finditer("Exchange", plan)]
+    mp = plan.find("MapInPandas")
+    assert mp > ex[0], plan

@@ -5,7 +5,7 @@ aggregation instead of materialized grids + spatial-index joins)."""
 
 from .bbox import BBox, compute_bbox, grid_spec_for
 from .datasets import rasterize_datasets, union_datasets
-from .focal import focal_stats, morans_i
+from .focal import binomial_kernel, focal_stats, getis_ord_gi_star, morans_i
 from .grid import GridSpec
 from .joins import asof_join
 from .knn import knn_join
@@ -51,7 +51,9 @@ __all__ = [
     "rasterize_datasets",
     "knn_join",
     "asof_join",
+    "binomial_kernel",
     "focal_stats",
+    "getis_ord_gi_star",
     "morans_i",
     "kmv_distinct",
     "md5_uniform",

@@ -1151,6 +1151,48 @@ FROM h GROUP BY source
 """
 
 
+_DUP_SUFFIX = " near duplicate suffix"
+
+
+def q_incremental_new(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingestion dedup: an incoming batch = mutated copies of
+    every 10th doc (genuinely new content) ∪ verbatim re-ingests of every
+    5th doc (duplicates of history). Only the mutated docs survive the
+    content-hash anti-join against the historical corpus."""
+    d = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    incoming = (
+        d.filter(F.col("doc_id") % 10 == 0)
+        .select(
+            (F.col("doc_id") + 1000000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(_DUP_SUFFIX)).alias("text"),
+        )
+        .unionByName(
+            d.filter(F.col("doc_id") % 5 == 0).select(
+                (F.col("doc_id") + 2000000).alias("doc_id"), "text"
+            )
+        )
+    )
+    return TX.new_documents(incoming, d).select("doc_id", "content_hash")
+
+
+SQL_INCREMENTAL_NEW = f"""
+WITH inc AS (
+  SELECT doc_id + 1000000 AS doc_id, text || '{_DUP_SUFFIX}' AS text
+  FROM documents WHERE doc_id % 10 = 0
+  UNION ALL
+  SELECT doc_id + 2000000 AS doc_id, text
+  FROM documents WHERE doc_id % 5 = 0
+)
+SELECT i.doc_id, coalesce(md5(i.text), '__null_text__') AS content_hash
+FROM inc i
+WHERE NOT EXISTS (
+  SELECT 1 FROM documents h
+  WHERE coalesce(md5(h.text), '__null_text__')
+      = coalesce(md5(i.text), '__null_text__')
+)
+"""
+
+
 def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = read_table(spark, sf_dir, "documents")
     t = TX.token_count(d)
@@ -1268,9 +1310,6 @@ SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= 5
 # The production defaults use xxhash64 / numpy gaussian planes (faster but
 # Spark-only); these driver queries run the md5 / integer-plane variants so
 # DuckDB can reproduce them bit-for-bit. The xxhash paths are pytest-verified.
-
-_DUP_SUFFIX = " near duplicate suffix"
-
 
 def _dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents ∪ mutated copies of every 10th doc — seeds genuine near-
@@ -1921,6 +1960,80 @@ GROUP BY a.row_i, a.col_i, a.n_docs
 """
 
 
+def q_focal_gauss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted focal smoothing with the integer binomial 1-2-1⊗1-2-1
+    kernel (center 4, edges 2, corners 1) — kernel smoothing with exact
+    integer weights, so the smoothed surface is oracle-checkable. The SQL
+    twin derives the same weights arithmetically: w = (2−|Δrow|)·(2−|Δcol|)."""
+    from .focal import binomial_kernel, focal_stats
+
+    t, _ = _sq_tiles(spark, sf_dir)
+    raster = t.groupBy("row_i", "col_i").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+    return focal_stats(raster, "n_docs", kernel=binomial_kernel(1)).select(
+        "row_i", "col_i", "n_docs", "focal_sum", "focal_n", "focal_mean"
+    )
+
+
+SQL_FOCAL_GAUSS = f"""
+WITH {_SQL_DOCS}, {_SQL_BBOX}, {_SQL_SQ_CELLS},
+r AS (SELECT row_i, col_i, count(*) AS n_docs FROM c GROUP BY 1, 2)
+SELECT a.row_i, a.col_i, a.n_docs,
+       CAST(sum(b.n_docs * (2 - abs(a.row_i - b.row_i))
+                         * (2 - abs(a.col_i - b.col_i))) AS BIGINT) AS focal_sum,
+       CAST(sum((2 - abs(a.row_i - b.row_i))
+              * (2 - abs(a.col_i - b.col_i))) AS BIGINT) AS focal_n,
+       CAST(sum(b.n_docs * (2 - abs(a.row_i - b.row_i))
+                         * (2 - abs(a.col_i - b.col_i))) AS DOUBLE)
+         / CAST(sum((2 - abs(a.row_i - b.row_i))
+                  * (2 - abs(a.col_i - b.col_i))) AS DOUBLE) AS focal_mean
+FROM r a JOIN r b
+  ON b.row_i BETWEEN a.row_i - 1 AND a.row_i + 1
+ AND b.col_i BETWEEN a.col_i - 1 AND a.col_i + 1
+GROUP BY a.row_i, a.col_i, a.n_docs
+"""
+
+
+def q_gi_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Getis-Ord Gi* hot-spot z-score per tile of the count raster (queen
+    window incl. self). Integer-scaled numerator A = n·Σ_w x − S·m and
+    variance core D = (n·S2 − S²)·m·(n−m) are exact BIGINTs; the z-score
+    is two divisions + one sqrt in the same order both engines."""
+    from .focal import getis_ord_gi_star
+
+    t, _ = _sq_tiles(spark, sf_dir)
+    raster = t.groupBy("row_i", "col_i").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+    return getis_ord_gi_star(raster, "n_docs")
+
+
+SQL_GI_STAR = f"""
+WITH {_SQL_DOCS}, {_SQL_BBOX}, {_SQL_SQ_CELLS},
+r AS (SELECT row_i, col_i, CAST(count(*) AS BIGINT) AS n_docs FROM c GROUP BY 1, 2),
+st AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(n_docs) AS BIGINT) AS s,
+              CAST(sum(n_docs * n_docs) AS BIGINT) AS s2 FROM r),
+w AS (
+  SELECT a.row_i, a.col_i, a.n_docs,
+         CAST(sum(b.n_docs) AS BIGINT) AS wsum,
+         count(*) AS window_n
+  FROM r a JOIN r b
+    ON b.row_i BETWEEN a.row_i - 1 AND a.row_i + 1
+   AND b.col_i BETWEEN a.col_i - 1 AND a.col_i + 1
+  GROUP BY a.row_i, a.col_i, a.n_docs
+)
+SELECT w.row_i, w.col_i, w.n_docs, w.window_n,
+       st.n * w.wsum - st.s * w.window_n AS a_scaled,
+       (st.n * st.s2 - st.s * st.s) * w.window_n * (st.n - w.window_n) AS d_scaled,
+       CAST(st.n * w.wsum - st.s * w.window_n AS DOUBLE)
+         / sqrt(CAST((st.n * st.s2 - st.s * st.s) * w.window_n * (st.n - w.window_n)
+                     AS DOUBLE)
+                / CAST(st.n - 1 AS DOUBLE)) AS gi_star
+FROM w, st
+"""
+
+
 def q_moran_i(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Global Moran's I (queen contiguity, binary weights) of the per-tile
     doc counts. Integer-scaled deviations (n·x − Σx) keep numerator and
@@ -2119,7 +2232,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spatial_join": q_spatial_join,
         "zonal_stats": q_zonal_stats,
         "focal_mean": q_focal_mean,
+        "focal_gauss": q_focal_gauss,
         "moran_i": q_moran_i,
+        "gi_star": q_gi_star,
         "events_asof": q_events_asof,
         "kmv_distinct": q_kmv_distinct,
         "stratified_sample": q_stratified_sample,
@@ -2130,6 +2245,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_quantiles": q_token_quantiles,
         "stateful_totals": q_stateful_totals,
         "dedup_exact": q_dedup_exact,
+        "incremental_new": q_incremental_new,
         "token_stats": q_token_stats,
         "lang_markers": q_lang_markers,
         "fingerprint": q_fingerprint,
@@ -2174,7 +2290,9 @@ def oracle_sql() -> dict[str, str]:
         "spatial_join": SQL_SPATIAL_JOIN,
         "zonal_stats": SQL_ZONAL_STATS,
         "focal_mean": SQL_FOCAL_MEAN,
+        "focal_gauss": SQL_FOCAL_GAUSS,
         "moran_i": SQL_MORAN_I,
+        "gi_star": SQL_GI_STAR,
         "events_asof": SQL_EVENTS_ASOF,
         "kmv_distinct": SQL_KMV_DISTINCT,
         "stratified_sample": SQL_STRATIFIED_SAMPLE,
@@ -2185,6 +2303,7 @@ def oracle_sql() -> dict[str, str]:
         "token_quantiles": SQL_TOKEN_QUANTILES,
         "stateful_totals": SQL_STATEFUL_TOTALS,
         "dedup_exact": SQL_DEDUP_EXACT,
+        "incremental_new": SQL_INCREMENTAL_NEW,
         "token_stats": SQL_TOKEN_STATS,
         "lang_markers": SQL_LANG_MARKERS,
         "fingerprint": SQL_FINGERPRINT,

@@ -47,25 +47,45 @@ def neighbor_offsets(radius: int = 1, queen: bool = True, include_center: bool =
     return offs
 
 
+def binomial_kernel(radius: int = 1) -> list[tuple[int, int, int]]:
+    """Separable integer binomial (Gaussian-approximating) kernel:
+    w(dr, dc) = C(2r, r+dr) · C(2r, r+dc). Radius 1 = the classic
+    1-2-1 ⊗ 1-2-1 smoothing stencil (center 4, edges 2, corners 1)."""
+    from math import comb
+
+    return [
+        (dr, dc, comb(2 * radius, radius + dr) * comb(2 * radius, radius + dc))
+        for dr in range(-radius, radius + 1)
+        for dc in range(-radius, radius + 1)
+    ]
+
+
 def _neighbor_contributions(
     tiles: DataFrame,
     value_col: str,
-    offsets: list[tuple[int, int]],
+    offsets: list[tuple[int, int]] | list[tuple[int, int, int]],
     row_col: str = "row_i",
     col_col: str = "col_i",
 ) -> DataFrame:
     """Each tile's value re-addressed to every window position it falls in:
     tile t contributes to target (t.row - dr, t.col - dc) for each offset —
-    equivalently, target cell g aggregates tiles at (g.row + dr, g.col + dc).
-    Constant fan-out explode; stays map-side until the target groupBy."""
+    equivalently, target cell g aggregates tiles at (g.row + dr, g.col + dc)
+    weighted w(dr, dc). Constant fan-out explode; stays map-side until the
+    target groupBy. Offsets are (dr, dc) pairs (weight 1) or weighted
+    (dr, dc, w) triples."""
+    triples = [o if len(o) == 3 else (*o, 1) for o in offsets]
     offs = F.array(
-        *[F.struct(F.lit(dr).alias("dr"), F.lit(dc).alias("dc")) for dr, dc in offsets]
+        *[
+            F.struct(F.lit(dr).alias("dr"), F.lit(dc).alias("dc"), F.lit(w).alias("w"))
+            for dr, dc, w in triples
+        ]
     )
     o = F.explode(offs).alias("o")
     return tiles.select(
         (F.col(row_col) - F.col("o.dr")).alias("t_row"),
         (F.col(col_col) - F.col("o.dc")).alias("t_col"),
-        F.col(value_col).alias("_v"),
+        (F.col(value_col) * F.col("o.w")).alias("_v"),
+        F.col("o.w").alias("_w"),
         o,
     ).drop("o")
 
@@ -76,24 +96,32 @@ def focal_stats(
     radius: int = 1,
     queen: bool = True,
     include_center: bool = True,
+    kernel: list[tuple[int, int, int]] | None = None,
     row_col: str = "row_i",
     col_col: str = "col_i",
 ) -> DataFrame:
     """Moving-window statistics over a square raster.
 
-    For every EXISTING tile, the sum / count / mean of ``value_col`` over
-    the (2·radius+1)² window centered on it, counting only neighbors that
-    exist in the raster (absent tiles are structural missing, not zero —
-    matching the engine-wide "empty pixels dropped" convention, F1).
+    For every EXISTING tile, the (weighted) sum / weight-total / mean of
+    ``value_col`` over the (2·radius+1)² window centered on it, counting
+    only neighbors that exist in the raster (absent tiles are structural
+    missing, not zero — matching the engine-wide "empty pixels dropped"
+    convention, F1). ``kernel`` = explicit weighted (dr, dc, w) stencil
+    (e.g. ``binomial_kernel(1)`` for 1-2-1 smoothing); default = uniform
+    weight 1 over the queen/rook window, where ``focal_n`` reduces to the
+    plain neighbor count and ``focal_mean`` to the unweighted mean.
 
-    Returns the input columns plus ``focal_sum`` (input type), ``focal_n``
-    (long) and ``focal_mean`` (double).
+    Returns the input columns plus ``focal_sum`` (Σ w·v, input type),
+    ``focal_n`` (Σ w over existing neighbors, long) and ``focal_mean``
+    (focal_sum / focal_n, double).
     """
-    offsets = neighbor_offsets(radius=radius, queen=queen, include_center=include_center)
+    offsets = kernel if kernel is not None else neighbor_offsets(
+        radius=radius, queen=queen, include_center=include_center
+    )
     contrib = _neighbor_contributions(tiles, value_col, offsets, row_col, col_col)
     agg = contrib.groupBy("t_row", "t_col").agg(
         F.sum("_v").alias("focal_sum"),
-        F.count(F.lit(1)).cast("long").alias("focal_n"),
+        F.sum("_w").cast("long").alias("focal_n"),
     )
     out = tiles.join(
         agg,
@@ -103,6 +131,72 @@ def focal_stats(
     return out.withColumn(
         "focal_mean", F.col("focal_sum").cast("double") / F.col("focal_n").cast("double")
     )
+
+
+def getis_ord_gi_star(
+    tiles: DataFrame,
+    value_col: str,
+    queen: bool = True,
+    row_col: str = "row_i",
+    col_col: str = "col_i",
+) -> DataFrame:
+    """Getis-Ord Gi* hot-spot z-scores with binary contiguity weights
+    (the window INCLUDES the focal tile — that's the * in Gi*):
+
+        Gi*_i = (Σ_{j∈w(i)} x_j − x̄·m_i) / (s·√((n·m_i − m_i²)/(n−1)))
+
+    with m_i = window size, s = population std dev. Exactness: with
+    A_i = n·Σ_w x − S·m_i and B = n·S2 − S² (both exact BIGINTs from
+    integer ``value_col``), the z-score reduces to
+
+        z_i = A_i / √(B·m_i·(n−m_i)/(n−1))
+
+    — two divisions and one IEEE-correctly-rounded sqrt, performed in the
+    same order as the SQL oracle, hence bit-identical. Degenerate cases
+    (constant raster B=0, or a window covering every tile m_i=n) yield
+    NULL/NaN z, as the statistic is undefined there.
+
+    Scale: one ``focal_stats`` pass (two tile-cardinality shuffles) + a
+    broadcast 1-row global-stats join. int64 bound: B·m_i·n must stay
+    below ~9·10¹⁸ — holds for count rasters up to ~10⁵ tiles.
+    """
+    f = focal_stats(
+        tiles.select(
+            F.col(row_col), F.col(col_col), F.col(value_col).cast("long").alias("_x")
+        ),
+        "_x",
+        queen=queen,
+        include_center=True,
+        row_col=row_col,
+        col_col=col_col,
+    )
+    st = tiles.agg(
+        F.count(F.lit(1)).cast("long").alias("_n"),
+        F.sum(F.col(value_col).cast("long")).cast("long").alias("_s"),
+        F.sum(F.col(value_col).cast("long") * F.col(value_col).cast("long"))
+        .cast("long")
+        .alias("_s2"),
+    )
+    j = f.crossJoin(F.broadcast(st))
+    a = (F.col("_n") * F.col("focal_sum") - F.col("_s") * F.col("focal_n")).alias(
+        "a_scaled"
+    )
+    b = F.col("_n") * F.col("_s2") - F.col("_s") * F.col("_s")
+    d = (b * F.col("focal_n") * (F.col("_n") - F.col("focal_n"))).alias("d_scaled")
+    out = j.select(
+        F.col(row_col),
+        F.col(col_col),
+        F.col("_x").alias(value_col),
+        F.col("focal_n").alias("window_n"),
+        a,
+        d,
+        (F.col("_n") - 1).cast("double").alias("_nm1"),
+    )
+    return out.withColumn(
+        "gi_star",
+        F.col("a_scaled").cast("double")
+        / F.sqrt(F.col("d_scaled").cast("double") / F.col("_nm1")),
+    ).drop("_nm1")
 
 
 def morans_i(

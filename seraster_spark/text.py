@@ -241,6 +241,30 @@ def exact_dedup(
     return df.join(ann, id_col)
 
 
+def new_documents(
+    incoming: DataFrame, historical: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """Incremental ingestion dedup: the incoming rows whose content hash
+    does not appear in the historical corpus (the daily-batch counterpart
+    of ``exact_dedup`` — dedup *against a snapshot* instead of within one).
+
+    100 TB shape: the historical side collapses to DISTINCT content hashes
+    before the anti-join — a hash-only shuffle with map-side combine; no
+    payload from either side rides the exchange (the anti-join output is
+    resolved on the slim hash key, and Catalyst prunes incoming payload
+    columns the consumer doesn't select). When the incoming batch is small
+    relative to history, AQE broadcast-flips the join automatically.
+    NULL text hashes through the same sentinel as ``exact_dedup`` so NULL
+    incoming docs dedup against NULL historical docs instead of slipping
+    through md5(NULL)=NULL.
+    """
+    h = F.coalesce(F.md5(F.col(text_col)), F.lit("__null_text__"))
+    seen = historical.select(h.alias("content_hash")).distinct()
+    return incoming.withColumn("content_hash", h).join(
+        seen, "content_hash", "left_anti"
+    )
+
+
 # ---------------------------------------------------------------------------
 # shingles + MinHash + LSH
 

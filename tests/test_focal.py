@@ -79,6 +79,29 @@ def test_focal_exclude_center_and_rook(spark):
     assert (5, 5) not in out
 
 
+def test_focal_binomial_kernel_matches_naive(spark):
+    from seraster_spark.focal import binomial_kernel
+
+    kern = {(dr, dc): w for dr, dc, w in binomial_kernel(1)}
+    assert kern[(0, 0)] == 4 and kern[(0, 1)] == 2 and kern[(1, 1)] == 1
+    got = {
+        (r["row_i"], r["col_i"]): (r["focal_sum"], r["focal_n"])
+        for r in focal_stats(_raster(spark, CELLS), "n", kernel=binomial_kernel(1)).collect()
+    }
+    vals = {(r, c): v for r, c, v in CELLS}
+    for (r, c), v in vals.items():
+        s = sum(w * vals[(r + dr, c + dc)] for (dr, dc), w in kern.items() if (r + dr, c + dc) in vals)
+        n = sum(w for (dr, dc), w in kern.items() if (r + dr, c + dc) in vals)
+        assert got[(r, c)] == (s, n), (r, c)
+
+
+def test_focal_uniform_kernel_equals_default(spark):
+    uni = [(dr, dc, 1) for dr in (-1, 0, 1) for dc in (-1, 0, 1)]
+    a = sorted(map(tuple, focal_stats(_raster(spark, CELLS), "n").collect()))
+    b = sorted(map(tuple, focal_stats(_raster(spark, CELLS), "n", kernel=uni).collect()))
+    assert a == b
+
+
 def test_moran_checkerboard_is_negative(spark):
     cells = [(r, c, 10 if (r + c) % 2 == 0 else 0) for r in range(6) for c in range(6)]
     # rook: orthogonal neighbors always opposite-colored -> strongly negative
@@ -101,6 +124,33 @@ def test_moran_smooth_gradient_is_positive(spark):
 def test_moran_rook_matches_naive(spark):
     row = morans_i(_raster(spark, CELLS[:7]), "n", queen=False).first()
     assert row["moran_i"] == pytest.approx(_numpy_moran(CELLS[:7], queen=False), rel=1e-12)
+
+
+def test_gi_star_matches_naive_and_flags_hotspot(spark):
+    from seraster_spark.focal import getis_ord_gi_star
+
+    # flat field of 1s with a 2x2 block of 50s: the block must be the top z
+    cells = [(r, c, 50 if (r in (2, 3) and c in (2, 3)) else 1)
+             for r in range(8) for c in range(8)]
+    vals = {(r, c): v for r, c, v in cells}
+    xs = np.array([v for _, _, v in cells], dtype=float)
+    n, xb, s = len(xs), xs.mean(), xs.std()  # population std
+
+    def naive(r, c):
+        w = [(r + dr, c + dc) for dr in (-1, 0, 1) for dc in (-1, 0, 1)
+             if (r + dr, c + dc) in vals]
+        m = len(w)
+        return (sum(vals[p] for p in w) - xb * m) / (
+            s * np.sqrt((n * m - m * m) / (n - 1))
+        )
+
+    got = {(r["row_i"], r["col_i"]): r["gi_star"]
+           for r in getis_ord_gi_star(_raster(spark, cells), "n").collect()}
+    for (r, c), z in got.items():
+        assert z == pytest.approx(naive(r, c), rel=1e-10), (r, c)
+    hot = max(got, key=got.get)
+    assert hot in {(2, 2), (2, 3), (3, 2), (3, 3)}
+    assert got[hot] > 4.0
 
 
 def test_moran_partitioning_invariant(spark):

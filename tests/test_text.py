@@ -401,3 +401,28 @@ def test_star_components_long_path(spark):
     got = X.connected_components_star(pairs, max_iter=12).collect()
     assert len(got) == 200
     assert all(r["component"] == 0 for r in got)
+
+
+def test_new_documents_anti_join(spark):
+    hist = spark.createDataFrame(
+        [(1, "alpha"), (2, "beta"), (3, None)], "doc_id long, text string"
+    )
+    inc = spark.createDataFrame(
+        [(10, "alpha"), (11, "gamma"), (12, None), (13, "beta"), (14, "delta")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"] for r in X.new_documents(inc, hist).collect()}
+    # alpha/beta verbatim re-ingests and the NULL doc dedup away
+    assert got == {11, 14}
+
+
+def test_new_documents_slim_shuffle(spark):
+    """The text payload must not ride the anti-join exchange — only the
+    content hash does."""
+    hist = spark.createDataFrame([(1, "a" * 1000)], "doc_id long, text string")
+    inc = spark.createDataFrame([(2, "b" * 1000)], "doc_id long, text string")
+    out = X.new_documents(inc, hist).select("doc_id")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    import re
+    for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
+        assert "text" not in m.group(1), plan

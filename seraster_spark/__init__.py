@@ -7,7 +7,7 @@ from .bbox import BBox, compute_bbox, grid_spec_for
 from .datasets import rasterize_datasets, union_datasets
 from .focal import binomial_kernel, focal_stats, getis_ord_gi_star, morans_i
 from .grid import GridSpec
-from .joins import asof_join
+from .joins import asof_join, interval_join
 from .knn import knn_join
 from .sketch import hash_sample, kmv_distinct, md5_uniform
 from .permutate import angle_schedule, midrange_origin, permutate_by_rotation
@@ -51,6 +51,7 @@ __all__ = [
     "rasterize_datasets",
     "knn_join",
     "asof_join",
+    "interval_join",
     "binomial_kernel",
     "focal_stats",
     "getis_ord_gi_star",

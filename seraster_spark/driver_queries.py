@@ -2119,6 +2119,53 @@ FROM m WHERE rn = 1
 """
 
 
+def q_events_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (interval-containment) join: events × 48 overlapping analysis
+    windows (1.5 h long, 1 h stride, anchored at the corpus min-ts). Engine
+    side = the bucketed equi-join (joins.interval_join, bucket 30 min, each
+    interval explodes to ≤4 buckets); oracle = the plain inequality join.
+    Integer epoch seconds keep containment decisions engine-identical."""
+    from .joins import interval_join
+
+    e = read_table(spark, sf_dir, "events")
+    points = e.select(
+        F.unix_timestamp("ts").alias("tse"), "event_type", "value", "user_id"
+    )
+    tmin = e.agg(F.min(F.unix_timestamp("ts")).alias("tmin"))
+    intervals = (
+        spark.range(48)
+        .crossJoin(F.broadcast(tmin))
+        .select(
+            F.col("id").alias("window_id"),
+            (F.col("tmin") + F.col("id") * 3600).alias("istart"),
+            (F.col("tmin") + F.col("id") * 3600 + 5400).alias("iend"),
+        )
+    )
+    j = interval_join(points, intervals, "tse", "istart", "iend", bucket=1800.0)
+    return j.groupBy("window_id", F.col("istart").alias("start_epoch")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").cast("long").alias("n_users"),
+        F.sum(F.floor(F.col("value") * 100.0)).cast("long").alias("sum_cents"),
+    )
+
+
+SQL_EVENTS_INTERVALS = """
+WITH tm AS (SELECT CAST(floor(epoch(min(ts))) AS BIGINT) AS tmin FROM events),
+iv AS (SELECT CAST(t.r AS BIGINT) AS window_id,
+              tmin + CAST(t.r AS BIGINT) * 3600 AS istart,
+              tmin + CAST(t.r AS BIGINT) * 3600 + 5400 AS iend
+       FROM tm, range(0, 48) t(r)),
+p AS (SELECT CAST(floor(epoch(ts)) AS BIGINT) AS tse, event_type, value, user_id
+      FROM events)
+SELECT iv.window_id, iv.istart AS start_epoch,
+       count(*) AS n_events,
+       CAST(count(DISTINCT p.user_id) AS BIGINT) AS n_users,
+       CAST(sum(floor(p.value * 100.0)) AS BIGINT) AS sum_cents
+FROM iv JOIN p ON p.tse >= iv.istart AND p.tse < iv.iend
+GROUP BY 1, 2
+"""
+
+
 # ---------------------------------------------------------------------------
 # deterministic sketches + sampling (sketch.py)
 
@@ -2236,6 +2283,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "moran_i": q_moran_i,
         "gi_star": q_gi_star,
         "events_asof": q_events_asof,
+        "events_intervals": q_events_intervals,
         "kmv_distinct": q_kmv_distinct,
         "stratified_sample": q_stratified_sample,
         "events_window": q_events_window,
@@ -2294,6 +2342,7 @@ def oracle_sql() -> dict[str, str]:
         "moran_i": SQL_MORAN_I,
         "gi_star": SQL_GI_STAR,
         "events_asof": SQL_EVENTS_ASOF,
+        "events_intervals": SQL_EVENTS_INTERVALS,
         "kmv_distinct": SQL_KMV_DISTINCT,
         "stratified_sample": SQL_STRATIFIED_SAMPLE,
         "events_window": SQL_EVENTS_WINDOW,

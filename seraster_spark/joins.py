@@ -32,6 +32,82 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
 
+def interval_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    ts_col: str,
+    start_col: str,
+    end_col: str,
+    bucket: float,
+    on: list[str] | None = None,
+    how: str = "inner",
+) -> DataFrame:
+    """Range (interval-containment) join: each point row matched to every
+    interval with ``start <= ts < end`` (optionally also equal on ``on``
+    keys). The 1D-temporal analog of the engine's covering-cells spatial
+    join: a naive ``ON ts BETWEEN start AND end`` is a cross product that
+    Spark can only nested-loop; instead both sides are mapped to coarse
+    time buckets of width ``bucket`` — intervals EXPLODE to the buckets
+    they overlap (constant fan-out ≈ length/bucket + 1), points map to
+    exactly one bucket — and the match becomes a hash equi-join on
+    (bucket, *on) with the precise containment as a post-filter. Each
+    qualifying (point, interval) pair meets in exactly one bucket (the
+    point's), so no dedup pass is needed.
+
+    Pick ``bucket`` near the TYPICAL interval length: fan-out stays O(1)
+    while each bucket's candidate set stays local. A pathological interval
+    spanning the whole timeline explodes to timeline/bucket rows — cap
+    outliers upstream or route them through a broadcast side-channel.
+
+    ``how='inner'`` keeps matched pairs; ``'left'`` keeps unmatched points
+    with NULL interval columns (resolved by a slim anti-join on the point
+    side, so the wide point payload still rides the exchange once).
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"how must be inner|left, got {how!r}")
+    on = on or []
+    pb = points.withColumn("_bkt", F.floor(F.col(ts_col).cast("double") / bucket))
+    # empty/inverted intervals match nothing under half-open semantics; drop
+    # them BEFORE the explode (F.sequence would otherwise step backwards)
+    intervals = intervals.filter(F.col(end_col) > F.col(start_col))
+    ib = intervals.withColumn(
+        "_bkt",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(start_col).cast("double") / bucket),
+                # end is EXCLUSIVE: an interval ending exactly on a bucket
+                # boundary does not reach into that bucket
+                F.floor(
+                    (F.col(end_col).cast("double") - 1e-9) / bucket
+                ),
+            )
+        ),
+    )
+    cond = [pb["_bkt"] == ib["_bkt"]] + [pb[k] == ib[k] for k in on]
+    matched = (
+        pb.join(ib, cond, "inner")
+        .filter(
+            (pb[ts_col] >= ib[start_col]) & (pb[ts_col] < ib[end_col])
+        )
+        .drop(ib["_bkt"])
+        .drop(pb["_bkt"])
+    )
+    for k in on:
+        matched = matched.drop(ib[k])
+    if how == "inner":
+        return matched
+    # left: re-attach points that matched nothing
+    unmatched = points.join(
+        matched.select(*[F.col(c) for c in points.columns]).distinct(),
+        points.columns,
+        "left_anti",
+    )
+    for c in matched.columns:
+        if c not in points.columns:
+            unmatched = unmatched.withColumn(c, F.lit(None).cast(matched.schema[c].dataType))
+    return matched.unionByName(unmatched)
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,

@@ -114,3 +114,89 @@ def test_asof_single_shuffle_plan(spark):
     plan = j._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange hashpartitioning") == 1, plan
     assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan, plan
+
+
+# --- interval (range) join -------------------------------------------------
+
+from seraster_spark.joins import interval_join
+
+
+def _interval_frames(spark, seed=3):
+    rng = np.random.default_rng(seed)
+    pts = pd.DataFrame({
+        "ts": rng.integers(0, 500, 120),
+        "pid": np.arange(120),
+        "k": rng.integers(0, 3, 120),
+    })
+    sta = rng.integers(0, 480, 25)
+    iv = pd.DataFrame({
+        "istart": sta,
+        "iend": sta + rng.integers(0, 60, 25),  # some empty (len 0)
+        "iid": np.arange(25),
+        "k": rng.integers(0, 3, 25),
+    })
+    return pts, iv, spark.createDataFrame(pts.astype(int)), spark.createDataFrame(iv.astype(int))
+
+
+def _naive_pairs(pts, iv, keyed=False):
+    out = set()
+    for _, p in pts.iterrows():
+        for _, i in iv.iterrows():
+            if i.istart <= p.ts < i.iend and (not keyed or p.k == i.k):
+                out.add((p.pid, i.iid))
+    return out
+
+
+def test_interval_join_matches_naive(spark):
+    pts, iv, P, I = _interval_frames(spark)
+    got = {(r["pid"], r["iid"]) for r in interval_join(
+        P, I.drop("k"), "ts", "istart", "iend", bucket=32.0
+    ).collect()}
+    assert got == _naive_pairs(pts, iv)
+
+
+def test_interval_join_bucket_width_invariant(spark):
+    pts, iv, P, I = _interval_frames(spark, seed=9)
+    want = _naive_pairs(pts, iv)
+    for b in (7.0, 50.0, 1000.0):
+        got = {(r["pid"], r["iid"]) for r in interval_join(
+            P, I.drop("k"), "ts", "istart", "iend", bucket=b
+        ).collect()}
+        assert got == want, f"bucket={b}"
+
+
+def test_interval_join_extra_key(spark):
+    pts, iv, P, I = _interval_frames(spark, seed=5)
+    got = {(r["pid"], r["iid"]) for r in interval_join(
+        P, I, "ts", "istart", "iend", bucket=32.0, on=["k"]
+    ).collect()}
+    assert got == _naive_pairs(pts, iv, keyed=True)
+
+
+def test_interval_join_half_open_and_empty(spark):
+    P = spark.createDataFrame([(10, 0), (20, 1), (15, 2)], "ts long, pid long")
+    I = spark.createDataFrame(
+        [(10, 20, 0), (15, 15, 1)], "istart long, iend long, iid long"
+    )
+    got = {(r["pid"], r["iid"]) for r in interval_join(
+        P, I, "ts", "istart", "iend", bucket=8.0
+    ).collect()}
+    # start inclusive, end exclusive; the empty interval matches nothing
+    assert got == {(0, 0), (2, 0)}
+
+
+def test_interval_join_left_keeps_unmatched_points(spark):
+    P = spark.createDataFrame([(10, 0), (99, 1)], "ts long, pid long")
+    I = spark.createDataFrame([(5, 20, 0)], "istart long, iend long, iid long")
+    rows = {r["pid"]: r for r in interval_join(
+        P, I, "ts", "istart", "iend", bucket=8.0, how="left"
+    ).collect()}
+    assert rows[0]["iid"] == 0
+    assert rows[1]["iid"] is None
+
+
+def test_interval_join_is_hash_join_not_nested_loop(spark):
+    _, _, P, I = _interval_frames(spark)
+    j = interval_join(P, I.drop("k"), "ts", "istart", "iend", bucket=32.0)
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in plan and "Cartesian" not in plan, plan

@@ -1960,6 +1960,59 @@ GROUP BY a.row_i, a.col_i, a.n_docs
 """
 
 
+def _sql_bin(v: str, origin: str, res: float) -> str:
+    """Square binning of coordinate ``v`` against ``origin`` at ``res`` with
+    the engine's lowest-index boundary tie-break (same rule as
+    _SQL_SQ_CELLS, parameterized)."""
+    f = f"floor(({v} - {origin}) / {res})"
+    return (
+        f"CAST(CASE WHEN ({v} - {origin}) = {f} * {res} AND {f} > 0 "
+        f"THEN {f} - 1 ELSE {f} END AS BIGINT)"
+    )
+
+
+def q_regrid_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raster resampling onto a NON-NESTING coarser grid (res 100 → 250,
+    same origin): each source tile's count re-addressed to the target cell
+    containing its centroid. Centroids land exactly on 250-boundaries for
+    col ≡ 2 (mod 5) — exercising the shared lowest-index tie-break."""
+    t, spec = _sq_tiles(spark, sf_dir)
+    raster = t.groupBy("row_i", "col_i").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+    from .grid import GridSpec as GS
+
+    spec_to = GS(spec.xmin, spec.ymin, spec.xmax, spec.ymax, 250.0, square=True)
+    # re-pack the plain (row_i, col_i) raster into cell ids for regrid
+    packed = raster.select(
+        X._pack(spec.mode, spec.level, F.col("row_i"), F.col("col_i")).alias("cell_id"),
+        "n_docs",
+    )
+    out = R.regrid(packed, spec, spec_to, value_cols=("n_docs",), fun="sum")
+    row, col = X.unpack_rowcol(F.col("cell_id"))
+    return out.select(
+        row.cast("long").alias("row2_i"),
+        col.cast("long").alias("col2_i"),
+        F.col("n_docs").alias("sum_docs"),
+    )
+
+
+SQL_REGRID_SUM = f"""
+WITH {_SQL_DOCS}, {_SQL_BBOX}, {_SQL_SQ_CELLS},
+r AS (SELECT row_i, col_i, count(*) AS n_docs FROM c GROUP BY 1, 2),
+g AS (
+  SELECT b.xmin + (col_i + 0.5) * 100.0 AS cx,
+         b.ymin + (row_i + 0.5) * 100.0 AS cy,
+         n_docs, b.xmin, b.ymin
+  FROM r, b
+)
+SELECT {_sql_bin("cy", "ymin", 250.0)} AS row2_i,
+       {_sql_bin("cx", "xmin", 250.0)} AS col2_i,
+       CAST(sum(n_docs) AS BIGINT) AS sum_docs
+FROM g GROUP BY 1, 2
+"""
+
+
 def q_focal_gauss(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weighted focal smoothing with the integer binomial 1-2-1⊗1-2-1
     kernel (center 4, edges 2, corners 1) — kernel smoothing with exact
@@ -2271,6 +2324,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "relative_enrichment": q_relative_enrichment,
         "multires_tile_counts": q_multires_tile_counts,
         "tile_pyramid": q_tile_pyramid,
+        "regrid_sum": q_regrid_sum,
         "raster_assay": q_raster_assay,
         "span_roundtrip": q_span_roundtrip,
         "tile_wkt": q_tile_wkt,
@@ -2330,6 +2384,7 @@ def oracle_sql() -> dict[str, str]:
         "relative_enrichment": SQL_RELATIVE_ENRICHMENT,
         "multires_tile_counts": SQL_MULTIRES_TILE_COUNTS,
         "tile_pyramid": SQL_TILE_PYRAMID,
+        "regrid_sum": SQL_REGRID_SUM,
         "raster_assay": SQL_RASTER_ASSAY,
         "span_roundtrip": SQL_SPAN_ROUNDTRIP,
         "tile_wkt": SQL_TILE_WKT,

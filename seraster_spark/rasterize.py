@@ -477,6 +477,46 @@ def rollup_tiles(
     return _with_tile_decor(rolled, parent_spec), parent_spec
 
 
+def regrid(
+    tiles: DataFrame,
+    spec_from: GridSpec,
+    spec_to: GridSpec,
+    value_cols: tuple[str, ...] = ("pixelval",),
+    keys: list[str] | None = None,
+    fun: str = "sum",
+) -> DataFrame:
+    """Resample a raster onto an ARBITRARY new grid (any resolution, any
+    non-nesting ratio, square→hex or hex→square) by nearest-cell (centroid)
+    assignment — the gdalwarp-near analog, and the step that aligns two
+    rasters of different provenance for raster algebra. Complements
+    ``rollup_tiles``, which only handles integer-factor nesting.
+
+    Each source tile's value is re-addressed to the target cell containing
+    the source tile's centroid (closed-form both ways: unpack → centroid →
+    encode, whole-stage-codegen Column math, the lowest-index boundary
+    tie-break shared with all binning). Semantics: ``sum`` re-distributes
+    additive surfaces (counts); ``mean``/``min``/``max`` aggregate the
+    contributing source-tile VALUES (equal-weight, i.e. nearest-cell
+    resampling, not area weighting).
+
+    Scale shape: tile-cardinality map + ONE groupBy on the target cell id;
+    the corpus is never re-scanned. ``spec_to`` must cover ``spec_from``'s
+    bbox (centroids outside would pack out-of-range indexes).
+    """
+    funs = {"sum": F.sum, "mean": F.avg, "min": F.min, "max": F.max}
+    if fun not in funs:
+        raise ValueError(f"fun must be one of {sorted(funs)}, got {fun!r}")
+    ks = list(keys or [])
+    cx, cy = X.centroid_expr(F.col("cell_id"), spec_from)
+    new_id = X.cell_id_expr(cx, cy, spec_to)
+    out = (
+        tiles.withColumn("cell_id", new_id)
+        .groupBy("cell_id", *ks)
+        .agg(*[funs[fun](c).alias(c) for c in value_cols])
+    )
+    return _with_tile_decor(out, spec_to)
+
+
 def relative_enrichment(cell_type_tiles: DataFrame, label_col: str = "kind") -> DataFrame:
     """Vignette's relative-enrichment metric (vignette:307-311):
     RE[ct, px] = mat[ct,px] / ( (sum(mat[ct,:]) / sum(mat)) * colSums(mat)[px] )

@@ -406,3 +406,75 @@ def test_rollup_rejects_level_overflow(spark):
     )
     with pytest.raises(ValueError, match="level"):
         rasterize.rollup_tiles(tiles, spec63)
+
+
+def test_regrid_square_matches_direct_binning(spark):
+    """Regridding a res-10 count raster to res-25 must equal re-binning the
+    source tile CENTROIDS directly at res 25."""
+    import numpy as np
+    from seraster_spark import expressions as X
+    from seraster_spark.grid import GridSpec
+    from seraster_spark.rasterize import regrid
+
+    rng = np.random.default_rng(4)
+    pts = [(int(i), float(rng.uniform(0, 100)), float(rng.uniform(0, 80))) for i in range(400)]
+    d = spark.createDataFrame(pts, "doc_id long, x double, y double")
+    s_from = GridSpec(0.0, 0.0, 100.0, 80.0, 10.0, square=True)
+    s_to = GridSpec(0.0, 0.0, 100.0, 80.0, 25.0, square=True)
+    base = d.select(X.cell_id_expr(F.col("x"), F.col("y"), s_from).alias("cell_id")).groupBy(
+        "cell_id"
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    got = {
+        (r["cell_id"]): r["n"]
+        for r in regrid(base, s_from, s_to, value_cols=("n",), fun="sum").collect()
+    }
+    # naive: recompute per source tile centroid in python
+    from seraster_spark.grid import pack, square_centroid, square_encode
+    want: dict[int, int] = {}
+    for r in base.collect():
+        cx, cy = square_centroid(np.array([r["cell_id"]]), s_from)
+        nid = int(square_encode(cx, cy, s_to)[0])
+        want[nid] = want.get(nid, 0) + r["n"]
+    assert got == want
+    assert sum(got.values()) == 400  # mass conserved
+
+
+def test_regrid_hex_to_square(spark):
+    """Cross-geometry resample: hex raster onto a square grid; total mass
+    conserved and every target cell id valid on the square spec."""
+    import numpy as np
+    from seraster_spark import expressions as X
+    from seraster_spark.grid import MODE_SQUARE, GridSpec, unpack
+    from seraster_spark.rasterize import regrid
+
+    rng = np.random.default_rng(5)
+    pts = [(int(i), float(rng.uniform(0, 100)), float(rng.uniform(0, 80))) for i in range(300)]
+    d = spark.createDataFrame(pts, "doc_id long, x double, y double")
+    s_hex = GridSpec(0.0, 0.0, 100.0, 80.0, 12.0, square=False)
+    s_sq = GridSpec(-20.0, -20.0, 120.0, 100.0, 20.0, square=True)
+    base = d.select(X.cell_id_expr(F.col("x"), F.col("y"), s_hex).alias("cell_id")).groupBy(
+        "cell_id"
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    out = regrid(base, s_hex, s_sq, value_cols=("n",), fun="sum").collect()
+    assert sum(r["n"] for r in out) == 300
+    modes = {int(unpack(np.array([r["cell_id"]]))[0][0]) for r in out}
+    assert modes == {MODE_SQUARE}
+
+
+def test_regrid_mean_vs_sum(spark):
+    from seraster_spark import expressions as X
+    from seraster_spark.grid import GridSpec
+    from seraster_spark.rasterize import regrid
+
+    s_from = GridSpec(0.0, 0.0, 40.0, 10.0, 10.0, square=True)
+    s_to = GridSpec(0.0, 0.0, 40.0, 10.0, 20.0, square=True)
+    tiles = spark.createDataFrame(
+        [(0, 0, 4.0), (0, 1, 6.0), (0, 2, 10.0), (0, 3, 30.0)],
+        "row_i long, col_i long, v double",
+    ).select(
+        X._pack(0, 0, F.col("row_i"), F.col("col_i")).alias("cell_id"), "v"
+    )
+    s = {r["cell_id"]: r["v"] for r in regrid(tiles, s_from, s_to, ("v",), fun="sum").collect()}
+    m = {r["cell_id"]: r["v"] for r in regrid(tiles, s_from, s_to, ("v",), fun="mean").collect()}
+    assert sorted(s.values()) == [10.0, 40.0]
+    assert sorted(m.values()) == [5.0, 20.0]

@@ -5,7 +5,13 @@ aggregation instead of materialized grids + spatial-index joins)."""
 
 from .bbox import BBox, compute_bbox, grid_spec_for
 from .datasets import rasterize_datasets, union_datasets
-from .focal import binomial_kernel, focal_stats, getis_ord_gi_star, morans_i
+from .focal import (
+    binomial_kernel,
+    focal_stats,
+    getis_ord_gi_star,
+    label_regions,
+    morans_i,
+)
 from .grid import GridSpec
 from .joins import asof_join, interval_join
 from .knn import knn_join
@@ -55,6 +61,7 @@ __all__ = [
     "binomial_kernel",
     "focal_stats",
     "getis_ord_gi_star",
+    "label_regions",
     "morans_i",
     "kmv_distinct",
     "md5_uniform",

@@ -2087,6 +2087,52 @@ FROM w, st
 """
 
 
+def q_raster_regions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected-region (patch) labeling: rook-adjacent occupied tiles
+    merged into regions (focal.label_regions = neighbor-explode edges +
+    distributed hash-min components), then per-region stats. Oracle:
+    recursive-CTE label closure over the same adjacency."""
+    from .focal import label_regions
+
+    t, _ = _sq_tiles(spark, sf_dir)
+    raster = t.groupBy("row_i", "col_i").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+    lab = label_regions(raster, queen=False)
+    return lab.groupBy("region_id").agg(
+        F.count(F.lit(1)).alias("n_tiles"),
+        F.sum("n_docs").cast("long").alias("sum_docs"),
+        F.min("row_i").alias("rmin"),
+        F.max("row_i").alias("rmax"),
+        F.min("col_i").alias("cmin"),
+        F.max("col_i").alias("cmax"),
+    )
+
+
+SQL_RASTER_REGIONS = f"""
+WITH RECURSIVE {_SQL_DOCS}, {_SQL_BBOX}, {_SQL_SQ_CELLS},
+r AS (SELECT row_i, col_i, count(*) AS n_docs FROM c GROUP BY 1, 2),
+n AS (SELECT row_i, col_i, n_docs,
+             (row_i + 1073741824) * 2147483648 + (col_i + 1073741824) AS node
+      FROM r),
+e AS (SELECT a.node AS s, b.node AS d
+      FROM n a JOIN n b
+        ON abs(a.row_i - b.row_i) + abs(a.col_i - b.col_i) = 1),
+reach(node, lbl) AS (
+  SELECT node, node FROM n
+  UNION
+  SELECT e.d, rc.lbl FROM reach rc JOIN e ON e.s = rc.node
+),
+comp AS (SELECT node, min(lbl) AS region_id FROM reach GROUP BY node)
+SELECT comp.region_id, count(*) AS n_tiles,
+       CAST(sum(n.n_docs) AS BIGINT) AS sum_docs,
+       min(n.row_i) AS rmin, max(n.row_i) AS rmax,
+       min(n.col_i) AS cmin, max(n.col_i) AS cmax
+FROM n JOIN comp ON n.node = comp.node
+GROUP BY 1
+"""
+
+
 def q_moran_i(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Global Moran's I (queen contiguity, binary weights) of the per-tile
     doc counts. Integer-scaled deviations (n·x − Σx) keep numerator and
@@ -2336,6 +2382,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "focal_gauss": q_focal_gauss,
         "moran_i": q_moran_i,
         "gi_star": q_gi_star,
+        "raster_regions": q_raster_regions,
         "events_asof": q_events_asof,
         "events_intervals": q_events_intervals,
         "kmv_distinct": q_kmv_distinct,
@@ -2396,6 +2443,7 @@ def oracle_sql() -> dict[str, str]:
         "focal_gauss": SQL_FOCAL_GAUSS,
         "moran_i": SQL_MORAN_I,
         "gi_star": SQL_GI_STAR,
+        "raster_regions": SQL_RASTER_REGIONS,
         "events_asof": SQL_EVENTS_ASOF,
         "events_intervals": SQL_EVENTS_INTERVALS,
         "kmv_distinct": SQL_KMV_DISTINCT,

@@ -133,6 +133,70 @@ def focal_stats(
     )
 
 
+_REGION_OFF = 1 << 30
+_REGION_MUL = 1 << 31
+
+
+def label_regions(
+    tiles: DataFrame,
+    queen: bool = False,
+    max_iter: int = 50,
+    row_col: str = "row_i",
+    col_col: str = "col_i",
+) -> DataFrame:
+    """Connected-region (patch) labeling of the occupied raster tiles — the
+    ``terra::patches`` analog: maximal sets of rook- (default) or
+    queen-adjacent tiles share a ``region_id``. Absent tiles are structural
+    gaps that split regions.
+
+    Built from parts the engine already has: adjacency edges come from the
+    same constant-fan-out neighbor explode as ``focal_stats`` (an equi-join
+    among EXISTING tiles — never a doc-level op), and the components from
+    ``text.connected_components_star`` (large-star/small-star, O(log n)
+    rounds): a percolating raster region's graph DIAMETER grows with the
+    grid side — a ~30×20 grid at 60% occupancy already exceeds hash-min's
+    practical round budget, so the diameter-proof variant is the right
+    default here (measured: hash-min blew its 50-round cap on the sf0.01
+    fixture; star converged).
+
+    ``region_id`` is deterministic: the packed
+    ``(row + 2³⁰)·2³¹ + (col + 2³⁰)`` key of the region's lexicographically
+    smallest (row, col) tile — reproducible across partitionings and
+    replicable in plain SQL. Isolated tiles keep their own key (singleton
+    regions are materialized, unlike raw CC over pairs).
+    """
+    from .text import connected_components_star
+
+    key = (
+        (F.col(row_col) + _REGION_OFF).cast("long") * F.lit(_REGION_MUL)
+        + (F.col(col_col) + _REGION_OFF)
+    )
+    t = tiles.withColumn("_node", key)
+    offsets = neighbor_offsets(radius=1, queen=queen, include_center=False)
+    contrib = _neighbor_contributions(
+        t.select(F.col(row_col), F.col(col_col), F.col("_node")),
+        "_node",
+        offsets,
+        row_col,
+        col_col,
+    ).select("t_row", "t_col", F.col("_v").alias("_src"))
+    edges = contrib.join(
+        t.select(
+            F.col(row_col).alias("t_row"),
+            F.col(col_col).alias("t_col"),
+            F.col("_node").alias("_dst"),
+        ),
+        ["t_row", "t_col"],
+        "inner",
+    ).select("_src", "_dst")
+    cc = connected_components_star(edges, src="_src", dst="_dst", max_iter=max_iter)
+    return (
+        t.join(cc, t["_node"] == cc["node"], "left")
+        .withColumn("region_id", F.coalesce(F.col("component"), F.col("_node")))
+        .drop("node", "component", "_node")
+    )
+
+
 def getis_ord_gi_star(
     tiles: DataFrame,
     value_col: str,

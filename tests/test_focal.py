@@ -160,3 +160,57 @@ def test_moran_partitioning_invariant(spark):
     assert (a["num_scaled"], a["den_scaled"], a["w_sum"], a["moran_i"]) == (
         b["num_scaled"], b["den_scaled"], b["w_sum"], b["moran_i"]
     )
+
+
+def test_label_regions_rook(spark):
+    from seraster_spark.focal import label_regions
+
+    # two rook-regions: an L-shape {(0,0),(0,1),(1,1)} and {(3,3)};
+    # (0,0)-(1,1) are diagonal ONLY via (0,1) so rook still joins them
+    cells = [(0, 0, 1), (0, 1, 1), (1, 1, 1), (3, 3, 1)]
+    got = {(r["row_i"], r["col_i"]): r["region_id"]
+           for r in label_regions(_raster(spark, cells), queen=False).collect()}
+    key = lambda r, c: (r + (1 << 30)) * (1 << 31) + (c + (1 << 30))
+    assert got[(0, 0)] == got[(0, 1)] == got[(1, 1)] == key(0, 0)
+    assert got[(3, 3)] == key(3, 3)
+
+
+def test_label_regions_queen_merges_diagonals(spark):
+    from seraster_spark.focal import label_regions
+
+    cells = [(0, 0, 1), (1, 1, 1)]  # diagonal pair
+    rook = label_regions(_raster(spark, cells), queen=False).collect()
+    queen = label_regions(_raster(spark, cells), queen=True).collect()
+    assert len({r["region_id"] for r in rook}) == 2
+    assert len({r["region_id"] for r in queen}) == 1
+
+
+def test_label_regions_matches_scipy_style_flood(spark):
+    from seraster_spark.focal import label_regions
+
+    rng = np.random.default_rng(12)
+    cells = [(int(r), int(c), 1) for r in range(12) for c in range(12)
+             if rng.random() < 0.45]
+    got = {}
+    for r in label_regions(_raster(spark, cells), queen=False).collect():
+        got.setdefault(r["region_id"], set()).add((r["row_i"], r["col_i"]))
+    # naive flood fill
+    todo = {(r, c) for r, c, _ in cells}
+    want = []
+    while todo:
+        seed = min(todo)
+        comp, stack = set(), [seed]
+        while stack:
+            p = stack.pop()
+            if p in comp or p not in todo and p != seed and p not in comp:
+                continue
+            if p not in todo and p not in comp:
+                continue
+            comp.add(p)
+            todo.discard(p)
+            r, c = p
+            for q in ((r+1, c), (r-1, c), (r, c+1), (r, c-1)):
+                if q in todo:
+                    stack.append(q)
+        want.append(frozenset(comp))
+    assert {frozenset(v) for v in got.values()} == set(want)

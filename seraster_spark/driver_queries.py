@@ -2087,6 +2087,38 @@ FROM w, st
 """
 
 
+def q_tile_exemplars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exemplar selection: the BEST document per occupied tile ranked by
+    (n_chars DESC, doc_id ASC) — the 'keep the best representative per
+    cell' reduction a curation pipeline runs after rasterization. One
+    shuffle on the tile key; rank via row_number, so Spark inserts
+    WindowGroupLimit (map-side top-k per group) automatically."""
+    from pyspark.sql import Window
+
+    t, _ = _sq_tiles(spark, sf_dir)
+    w = (
+        Window.partitionBy("row_i", "col_i")
+        .orderBy(F.col("n_chars").desc(), F.col("doc_id").asc())
+    )
+    return (
+        t.select("row_i", "col_i", "doc_id", F.col("val").alias("n_chars"))
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 1)
+        .select("row_i", "col_i", F.col("rnk").cast("long").alias("rnk"), "doc_id", "n_chars")
+    )
+
+
+SQL_TILE_EXEMPLARS = f"""
+WITH {_SQL_DOCS}, {_SQL_BBOX}, {_SQL_SQ_CELLS}
+SELECT row_i, col_i,
+       row_number() OVER (PARTITION BY row_i, col_i
+                          ORDER BY val DESC, doc_id ASC) AS rnk,
+       doc_id, val AS n_chars
+FROM c
+QUALIFY rnk <= 1
+"""
+
+
 def q_raster_regions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected-region (patch) labeling: rook-adjacent occupied tiles
     merged into regions (focal.label_regions = neighbor-explode edges +
@@ -2383,6 +2415,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "moran_i": q_moran_i,
         "gi_star": q_gi_star,
         "raster_regions": q_raster_regions,
+        "tile_exemplars": q_tile_exemplars,
         "events_asof": q_events_asof,
         "events_intervals": q_events_intervals,
         "kmv_distinct": q_kmv_distinct,
@@ -2444,6 +2477,7 @@ def oracle_sql() -> dict[str, str]:
         "moran_i": SQL_MORAN_I,
         "gi_star": SQL_GI_STAR,
         "raster_regions": SQL_RASTER_REGIONS,
+        "tile_exemplars": SQL_TILE_EXEMPLARS,
         "events_asof": SQL_EVENTS_ASOF,
         "events_intervals": SQL_EVENTS_INTERVALS,
         "kmv_distinct": SQL_KMV_DISTINCT,

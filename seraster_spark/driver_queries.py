@@ -1154,6 +1154,59 @@ FROM h GROUP BY source
 _DUP_SUFFIX = " near duplicate suffix"
 
 
+def q_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary (tokenizer-training primitive): per token with
+    df ≥ 5, collection frequency, document frequency, and the min doc id
+    containing it."""
+    d = read_table(spark, sf_dir, "documents")
+    return TX.vocabulary(d, min_df=5)
+
+
+SQL_VOCAB = r"""
+WITH toks AS (
+  SELECT d.doc_id, t.tok
+  FROM documents d,
+       unnest(regexp_split_to_array(trim(lower(d.text)), '\s+')) AS t(tok)
+  WHERE t.tok <> ''
+)
+SELECT tok, count(*) AS cf, CAST(count(DISTINCT doc_id) AS BIGINT) AS df,
+       min(doc_id) AS first_doc
+FROM toks GROUP BY tok
+HAVING count(DISTINCT doc_id) >= 5
+"""
+
+
+def q_bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining: corpus-wide adjacent-token-pair counts (n ≥ 3).
+    Engine = zipped shifted array slices (pure Column math, no UDF);
+    oracle = positional self-join via a correlated range() lateral."""
+    d = read_table(spark, sf_dir, "documents")
+    return (
+        TX.bigrams(d)
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 3)
+    )
+
+
+SQL_BIGRAM_COUNTS = r"""
+WITH ar AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS a
+  FROM documents WHERE length(trim(text)) > 0
+),
+pos AS (
+  SELECT a, unnest(generate_series(1, len(a) - 1)) AS p FROM ar
+)
+SELECT a[CAST(p AS INTEGER)] AS w1,
+       a[CAST(p AS INTEGER) + 1] AS w2,
+       count(*) AS n
+FROM pos
+WHERE a[CAST(p AS INTEGER)] <> '' AND a[CAST(p AS INTEGER) + 1] <> ''
+GROUP BY 1, 2
+HAVING count(*) >= 3
+"""
+
+
 def q_incremental_new(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental ingestion dedup: an incoming batch = mutated copies of
     every 10th doc (genuinely new content) ∪ verbatim re-ingests of every
@@ -2428,6 +2481,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stateful_totals": q_stateful_totals,
         "dedup_exact": q_dedup_exact,
         "incremental_new": q_incremental_new,
+        "vocab": q_vocab,
+        "bigram_counts": q_bigram_counts,
         "token_stats": q_token_stats,
         "lang_markers": q_lang_markers,
         "fingerprint": q_fingerprint,
@@ -2490,6 +2545,8 @@ def oracle_sql() -> dict[str, str]:
         "stateful_totals": SQL_STATEFUL_TOTALS,
         "dedup_exact": SQL_DEDUP_EXACT,
         "incremental_new": SQL_INCREMENTAL_NEW,
+        "vocab": SQL_VOCAB,
+        "bigram_counts": SQL_BIGRAM_COUNTS,
         "token_stats": SQL_TOKEN_STATS,
         "lang_markers": SQL_LANG_MARKERS,
         "fingerprint": SQL_FINGERPRINT,

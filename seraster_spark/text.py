@@ -171,6 +171,54 @@ def fingerprint(df: DataFrame, text_col: str = "text", out: str = "fp64") -> Dat
     )
 
 
+def vocabulary(
+    df: DataFrame, text_col: str = "text", min_df: int = 1
+) -> DataFrame:
+    """Corpus vocabulary: per token, collection frequency (total
+    occurrences), document frequency, and the smallest doc id containing it
+    (a deterministic exemplar pointer). The tokenizer-training /
+    stop-list-mining primitive of a text pipeline.
+
+    Scale shape: explode → ONE groupBy on the token with map-side combine
+    (cf partials collapse per mapper; df via per-doc distinct BEFORE the
+    shuffle would need a second explode, so df counts distinct doc ids in
+    the same agg — Spark's count(DISTINCT) rewrites to a partial-distinct
+    expand, still one logical shuffle stage under AQE). ``min_df`` prunes
+    the hapax tail after aggregation.
+    """
+    toks = df.select(
+        F.col("doc_id"), F.explode(tokens_expr(F.col(text_col))).alias("tok")
+    ).filter(F.col("tok") != "")
+    out = toks.groupBy("tok").agg(
+        F.count(F.lit(1)).alias("cf"),
+        F.countDistinct("doc_id").cast("long").alias("df"),
+        F.min("doc_id").alias("first_doc"),
+    )
+    return out.filter(F.col("df") >= min_df) if min_df > 1 else out
+
+
+def bigrams(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document word bigrams (adjacent token pairs) — the n-gram-LM /
+    collocation-mining primitive. Pure Column math: two shifted slices of
+    the token array zipped and exploded; no shuffle until the caller
+    aggregates. Documents with < 2 tokens yield no rows."""
+    toks = tokens_expr(F.col(text_col))
+    n = F.size(toks)
+    pairs = F.arrays_zip(
+        F.slice(toks, 1, n - 1).alias("w1"), F.slice(toks, 2, n - 1).alias("w2")
+    )
+    return (
+        df.filter(F.length(F.trim(F.col(text_col))) > 0)
+        .select(F.col("doc_id"), F.explode(pairs).alias("bg"))
+        .select(
+            "doc_id",
+            F.col("bg.w1").alias("w1"),
+            F.col("bg.w2").alias("w2"),
+        )
+        .filter((F.col("w1") != "") & (F.col("w2") != ""))
+    )
+
+
 # ---------------------------------------------------------------------------
 # exact dedup
 

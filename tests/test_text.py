@@ -426,3 +426,25 @@ def test_new_documents_slim_shuffle(spark):
     import re
     for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
         assert "text" not in m.group(1), plan
+
+
+def test_vocabulary_counts(spark):
+    d = spark.createDataFrame(
+        [(1, "a b a"), (2, "a c"), (3, ""), (4, None), (5, "  b  ")],
+        "doc_id long, text string",
+    )
+    got = {r["tok"]: (r["cf"], r["df"], r["first_doc"])
+           for r in X.vocabulary(d).collect()}
+    assert got == {"a": (3, 2, 1), "b": (2, 2, 1), "c": (1, 1, 2)}
+    pruned = {r["tok"] for r in X.vocabulary(d, min_df=2).collect()}
+    assert pruned == {"a", "b"}
+
+
+def test_bigrams_adjacency_and_edges(spark):
+    d = spark.createDataFrame(
+        [(1, "x y z"), (2, "solo"), (3, ""), (4, "p  q")],
+        "doc_id long, text string",
+    )
+    got = {(r["doc_id"], r["w1"], r["w2"]) for r in X.bigrams(d).collect()}
+    # multi-space collapses (tokens_expr splits on \s+); 1-token/empty docs drop
+    assert got == {(1, "x", "y"), (1, "y", "z"), (4, "p", "q")}

@@ -47,6 +47,16 @@ def neighbor_offsets(radius: int = 1, queen: bool = True, include_center: bool =
     return offs
 
 
+def hex_offsets(include_center: bool = False) -> list[tuple[int, int]]:
+    """The 6 axial-coordinate neighbors of a pointy-top hex cell
+    (dr, dq) — pass as ``kernel``/``offsets`` to run ``focal_stats`` or
+    ``label_regions`` on a HEX raster's (r, q) indexes: hexagonal
+    adjacency is just a different constant offset set over the same
+    integer plane."""
+    offs = [(0, 1), (0, -1), (1, 0), (-1, 0), (1, -1), (-1, 1)]
+    return [(0, 0), *offs] if include_center else offs
+
+
 def binomial_kernel(radius: int = 1) -> list[tuple[int, int, int]]:
     """Separable integer binomial (Gaussian-approximating) kernel:
     w(dr, dc) = C(2r, r+dr) · C(2r, r+dc). Radius 1 = the classic
@@ -141,6 +151,7 @@ def label_regions(
     tiles: DataFrame,
     queen: bool = False,
     max_iter: int = 50,
+    offsets: list[tuple[int, int]] | None = None,
     row_col: str = "row_i",
     col_col: str = "col_i",
 ) -> DataFrame:
@@ -172,7 +183,10 @@ def label_regions(
         + (F.col(col_col) + _REGION_OFF)
     )
     t = tiles.withColumn("_node", key)
-    offsets = neighbor_offsets(radius=1, queen=queen, include_center=False)
+    if offsets is None:
+        # explicit offsets (e.g. hex_offsets() over axial (r, q)) override
+        # the square rook/queen stencil
+        offsets = neighbor_offsets(radius=1, queen=queen, include_center=False)
     contrib = _neighbor_contributions(
         t.select(F.col(row_col), F.col(col_col), F.col("_node")),
         "_node",

@@ -1,6 +1,7 @@
 from .incremental import (
     drain_available_now_to_files,
     run_available_now,
+    stream_enriched_counts,
     stream_event_sessions,
     stream_rasterize_cell_type,
 )
@@ -8,6 +9,7 @@ from .incremental import (
 __all__ = [
     "stream_rasterize_cell_type",
     "stream_event_sessions",
+    "stream_enriched_counts",
     "run_available_now",
     "drain_available_now_to_files",
 ]

@@ -140,3 +140,42 @@ def stream_event_sessions(
             F.col("n_events").cast("long").alias("n_events"),
         )
     )
+
+
+def stream_enriched_counts(
+    spark: SparkSession,
+    input_path: str,
+    schema: T.StructType,
+    dim: DataFrame,
+    dim_key: str = "kind",
+    ts_col: str = "ts",
+    window_duration: str = "1 minute",
+    watermark: str = "2 minutes",
+) -> DataFrame:
+    """Stream-static enrichment: the streaming micro-batches join a STATIC
+    dimension table (labels, per-kind weights, polygon/zone attributes)
+    before the windowed aggregate — Structured Streaming's stream-static
+    join, which needs no state (the static side is simply available to
+    every micro-batch; Spark broadcasts it when small). The canonical
+    'enrich events with reference data, then roll up' pipeline.
+
+    Returns per-(window, enriched group) counts + weighted sums; caller
+    attaches writeStream. The static side is re-resolved per micro-batch,
+    so slowly-changing dims pick up changes on restart (standard
+    stream-static semantics)."""
+    e = spark.readStream.schema(schema).parquet(input_path)
+    joined = e.join(F.broadcast(dim), dim_key, "inner")
+    return (
+        joined.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window_duration), "group_label")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("weight").cast("long").alias("weighted"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            "group_label",
+            "n_docs",
+            "weighted",
+        )
+    )

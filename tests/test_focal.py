@@ -214,3 +214,28 @@ def test_label_regions_matches_scipy_style_flood(spark):
                     stack.append(q)
         want.append(frozenset(comp))
     assert {frozenset(v) for v in got.values()} == set(want)
+
+
+def test_hex_focal_and_regions(spark):
+    """Hex adjacency = the same machinery over axial (r, q) with the 6-offset
+    stencil: (0,0)-(0,1) are axial neighbors; (0,0)-(1,1) are NOT (axial
+    (1,1) is two steps away); (0,0)-(1,-1) ARE."""
+    from seraster_spark.focal import focal_stats, hex_offsets, label_regions
+
+    cells = [(0, 0, 10), (0, 1, 20), (1, 1, 40), (1, -1, 5)]
+    f = {
+        (r["row_i"], r["col_i"]): (r["focal_sum"], r["focal_n"])
+        for r in focal_stats(
+            _raster(spark, cells), "n", kernel=hex_offsets(include_center=True)
+        ).collect()
+    }
+    # (0,0): itself + (0,1) + (1,-1) -> 35; (1,1): itself + (0,1)... wait
+    # axial neighbors of (1,1): (1,2),(1,0),(2,1),(0,1),(2,0),(0,2) -> only (0,1)
+    assert f[(0, 0)] == (35, 3)
+    assert f[(1, 1)] == (60, 2)
+    lab = {
+        (r["row_i"], r["col_i"]): r["region_id"]
+        for r in label_regions(_raster(spark, cells), offsets=hex_offsets()).collect()
+    }
+    # all four connect through (0,1)/(0,0): one region
+    assert len(set(lab.values())) == 1

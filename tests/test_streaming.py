@@ -176,3 +176,44 @@ def test_streaming_session_windows_emit_on_close(spark, tmp_path):
     # end = last event + gap: a's session [00:00:00, 00:01:40)
     enda = [r["session_end"] for r in out if r["event_type"] == "a"][0]
     assert (enda.minute, enda.second) == (1, 40)
+
+
+def test_stream_static_enrichment_matches_batch(spark, tmp_path):
+    """Stream-static join: per micro-batch the static dim is joined
+    (broadcast) before the windowed agg; result equals the batch
+    join+aggregate on the same input. Dim maps kinds onto coarser groups
+    with weights; one kind (ct3) is absent from the dim -> inner join
+    drops those events in BOTH paths."""
+    from seraster_spark.streaming.incremental import stream_enriched_counts
+
+    in_dir = str(tmp_path / "enrich_in")
+    ckpt = str(tmp_path / "enrich_ckpt")
+    _batch(spark, None, 0, 400, minute=0).write.mode("append").parquet(in_dir)
+
+    dim = spark.createDataFrame(
+        [("ct0", "even", 2), ("ct2", "even", 3), ("ct1", "odd", 5)],
+        "kind string, group_label string, weight long",
+    )
+    sdf = stream_enriched_counts(spark, in_dir, SCHEMA, dim)
+    run_available_now(sdf, "enriched_stream", ckpt)
+    got = {
+        (r["window_start"], r["group_label"]): (r["n_docs"], r["weighted"])
+        for r in spark.table("enriched_stream").collect()
+    }
+    exp = {
+        (r["ws"], r["group_label"]): (r["n_docs"], r["weighted"])
+        for r in (
+            spark.read.parquet(in_dir)
+            .join(dim, "kind")
+            .groupBy(F.window("ts", "1 minute").alias("w"), "group_label")
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum("weight").cast("long").alias("weighted"),
+            )
+            .select(F.col("w.start").alias("ws"), "group_label", "n_docs", "weighted")
+            .collect()
+        )
+    }
+    assert got == exp and len(got) > 0
+    # ct3 events exist in the input but no group contains them
+    assert {g for _, g in got} == {"even", "odd"}

@@ -1983,6 +1983,43 @@ SQL_SIMHASH_PAIRS = _sql_simhash_pairs()
 # neighborhood statistics / autocorrelation (focal.py)
 
 
+def _sql_morton(row: str, col: str, bits: int = 16) -> str:
+    """DuckDB twin of expressions.morton_expr — generated from the same
+    interleave loop so both engines evaluate identical shift/mask terms."""
+    terms = []
+    for i in range(bits):
+        terms.append(f"((({col} >> {i}) & 1) << {2 * i})")
+        terms.append(f"((({row} >> {i}) & 1) << {2 * i + 1})")
+    return "(" + " | ".join(terms) + ")"
+
+
+def q_tile_morton(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering key per occupied tile — the sort /
+    range-partition key that makes parquet min/max skipping effective for
+    2D predicates at corpus scale (see expressions.morton_expr)."""
+    from .expressions import morton_expr
+
+    t, _ = _sq_tiles(spark, sf_dir)
+    raster = t.groupBy("row_i", "col_i").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+    return raster.select(
+        "row_i",
+        "col_i",
+        "n_docs",
+        morton_expr(F.col("row_i"), F.col("col_i"), bits=16).alias("morton"),
+    )
+
+
+SQL_TILE_MORTON = f"""
+WITH {_SQL_DOCS}, {_SQL_BBOX}, {_SQL_SQ_CELLS},
+r AS (SELECT row_i, col_i, count(*) AS n_docs FROM c GROUP BY 1, 2)
+SELECT row_i, col_i, n_docs,
+       CAST({_sql_morton("row_i", "col_i")} AS BIGINT) AS morton
+FROM r
+"""
+
+
 def q_focal_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Focal (moving-window 3×3 queen, center included) statistics over the
     square count raster: per existing tile, the sum/count/mean of doc counts
@@ -2469,6 +2506,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gi_star": q_gi_star,
         "raster_regions": q_raster_regions,
         "tile_exemplars": q_tile_exemplars,
+        "tile_morton": q_tile_morton,
         "events_asof": q_events_asof,
         "events_intervals": q_events_intervals,
         "kmv_distinct": q_kmv_distinct,
@@ -2533,6 +2571,7 @@ def oracle_sql() -> dict[str, str]:
         "gi_star": SQL_GI_STAR,
         "raster_regions": SQL_RASTER_REGIONS,
         "tile_exemplars": SQL_TILE_EXEMPLARS,
+        "tile_morton": SQL_TILE_MORTON,
         "events_asof": SQL_EVENTS_ASOF,
         "events_intervals": SQL_EVENTS_INTERVALS,
         "kmv_distinct": SQL_KMV_DISTINCT,

@@ -106,3 +106,26 @@ def grid_index_expr(cell_id: Column, spec: GridSpec) -> Column:
     if spec.square:
         return row * F.lit(spec.ncols) + col
     return (row + F.lit(_OFF)) * F.lit(1 << _AXIS_BITS) + (col + F.lit(_OFF))
+
+
+def morton_expr(row: Column, col: Column, bits: int = 28) -> Column:
+    """Morton (Z-order) code: interleave the low ``bits`` of row and col
+    into one long — points close on the plane get close codes, so sorting
+    or range-partitioning tile/point data by it clusters each output file
+    into a compact bbox. That is the Z-ORDER-clustering practice that makes
+    parquet min/max data-skipping effective for 2D predicates at corpus
+    scale (a lat/lon sort clusters only one axis). Inputs must be
+    non-negative (grid indexes; add an offset for signed axial hex coords).
+
+    Pure bit arithmetic unrolled into a codegen-friendly expression tree;
+    an SQL engine reproduces it bit-for-bit from the same shift/mask terms
+    (see driver_queries._sql_morton, generated from this same loop).
+    """
+    out = F.lit(0).cast("long")
+    for i in range(bits):
+        out = out.bitwiseOR(
+            F.shiftleft(F.shiftrightunsigned(col.cast("long"), i).bitwiseAND(F.lit(1)), 2 * i)
+        ).bitwiseOR(
+            F.shiftleft(F.shiftrightunsigned(row.cast("long"), i).bitwiseAND(F.lit(1)), 2 * i + 1)
+        )
+    return out

@@ -179,3 +179,50 @@ def stream_enriched_counts(
             "weighted",
         )
     )
+
+
+def stream_stream_interval_join(
+    spark: SparkSession,
+    left_path: str,
+    right_path: str,
+    schema: T.StructType,
+    on: str = "user_id",
+    ts_col: str = "ts",
+    lookback: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-STREAM interval join: each left event matched to every right
+    event of the same key within ``[left.ts − lookback, left.ts]`` — both
+    sides are unbounded streams, so Spark buffers each side in state and
+    the TIME-RANGE condition plus the two watermarks are what BOUND that
+    state (without them a stream-stream join's state grows forever; with
+    them, rows older than watermark+lookback are evicted). Inner-join rows
+    emit as soon as both sides arrive — no end-of-window wait.
+
+    This is the streaming counterpart of ``joins.interval_join``; the same
+    enrichment expressed over two live feeds (e.g. attribute purchases to
+    the views that preceded them within the attribution window).
+    """
+    l = (
+        spark.readStream.schema(schema)
+        .parquet(left_path)
+        .withWatermark(ts_col, watermark)
+        .alias("l")
+    )
+    r = (
+        spark.readStream.schema(schema)
+        .parquet(right_path)
+        .withWatermark(ts_col, watermark)
+        .alias("r")
+    )
+    cond = F.expr(
+        f"l.{on} = r.{on} AND r.{ts_col} >= l.{ts_col} - INTERVAL {lookback} "
+        f"AND r.{ts_col} <= l.{ts_col}"
+    )
+    return l.join(r, cond, "inner").select(
+        F.col(f"l.{on}").alias(on),
+        F.col(f"l.event_id").alias("l_id"),
+        F.col(f"l.{ts_col}").alias("l_ts"),
+        F.col(f"r.event_id").alias("r_id"),
+        F.col(f"r.{ts_col}").alias("r_ts"),
+    )

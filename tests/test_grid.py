@@ -163,3 +163,42 @@ def test_covering_cells_big_polygon():
     inside = grid.point_in_polygon(x, y, ring)
     cells = grid.square_encode(x[inside], y[inside], SQ)
     assert np.isin(cells, cover).all()
+
+
+def test_morton_expr_interleaves_and_clusters(spark):
+    """Morton code = python-reference bit interleave; and sorting by it
+    clusters space: the mean |Δrow|+|Δcol| between SORT-adjacent tiles is
+    far smaller than under a row-major sort of a wide grid."""
+    from pyspark.sql import functions as F
+
+    from seraster_spark.expressions import morton_expr
+
+    def py_morton(r, c, bits=16):
+        out = 0
+        for i in range(bits):
+            out |= ((c >> i) & 1) << (2 * i) | ((r >> i) & 1) << (2 * i + 1)
+        return out
+
+    cells = [(r, c) for r in range(32) for c in range(64)]
+    df = spark.createDataFrame(cells, "row_i long, col_i long").withColumn(
+        "m", morton_expr(F.col("row_i"), F.col("col_i"), bits=16)
+    )
+    rows = df.collect()
+    for r in rows:
+        assert r["m"] == py_morton(r["row_i"], r["col_i"]), (r["row_i"], r["col_i"])
+
+    # the data-skipping metric: split the sorted order into 64-tile "files";
+    # a 2D range predicate prunes compact (square-ish) file bboxes far
+    # better than full-width strips. Z-order files are 8x8 blocks (max side
+    # 8); row-major files are 1x64 strips (max side 64).
+    def mean_file_max_side(order, per_file=64):
+        sides = []
+        for i in range(0, len(order), per_file):
+            chunk = order[i:i + per_file]
+            rs = [p[0] for p in chunk]; cs = [p[1] for p in chunk]
+            sides.append(max(max(rs) - min(rs), max(cs) - min(cs)) + 1)
+        return sum(sides) / len(sides)
+
+    z = [(r["row_i"], r["col_i"]) for r in sorted(rows, key=lambda r: r["m"])]
+    rowmajor = sorted((r["row_i"], r["col_i"]) for r in rows)
+    assert mean_file_max_side(z) <= mean_file_max_side(rowmajor) / 4

@@ -217,3 +217,54 @@ def test_stream_static_enrichment_matches_batch(spark, tmp_path):
     assert got == exp and len(got) > 0
     # ct3 events exist in the input but no group contains them
     assert {g for _, g in got} == {"even", "odd"}
+
+
+def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
+    """Both sides are live streams; the time-range condition + watermarks
+    bound the join state. Inner matches equal the batch inequality join."""
+    import datetime as _dt
+
+    from pyspark.sql import types as T2
+
+    from seraster_spark.streaming.incremental import stream_stream_interval_join
+
+    schema = T2.StructType(
+        [
+            T2.StructField("event_id", T2.LongType()),
+            T2.StructField("ts", T2.TimestampType()),
+            T2.StructField("user_id", T2.LongType()),
+        ]
+    )
+    base = _dt.datetime(2026, 1, 1, 12, 0, 0)
+    lrows = [(i, base + _dt.timedelta(minutes=7 * i % 90), i % 5) for i in range(60)]
+    rrows = [(1000 + i, base + _dt.timedelta(minutes=5 * i % 90), i % 5) for i in range(80)]
+    ldir, rdir = str(tmp_path / "L"), str(tmp_path / "R")
+    spark.createDataFrame(lrows, schema).write.mode("append").parquet(ldir)
+    spark.createDataFrame(rrows, schema).write.mode("append").parquet(rdir)
+
+    sdf = stream_stream_interval_join(spark, ldir, rdir, schema, lookback="15 minutes")
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName("ssj")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {(r["l_id"], r["r_id"]) for r in spark.table("ssj").collect()}
+
+    L = spark.createDataFrame(lrows, schema)
+    R = spark.createDataFrame(rrows, schema).selectExpr(
+        "event_id AS r_event_id", "ts AS rts", "user_id"
+    )
+    exp = {
+        (r["event_id"], r["r_event_id"])
+        for r in L.join(R, "user_id")
+        .filter(
+            (F.col("rts") >= F.col("ts") - F.expr("INTERVAL 15 minutes"))
+            & (F.col("rts") <= F.col("ts"))
+        )
+        .collect()
+    }
+    assert got == exp and len(got) > 50

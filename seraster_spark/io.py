@@ -42,9 +42,32 @@ def write_tiles(
     path: str,
     partition_by: list[str] | None = None,
     mode: str = "overwrite",
+    zorder: bool = False,
+    n_files: int | None = None,
 ) -> None:
     """Tile-table sink: Parquet, partitioned by coarse keys so downstream
-    bbox/tile queries get partition pruning."""
+    bbox/tile queries get partition pruning.
+
+    ``zorder=True`` range-partitions and sorts the rows by the Morton code
+    of (row, col) before writing (requires a ``cell_id`` column): every
+    output file then covers a COMPACT bbox, so a 2D predicate's parquet
+    min/max row-group statistics on row_i/col_i (written alongside) prune
+    most files — the Z-ORDER clustering practice; a plain cell_id or
+    row-major sort clusters only one axis, leaving each file a full-width
+    strip that every query touches. ``n_files`` sets the target file count
+    for the z-ordered layout (default: spark.sql.shuffle.partitions)."""
+    if zorder:
+        from . import expressions as X
+
+        row, col = X.unpack_rowcol(F.col("cell_id"))
+        df = df.withColumn("_z", X.morton_expr(row, col)).withColumn(
+            "row_i", row.cast("long")
+        ).withColumn("col_i", col.cast("long"))
+        if n_files:
+            df = df.repartitionByRange(n_files, "_z")
+        else:
+            df = df.repartitionByRange("_z")
+        df = df.sortWithinPartitions("_z").drop("_z")
     w = df.write.mode(mode)
     if partition_by:
         w = w.partitionBy(*partition_by)

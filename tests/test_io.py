@@ -88,3 +88,46 @@ def test_checkpointed_write_counts_in_one_job(spark, docs, tmp_path):
     # write job + one grouped count (+AQE stage-materialization slack) —
     # the old per-unit count loop was 1 + n_units = 9 jobs here
     assert 0 < len(ids) <= 5, f"expected <=5 jobs, saw {len(ids)}"
+
+
+def test_write_tiles_zorder_files_cover_compact_bboxes(spark, tmp_path):
+    """Z-ordered sink: each parquet file covers a compact 2D bbox (so
+    min/max stats on row_i/col_i prune most files for a 2D predicate);
+    a cell_id-sorted layout leaves full-width strips."""
+    import glob
+    import os
+
+    from seraster_spark import expressions as X
+    from seraster_spark.io import write_tiles
+
+    cells = [(r, c, 1.0) for r in range(64) for c in range(64)]
+    tiles = spark.createDataFrame(cells, "row_i long, col_i long, pixelval double").select(
+        X._pack(0, 0, F.col("row_i"), F.col("col_i")).alias("cell_id"), "pixelval"
+    )
+
+    def mean_file_max_side(path):
+        sides = []
+        for f in glob.glob(os.path.join(path, "part-*.parquet")):
+            pdf = spark.read.parquet("file://" + os.path.abspath(f)).toPandas()
+            if not len(pdf):
+                continue
+            sides.append(max(pdf.row_i.max() - pdf.row_i.min(),
+                             pdf.col_i.max() - pdf.col_i.min()) + 1)
+        assert len(sides) >= 8
+        return sum(sides) / len(sides)
+
+    zdir = str(tmp_path / "z")
+    write_tiles(tiles, zdir, zorder=True, n_files=16)
+    got = spark.read.parquet(zdir)
+    assert got.count() == 64 * 64 and "row_i" in got.columns
+
+    # baseline: same file count, sorted by packed cell_id (row-major)
+    pdir = str(tmp_path / "plain")
+    row, col = X.unpack_rowcol(F.col("cell_id"))
+    tiles.withColumn("row_i", row.cast("long")).withColumn(
+        "col_i", col.cast("long")
+    ).repartitionByRange(16, "cell_id").sortWithinPartitions("cell_id").write.mode(
+        "overwrite"
+    ).parquet(pdir)
+
+    assert mean_file_max_side(zdir) <= mean_file_max_side(pdir) / 2

@@ -35,13 +35,14 @@ from pyspark.sql import DataFrame, functions as F
 
 def neighbor_offsets(radius: int = 1, queen: bool = True, include_center: bool = False):
     """(dr, dc) offsets of the focal window. ``queen`` = full square window;
-    rook keeps only axis-aligned offsets (|dr|+|dc| ≤ radius)."""
+    rook keeps only axis-aligned offsets (dr = 0 or dc = 0 — the plus-shaped
+    window, matching terra/ArcGIS rook semantics at every radius)."""
     offs = []
     for dr in range(-radius, radius + 1):
         for dc in range(-radius, radius + 1):
             if dr == 0 and dc == 0 and not include_center:
                 continue
-            if not queen and abs(dr) + abs(dc) > radius:
+            if not queen and dr != 0 and dc != 0:
                 continue
             offs.append((dr, dc))
     return offs
@@ -83,6 +84,12 @@ def _neighbor_contributions(
     weighted w(dr, dc). Constant fan-out explode; stays map-side until the
     target groupBy. Offsets are (dr, dc) pairs (weight 1) or weighted
     (dr, dc, w) triples."""
+    reserved = {"t_row", "t_col", "_v", "_w"}
+    clash = reserved & set(tiles.columns)
+    if clash:
+        raise ValueError(
+            f"input columns collide with focal internals: {sorted(clash)} — rename them"
+        )
     triples = [o if len(o) == 3 else (*o, 1) for o in offsets]
     offs = F.array(
         *[
@@ -178,6 +185,11 @@ def label_regions(
     """
     from .text import connected_components_star
 
+    clash = {"node", "component", "_node", "region_id"} & set(tiles.columns)
+    if clash:
+        raise ValueError(
+            f"input columns collide with label_regions internals: {sorted(clash)}"
+        )
     key = (
         (F.col(row_col) + _REGION_OFF).cast("long") * F.lit(_REGION_MUL)
         + (F.col(col_col) + _REGION_OFF)
@@ -235,8 +247,13 @@ def getis_ord_gi_star(
     NULL/NaN z, as the statistic is undefined there.
 
     Scale: one ``focal_stats`` pass (two tile-cardinality shuffles) + a
-    broadcast 1-row global-stats join. int64 bound: B·m_i·n must stay
-    below ~9·10¹⁸ — holds for count rasters up to ~10⁵ tiles.
+    broadcast 1-row global-stats join. int64 bound: D = B·m_i·(n−m_i)
+    must stay below 2⁶³, and the bound depends on BOTH tile count and
+    value variance (B ≈ n²·σ²) — so instead of a rule of thumb, the
+    expression carries a runtime guard: a double-arithmetic estimate of D
+    (immune to the wrap it detects) raises at execution time near the
+    limit rather than returning silently-wrong z-scores. Aggregate to a
+    coarser grid or downscale values if it fires.
     """
     f = focal_stats(
         tiles.select(
@@ -260,7 +277,21 @@ def getis_ord_gi_star(
         "a_scaled"
     )
     b = F.col("_n") * F.col("_s2") - F.col("_s") * F.col("_s")
-    d = (b * F.col("focal_n") * (F.col("_n") - F.col("focal_n"))).alias("d_scaled")
+    # overflow guard in DOUBLE arithmetic (cannot wrap): |D| must fit int64
+    n_d, s_d, s2_d, m_d = (
+        F.col("_n").cast("double"),
+        F.col("_s").cast("double"),
+        F.col("_s2").cast("double"),
+        F.col("focal_n").cast("double"),
+    )
+    d_est = (n_d * s2_d - s_d * s_d) * m_d * (n_d - m_d)
+    d_raw = b * F.col("focal_n") * (F.col("_n") - F.col("focal_n"))
+    d = F.when(F.abs(d_est) < F.lit(float(1 << 62)), d_raw).otherwise(
+        F.raise_error(
+            "getis_ord_gi_star: variance core exceeds int64 — aggregate to a "
+            "coarser grid or downscale values"
+        ).cast("long")
+    ).alias("d_scaled")
     out = j.select(
         F.col(row_col),
         F.col(col_col),

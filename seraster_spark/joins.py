@@ -59,28 +59,44 @@ def interval_join(
     spanning the whole timeline explodes to timeline/bucket rows — cap
     outliers upstream or route them through a broadcast side-channel.
 
-    ``how='inner'`` keeps matched pairs; ``'left'`` keeps unmatched points
-    with NULL interval columns (resolved by a slim anti-join on the point
-    side, so the wide point payload still rides the exchange once).
+    Interval columns whose names collide with point columns (outside
+    ``on``) come back prefixed ``ivl_``. ``how='inner'`` keeps matched
+    pairs; ``'left'`` keeps unmatched points with NULL interval columns
+    (resolved by an anti-join on a generated long row key, so the wide
+    point payload never rides a second exchange).
     """
     if how not in ("inner", "left"):
         raise ValueError(f"how must be inner|left, got {how!r}")
     on = on or []
+    # disambiguate interval columns that clash with point columns — without
+    # this, inner output has duplicate names and the left path's selects
+    # raise AMBIGUOUS_REFERENCE
+    for c in intervals.columns:
+        if c in points.columns and c not in on:
+            intervals = intervals.withColumnRenamed(c, f"ivl_{c}")
+    start_col = f"ivl_{start_col}" if start_col in points.columns else start_col
+    end_col = f"ivl_{end_col}" if end_col in points.columns else end_col
+    # the generated key makes the left-mode anti-join exact (null-unsafe
+    # equality over payload columns would duplicate NULL-bearing rows) and
+    # slim (one long, not the whole payload)
+    points = points.withColumn("_pid", F.monotonically_increasing_id())
     pb = points.withColumn("_bkt", F.floor(F.col(ts_col).cast("double") / bucket))
     # empty/inverted intervals match nothing under half-open semantics; drop
     # them BEFORE the explode (F.sequence would otherwise step backwards)
     intervals = intervals.filter(F.col(end_col) > F.col(start_col))
+    end_b = F.col(end_col).cast("double") / bucket
+    last_bkt = F.floor(end_b) - F.when(
+        # end EXCLUSIVE: an interval ending exactly on a bucket boundary
+        # does not reach into that bucket (exact test — an epsilon would be
+        # magnitude-dependent: swallowed at epoch scale, over-reaching at
+        # sub-second scale)
+        (F.floor(end_b) == end_b) & (F.floor(end_b) > F.floor(F.col(start_col).cast("double") / bucket)),
+        F.lit(1),
+    ).otherwise(F.lit(0))
     ib = intervals.withColumn(
         "_bkt",
         F.explode(
-            F.sequence(
-                F.floor(F.col(start_col).cast("double") / bucket),
-                # end is EXCLUSIVE: an interval ending exactly on a bucket
-                # boundary does not reach into that bucket
-                F.floor(
-                    (F.col(end_col).cast("double") - 1e-9) / bucket
-                ),
-            )
+            F.sequence(F.floor(F.col(start_col).cast("double") / bucket), last_bkt)
         ),
     )
     cond = [pb["_bkt"] == ib["_bkt"]] + [pb[k] == ib[k] for k in on]
@@ -95,17 +111,15 @@ def interval_join(
     for k in on:
         matched = matched.drop(ib[k])
     if how == "inner":
-        return matched
-    # left: re-attach points that matched nothing
+        return matched.drop("_pid")
+    # left: re-attach points that matched nothing (anti-join on _pid only)
     unmatched = points.join(
-        matched.select(*[F.col(c) for c in points.columns]).distinct(),
-        points.columns,
-        "left_anti",
+        matched.select("_pid").distinct(), "_pid", "left_anti"
     )
     for c in matched.columns:
         if c not in points.columns:
             unmatched = unmatched.withColumn(c, F.lit(None).cast(matched.schema[c].dataType))
-    return matched.unionByName(unmatched)
+    return matched.unionByName(unmatched).drop("_pid")
 
 
 def asof_join(
@@ -137,16 +151,25 @@ def asof_join(
     if tiebreak is not None and tiebreak not in payload:
         payload = [*payload, tiebreak]
 
+    from pyspark.sql import types as T
+
+    # the entire right payload rides as ONE struct so the carry-forward is
+    # ATOMIC: per-column last(ignorenulls) would mix columns from different
+    # right rows whenever a matched row carries a NULL payload value
+    r_struct_type = T.StructType([right.schema[c] for c in payload])
+    # a NULL right ts can never satisfy <=/>= semantics; without this filter
+    # it would sort nulls-first and its payload would leak into the carry
+    r_clean = right.filter(F.col(ts_col).isNotNull())
     l_tag = left.select(
         *[F.col(c) for c in left.columns],
         F.lit(1).alias("_src"),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_r_{c}") for c in payload],
+        F.lit(None).cast(r_struct_type).alias("_r"),
     )
-    r_tag = right.select(
+    r_tag = r_clean.select(
         *[F.col(c) for c in on],
         F.col(ts_col),
         F.lit(0).alias("_src"),
-        *[F.col(c).alias(f"_r_{c}") for c in payload],
+        F.struct(*[F.col(c).alias(c) for c in payload]).alias("_r"),
     )
     # align schemas: right rows carry NULL for left-only columns
     for c in left.columns:
@@ -163,17 +186,15 @@ def asof_join(
     if tiebreak is not None:
         # among equal-ts right rows the highest tiebreak wins = is the last
         # row the carry-forward sees; must order AFTER _src so equal-ts
-        # rights still precede lefts (left rows have a NULL tiebreak)
-        order.append(F.col(f"_r_{tiebreak}").asc_nulls_first())
+        # rights still precede lefts (left rows have a NULL struct)
+        order.append(F.col(f"_r.{tiebreak}").asc_nulls_first())
 
     w = Window.partitionBy(*on).orderBy(*order).rowsBetween(*frame)
-    matched = u
+    matched = u.withColumn("_rm", F.last("_r", ignorenulls=True).over(w))
     for c in payload:
-        matched = matched.withColumn(f"{prefix}{c}", F.last(f"_r_{c}", ignorenulls=True).over(w))
+        matched = matched.withColumn(f"{prefix}{c}", F.col(f"_rm.{c}"))
 
-    out = matched.filter(F.col("_src") == 1).drop(
-        "_src", *[f"_r_{c}" for c in payload]
-    )
+    out = matched.filter(F.col("_src") == 1).drop("_src", "_r", "_rm")
     if tolerance is not None:
         gap = (
             F.col(ts_col) - F.col(f"{prefix}{ts_col}")

@@ -239,3 +239,32 @@ def test_hex_focal_and_regions(spark):
     }
     # all four connect through (0,1)/(0,0): one region
     assert len(set(lab.values())) == 1
+
+
+def test_rook_radius2_has_no_diagonals():
+    offs = neighbor_offsets(radius=2, queen=False)
+    assert all(dr == 0 or dc == 0 for dr, dc in offs)
+    assert (0, 2) in offs and (2, 0) in offs and (1, 1) not in offs
+
+
+def test_focal_reserved_column_guard(spark):
+    with pytest.raises(ValueError, match="collide"):
+        focal_stats(
+            spark.createDataFrame([(0, 0, 1, 9)], "row_i long, col_i long, n long, t_row long"),
+            "n",
+        )
+
+
+def test_gi_star_overflow_is_loud_never_silent(spark):
+    """Out-of-range magnitudes must raise (either Spark's ANSI
+    ARITHMETIC_OVERFLOW in the integer sums, or the operator's own
+    double-arithmetic guard on the D product) — never return
+    silently-wrong z-scores."""
+    from seraster_spark.focal import getis_ord_gi_star
+
+    big = 3_000_000_000
+    cells = [(r, c, big if (r + c) % 2 == 0 else 0) for r in range(3) for c in range(3)]
+    with pytest.raises(
+        Exception, match="int64|variance core|ARITHMETIC_OVERFLOW|overflow"
+    ):
+        getis_ord_gi_star(_raster(spark, cells), "n").collect()

@@ -200,3 +200,61 @@ def test_interval_join_is_hash_join_not_nested_loop(spark):
     j = interval_join(P, I.drop("k"), "ts", "istart", "iend", bucket=32.0)
     plan = j._jdf.queryExecution().executedPlan().toString()
     assert "NestedLoop" not in plan and "Cartesian" not in plan, plan
+
+
+# --- regression tests for review findings ---------------------------------
+
+
+def test_asof_null_payload_value_carries_atomically(spark):
+    """The matched right row's NULL payload must come back as NULL — not a
+    chimera mixing columns from an older right row."""
+    left = spark.createDataFrame([(1, 3, 0)], "k long, ts long, lid long")
+    right = spark.createDataFrame(
+        [(1, 1, 10, 5), (1, 2, 20, None)], "k long, ts long, rid long, v long"
+    )
+    row = asof_join(
+        left, right, on=["k"], ts_col="ts", right_cols=["rid", "v"], tiebreak="rid"
+    ).first()
+    assert row["asof_rid"] == 20
+    assert row["asof_v"] is None  # row 20's NULL, not row 10's 5
+
+
+def test_asof_null_ts_right_rows_are_ignored(spark):
+    left = spark.createDataFrame([(1, 50, 0)], "k long, ts long, lid long")
+    right = spark.createDataFrame(
+        [(1, None, 99, 1), (1, 100, 7, 2)], "k long, ts long, rid long, v long"
+    )
+    row = asof_join(left, right, on=["k"], ts_col="ts", right_cols=["rid"]).first()
+    # the NULL-ts right can never satisfy ts <= 50; the ts=100 right is later
+    assert row["asof_rid"] is None and row["asof_ts"] is None
+
+
+def test_interval_join_left_null_payload_not_duplicated(spark):
+    P = spark.createDataFrame([(10, 0, None), (99, 1, 5)], "ts long, pid long, payload long")
+    I = spark.createDataFrame([(5, 20, 0)], "istart long, iend long, iid long")
+    rows = interval_join(P, I, "ts", "istart", "iend", bucket=8.0, how="left").collect()
+    assert len(rows) == 2  # matched NULL-payload row appears ONCE
+    by_pid = {r["pid"]: r for r in rows}
+    assert by_pid[0]["iid"] == 0 and by_pid[1]["iid"] is None
+
+
+def test_interval_join_clashing_column_names_get_prefixed(spark):
+    P = spark.createDataFrame([(10, 0, "pt")], "ts long, pid long, source string")
+    I = spark.createDataFrame(
+        [(5, 20, 0, "iv")], "istart long, iend long, iid long, source string"
+    )
+    out = interval_join(P, I, "ts", "istart", "iend", bucket=8.0)
+    assert "ivl_source" in out.columns
+    row = out.first()
+    assert row["source"] == "pt" and row["ivl_source"] == "iv"
+
+
+def test_interval_join_boundary_exact_at_epoch_scale(spark):
+    """End-exclusive boundary decided exactly (no epsilon): an interval
+    ending ON a bucket boundary at epoch magnitude must not cover that
+    bucket's points."""
+    t0 = 1_700_000_000
+    P = spark.createDataFrame([(t0 + 3600, 0), (t0 + 3599, 1)], "ts long, pid long")
+    I = spark.createDataFrame([(t0, t0 + 3600, 0)], "istart long, iend long, iid long")
+    got = {r["pid"] for r in interval_join(P, I, "ts", "istart", "iend", bucket=3600.0).collect()}
+    assert got == {1}

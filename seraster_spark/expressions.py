@@ -22,8 +22,13 @@ _AXIS_BITS = 28
 
 
 def _pack(mode: int, level: int, row: Column, col: Column) -> Column:
-    r = (row + F.lit(_OFF)).cast("long")
-    c = (col + F.lit(_OFF)).cast("long")
+    # mask to the 28-bit axis field exactly like grid.pack — without it,
+    # out-of-range coordinates bleed into the level/mode bits here while
+    # the numpy path wraps within the axis field, breaking the bit-for-bit
+    # parity contract between the two encoders
+    mask = F.lit((1 << _AXIS_BITS) - 1)
+    r = (row + F.lit(_OFF)).cast("long").bitwiseAND(mask)
+    c = (col + F.lit(_OFF)).cast("long").bitwiseAND(mask)
     return (
         F.lit(mode << 62).cast("long")
         .bitwiseOR(F.lit((level & 0x3F) << 56).cast("long"))

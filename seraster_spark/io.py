@@ -60,7 +60,12 @@ def write_tiles(
         from . import expressions as X
 
         row, col = X.unpack_rowcol(F.col("cell_id"))
-        df = df.withColumn("_z", X.morton_expr(row, col)).withColumn(
+        # offset to the non-negative packed plane before interleaving:
+        # hex axial q/r are signed, and two's-complement low bits of a
+        # negative coordinate interleave to the FAR end of the z-curve,
+        # scattering adjacent tiles across files (morton_expr precondition)
+        off = F.lit(1 << 27)
+        df = df.withColumn("_z", X.morton_expr(row + off, col + off)).withColumn(
             "row_i", row.cast("long")
         ).withColumn("col_i", col.cast("long"))
         if n_files:
@@ -104,7 +109,10 @@ def _manifest_path(out_dir: str) -> str:
     return os.path.join(out_dir, "_manifest")
 
 
-def completed_units(spark: SparkSession, out_dir: str) -> set[str]:
+def completed_units(spark: SparkSession | None, out_dir: str) -> set[str]:
+    """Units with a manifest row. Pure local-filesystem scan; the ``spark``
+    parameter is unused and kept only for caller compatibility (pass
+    None)."""
     mpath = _manifest_path(out_dir)
     if not os.path.exists(mpath):
         return set()
@@ -141,6 +149,18 @@ def checkpointed_write(
     records = []
     if pending:
         t0 = time.time()
+        # a pending unit may have data on disk from a run that crashed
+        # between the parquet write and its manifest row; if the unit is
+        # EMPTY in the current df, dynamic overwrite would never touch the
+        # stale directory and the count below would resurrect phantom rows
+        # — remove un-manifested unit directories first (local-fs layout;
+        # an object-store deployment would issue the equivalent deletes)
+        import shutil
+
+        for u in pending:
+            stale = os.path.join(out_dir, f"{unit_col}={u}")
+            if os.path.isdir(stale):
+                shutil.rmtree(stale)
         pending_df = df.filter(F.col(unit_col).cast("string").isin(pending))
         prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
@@ -152,8 +172,13 @@ def checkpointed_write(
         # per-unit row counts in ONE grouped job over the written root
         # (a per-unit read+count loop is one job per unit — thousands of
         # scheduler round-trips at scale); underscore-prefixed manifest/
-        # lineage files are ignored by the parquet reader
+        # lineage files are ignored by the parquet reader. Partition-type
+        # inference is disabled for the read-back so unit strings like
+        # '01' don't re-infer as integers and mis-key the counts.
         finished = time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())
+        inf_key = "spark.sql.sources.partitionColumnTypeInference.enabled"
+        prev_inf = spark.conf.get(inf_key, "true")
+        spark.conf.set(inf_key, "false")
         try:
             counts = {
                 r["_u"]: r["_n"]
@@ -163,8 +188,17 @@ def checkpointed_write(
                 .agg(F.count(F.lit(1)).alias("_n"))
                 .collect()
             }
-        except Exception:  # nothing written at all (every pending unit empty)
-            counts = {}
+        except Exception as e:
+            # only the nothing-written-at-all case (every pending unit
+            # empty) may proceed with zero counts; a real read failure must
+            # NOT silently mark units complete with rows=0
+            msg = str(e)
+            if "PATH_NOT_FOUND" in msg or "UNABLE_TO_INFER_SCHEMA" in msg:
+                counts = {}
+            else:
+                raise
+        finally:
+            spark.conf.set(inf_key, prev_inf)
         for u in pending:
             rows = int(counts.get(u, 0))
             rec = {

@@ -321,7 +321,12 @@ def rasterize_gene_expression_deterministic(
     def tile_sum(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(["feature", "doc_id"], kind="mergesort")
         recs = []
-        for feat, grp in pdf.groupby("feature", sort=True):
+        # dropna=False: the default (JVM) path keeps a NULL-feature group,
+        # so the deterministic twin must too — pandas groupby silently
+        # drops NaN keys by default, which would diverge the result sets
+        for feat, grp in pdf.groupby("feature", sort=True, dropna=False):
+            if pd.isna(feat):
+                feat = None
             # np.cumsum is a strict sequential accumulation (no pairwise
             # reassociation), so its last element is bit-identical to a
             # left-to-right Python fold — at vector speed

@@ -170,7 +170,9 @@ def stream_enriched_counts(
         .groupBy(F.window(F.col(ts_col), window_duration), "group_label")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
-            F.sum("weight").cast("long").alias("weighted"),
+            # no cast: keeps the input weight type (a long cast would
+            # silently truncate fractional weights)
+            F.sum("weight").alias("weighted"),
         )
         .select(
             F.col("window.start").alias("window_start"),

@@ -202,3 +202,24 @@ def test_morton_expr_interleaves_and_clusters(spark):
     z = [(r["row_i"], r["col_i"]) for r in sorted(rows, key=lambda r: r["m"])]
     rowmajor = sorted((r["row_i"], r["col_i"]) for r in rows)
     assert mean_file_max_side(z) <= mean_file_max_side(rowmajor) / 4
+
+
+def test_pack_column_matches_numpy_out_of_range(spark):
+    """Out-of-range coordinates must wrap IDENTICALLY in the Column and
+    numpy encoders (the Column path previously bled bits into the
+    level/mode fields)."""
+    import numpy as np
+
+    from pyspark.sql import functions as F
+
+    from seraster_spark import expressions as X
+    from seraster_spark.grid import pack
+
+    vals = [(0, 0), (5, -3), ((1 << 27) + 7, 11), (-(1 << 27) - 2, (1 << 28) + 9)]
+    df = spark.createDataFrame(vals, "r long, c long").withColumn(
+        "cid", X._pack(1, 3, F.col("r"), F.col("c"))
+    )
+    got = {(x["r"], x["c"]): x["cid"] for x in df.collect()}
+    for (r, c), cid in got.items():
+        want = int(pack(1, 3, np.array([r]), np.array([c]))[0])
+        assert cid == want, (r, c)

@@ -131,3 +131,63 @@ def test_write_tiles_zorder_files_cover_compact_bboxes(spark, tmp_path):
     ).parquet(pdir)
 
     assert mean_file_max_side(zdir) <= mean_file_max_side(pdir) / 2
+
+
+def test_write_tiles_zorder_hex_negative_axials(spark, tmp_path):
+    """Signed hex axial coords must be offset before interleaving —
+    two's-complement low bits of q=-1 would otherwise land at the far end
+    of the z-curve and scatter adjacent tiles across every file."""
+    import glob
+    import os
+
+    from seraster_spark import expressions as X
+    from seraster_spark.io import write_tiles
+
+    cells = [(r, c, 1.0) for r in range(64) for c in range(-32, 32)]
+    tiles = spark.createDataFrame(cells, "row_i long, col_i long, pixelval double").select(
+        X._pack(1, 0, F.col("row_i"), F.col("col_i")).alias("cell_id"), "pixelval"
+    )
+    zdir = str(tmp_path / "zhex")
+    write_tiles(tiles, zdir, zorder=True, n_files=16)
+    sides = []
+    for f in glob.glob(os.path.join(zdir, "part-*.parquet")):
+        pdf = spark.read.parquet("file://" + os.path.abspath(f)).toPandas()
+        if len(pdf):
+            sides.append(max(pdf.row_i.max() - pdf.row_i.min(),
+                             pdf.col_i.max() - pdf.col_i.min()) + 1)
+    # 4096 tiles / 16 files = 256-tile files; compact ⇒ bbox side ~16-32,
+    # scattered-across-the-sign-boundary ⇒ side ~64
+    assert sum(sides) / len(sides) <= 34
+
+
+def test_checkpointed_write_stale_crashed_unit_is_cleared(spark, tmp_path):
+    """A unit directory left by a run that crashed before its manifest row
+    must not survive as phantom rows when the unit is empty on resume."""
+    import os
+
+    from seraster_spark.io import checkpointed_write
+
+    out = str(tmp_path / "ckw")
+    d1 = spark.createDataFrame([("a", 1), ("a", 2), ("b", 3)], "unit string, v long")
+    checkpointed_write(d1, out, "unit", ["a", "b"])
+    # simulate the crash: manifest row for 'a' lost, data dir remains
+    os.remove(os.path.join(out, "_manifest", "a.json"))
+    # upstream changed: unit 'a' now has NO rows
+    d2 = spark.createDataFrame([("b", 3)], "unit string, v long")
+    lineage = checkpointed_write(d2, out, "unit", ["a", "b"])
+    rec = {r["unit"]: r["rows"] for r in lineage["records"]}
+    assert rec == {"a": 0}
+    got = spark.read.parquet(out)
+    assert got.filter(F.col("unit") == "a").count() == 0  # no phantom rows
+
+
+def test_checkpointed_write_numeric_looking_unit_strings(spark, tmp_path):
+    """Unit '01' must not re-infer as integer 1 and mis-key the manifest
+    counts."""
+    from seraster_spark.io import checkpointed_write
+
+    out = str(tmp_path / "ckw01")
+    d = spark.createDataFrame([("01", 1), ("01", 2), ("02", 3)], "unit string, v long")
+    lineage = checkpointed_write(d, out, "unit", ["01", "02"])
+    rec = {r["unit"]: r["rows"] for r in lineage["records"]}
+    assert rec == {"01": 2, "02": 1}

@@ -190,9 +190,11 @@ def test_stream_static_enrichment_matches_batch(spark, tmp_path):
     ckpt = str(tmp_path / "enrich_ckpt")
     _batch(spark, None, 0, 400, minute=0).write.mode("append").parquet(in_dir)
 
+    # fractional (exactly binary) weights: regression for a long cast that
+    # silently truncated non-integer weighted sums
     dim = spark.createDataFrame(
-        [("ct0", "even", 2), ("ct2", "even", 3), ("ct1", "odd", 5)],
-        "kind string, group_label string, weight long",
+        [("ct0", "even", 0.5), ("ct2", "even", 2.5), ("ct1", "odd", 1.25)],
+        "kind string, group_label string, weight double",
     )
     sdf = stream_enriched_counts(spark, in_dir, SCHEMA, dim)
     run_available_now(sdf, "enriched_stream", ckpt)
@@ -208,7 +210,7 @@ def test_stream_static_enrichment_matches_batch(spark, tmp_path):
             .groupBy(F.window("ts", "1 minute").alias("w"), "group_label")
             .agg(
                 F.count(F.lit(1)).alias("n_docs"),
-                F.sum("weight").cast("long").alias("weighted"),
+                F.sum("weight").alias("weighted"),
             )
             .select(F.col("w.start").alias("ws"), "group_label", "n_docs", "weighted")
             .collect()

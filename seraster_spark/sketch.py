@@ -62,8 +62,10 @@ def hash_sample(
     stratum gets its own rate (absent strata fall back to ``default_rate``)
     — the standard language/source re-balancing step of a training-data
     mix. Pure filter: map-only, no shuffle, reproducible across runs and
-    cluster sizes."""
-    u = md5_uniform(key, salt=salt)
+    cluster sizes. NULL keys hash through a sentinel (md5(NULL) is NULL and
+    ``NULL < rate`` would silently drop every NULL-keyed row even at
+    rate 1.0)."""
+    u = md5_uniform(F.coalesce(key.cast("string"), F.lit("__null_key__")), salt=salt)
     if strata is not None:
         if not rates:
             raise ValueError("strata given but no rates")

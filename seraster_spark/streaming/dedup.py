@@ -43,13 +43,27 @@ def stream_exact_dedup(
 
 
 def drain_append(stream_df: DataFrame, out_dir: str, checkpoint_dir: str):
-    """Drain available data in append mode via foreachBatch → parquet append
-    (checkpoint-recoverable, unlike the memory sink)."""
+    """Drain available data in append mode via foreachBatch → parquet
+    (checkpoint-recoverable, unlike the memory sink).
+
+    foreachBatch is AT-LEAST-ONCE: a crash between the sink write and the
+    checkpoint commit replays the batch on restart. A blind append would
+    then re-emit the batch's rows — duplicates in the output of a DEDUP
+    stream. Writing each batch to its own ``batch_id=`` partition with
+    dynamic partition overwrite makes the replay idempotent: batch N's
+    re-execution overwrites exactly batch N's directory."""
 
     def write_batch(batch_df: DataFrame, batch_id: int):
-        batch_df.withColumn("batch_id", F.lit(batch_id)).write.mode("append").parquet(
-            out_dir
-        )
+        spark = batch_df.sparkSession
+        key = "spark.sql.sources.partitionOverwriteMode"
+        prev = spark.conf.get(key, "static")
+        spark.conf.set(key, "dynamic")
+        try:
+            batch_df.withColumn("batch_id", F.lit(batch_id)).write.mode(
+                "overwrite"
+            ).partitionBy("batch_id").parquet(out_dir)
+        finally:
+            spark.conf.set(key, prev)
 
     q = (
         stream_df.writeStream.foreachBatch(write_batch)

@@ -165,10 +165,14 @@ def lang_id(df: DataFrame, text_col: str = "text", out: str = "lang_guess") -> D
 
 def fingerprint(df: DataFrame, text_col: str = "text", out: str = "fp64") -> DataFrame:
     """64-bit rolling document fingerprint: xxhash64 of the normalized token
-    stream (whitespace-canonical, lowercase) — robust to whitespace noise."""
-    return df.withColumn(
-        out, F.xxhash64(F.array_join(tokens_expr(F.col(text_col)), " "))
+    stream (whitespace-canonical, lowercase) — robust to whitespace noise.
+    Empty tokens are filtered AFTER the split (not via trim): JVM trim
+    strips only the SPACE character, so a tab/newline-prefixed text would
+    otherwise keep a leading empty token and change the fingerprint."""
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != ""
     )
+    return df.withColumn(out, F.xxhash64(F.array_join(toks, " ")))
 
 
 def vocabulary(
@@ -491,6 +495,13 @@ def minhash_lsh_candidates(
     """
     if impl not in ("arrow", "expr"):
         raise ValueError("impl must be 'arrow' or 'expr'")
+    if bands < 1 or bands > num_perm or num_perm % bands != 0:
+        # bands > num_perm would give EMPTY bands (a constant band hash puts
+        # every doc in ONE bucket -> quadratic); a non-divisor silently
+        # drops permutations and shifts the LSH threshold curve
+        raise ValueError(
+            f"bands must divide num_perm (got num_perm={num_perm}, bands={bands})"
+        )
     rows = num_perm // bands
     # shingling + signatures are compute-dense per byte — ensure parallelism
     slim = _fan_out(df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_text")))
@@ -599,11 +610,21 @@ def ngram_jaccard(
         else (lambda c: shingles_expr(c, n))
     )
     is_self = df_b is None
-    df_b = df_b if df_b is not None else df_a
     a = df_a.select(F.col(id_col).alias("id_a"), shing(F.col(text_col)).alias("sh_a"))
-    b = df_b.select(F.col(id_col).alias("id_b"), shing(F.col(text_col)).alias("sh_b"))
+    # self mode: derive the B side by RENAMING the A side so the expensive
+    # shingling subtree exists once in the plan (a structurally separate
+    # rebuild would shingle every document twice)
+    b = (
+        a.select(F.col("id_a").alias("id_b"), F.col("sh_a").alias("sh_b"))
+        if is_self
+        else df_b.select(F.col(id_col).alias("id_b"), shing(F.col(text_col)).alias("sh_b"))
+    )
     ia = a.select("id_a", F.explode("sh_a").alias("g")).dropDuplicates()
-    ib = b.select("id_b", F.explode("sh_b").alias("g")).dropDuplicates()
+    ib = (
+        ia.select(F.col("id_a").alias("id_b"), "g")
+        if is_self
+        else b.select("id_b", F.explode("sh_b").alias("g")).dropDuplicates()
+    )
     if max_df is not None:
         if max_df < 2:
             raise ValueError("max_df must be >= 2 (a pair needs 2 postings)")
@@ -618,12 +639,13 @@ def ngram_jaccard(
         )
         ia = ia.join(keep, "g")
         ib = ib.join(keep, "g")
-    cand = (
-        ia.join(ib, "g")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .dropDuplicates()
-    )
+    cand = ia.join(ib, "g")
+    if is_self:
+        # unordered unique pairs of ONE corpus; cross-corpus mode must keep
+        # every (a, b) combination — an id ordering filter there silently
+        # drops pairs whose A-side id happens to be >= the B-side id
+        cand = cand.filter(F.col("id_a") < F.col("id_b"))
+    cand = cand.select("id_a", "id_b").dropDuplicates()
     j = cand.join(a, "id_a").join(b, "id_b")
     inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
     union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
@@ -793,17 +815,16 @@ def dedup_clusters(
     """Cluster near-duplicate pairs and pick canonicals: (node, cluster_id =
     min id in the component, cluster_size, is_canonical)."""
     cc = connected_components(pairs, src, dst)
-    from pyspark.sql import Window as W2
-
-    w = W2.partitionBy("component")
-    return (
-        cc.withColumn("cluster_size", F.count(F.lit(1)).over(w).cast("long"))
-        .select(
-            F.col("node"),
-            F.col("component").alias("cluster_id"),
-            "cluster_size",
-            (F.col("node") == F.col("component")).alias("is_canonical"),
-        )
+    # slim groupBy + equi-join, NOT a window partitioned by component: a
+    # 10M-copy boilerplate cluster is one component, and a window would
+    # funnel all its rows into a single task (the exact skewed shape
+    # exact_dedup's docstring rules out); the groupBy map-side combines
+    sizes = cc.groupBy("component").agg(F.count(F.lit(1)).cast("long").alias("cluster_size"))
+    return cc.join(sizes, "component").select(
+        F.col("node"),
+        F.col("component").alias("cluster_id"),
+        "cluster_size",
+        (F.col("node") == F.col("component")).alias("is_canonical"),
     )
 
 
@@ -888,6 +909,17 @@ def simhash_hex_candidates(
     substrings (16/bands chars per band), with exact hamming distance
     computed per nibble (bit_count of XORed hex digits). Fully expressible
     in ANSI SQL, so it carries a DuckDB oracle."""
+    if 16 % bands != 0:
+        raise ValueError(f"bands must divide 16 (got {bands})")
+    if bands < max_hamming + 1:
+        # pigeonhole guarantees recall only for hamming <= bands-1; larger
+        # verify thresholds are legitimate (band-limited recall) but must
+        # be a visible choice, not a silent surprise
+        _log.warning(
+            "simhash_hex_candidates: pigeonhole recall only guaranteed for "
+            "hamming <= %d (bands=%d); pairs with hamming in [%d, %d] may be missed",
+            bands - 1, bands, bands, max_hamming,
+        )
     width = 16 // bands
     banded = sim_df.select(
         F.col(id_col).alias("_id"),
@@ -941,8 +973,16 @@ def simhash_candidates(
     max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Near-dup candidates from SimHash by band-join (pigeonhole: hamming ≤
-    bands-1 guarantees one identical 16-bit band), verified with exact
+    bands-1 guarantees one identical band), verified with exact
     popcount hamming distance."""
+    if 64 % bands != 0:
+        raise ValueError(f"bands must divide 64 (got {bands})")
+    if bands < max_hamming + 1:
+        _log.warning(
+            "simhash_candidates: pigeonhole recall only guaranteed for "
+            "hamming <= %d (bands=%d); pairs with hamming in [%d, %d] may be missed",
+            bands - 1, bands, bands, max_hamming,
+        )
     width = 64 // bands
     mask = (1 << width) - 1
     banded = sim_df.select(

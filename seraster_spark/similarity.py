@@ -80,37 +80,65 @@ def brute_force_topk_arrow(
     the interpreted zip_with/aggregate fold at scale.
 
     queries_pdf: pandas with (query_id, vec) columns where vec is list/array.
+    Dtypes are PRESERVED: query_id and the item id come back with their
+    input types (no silent stringification). NULL-embedding items are
+    skipped (parity with the columnar path's NULL-cosine degradation).
     """
-    qids = queries_pdf[query_id].to_numpy()
-    qm = np.stack([np.asarray(v, dtype=np.float64) for v in queries_pdf[vec_col]])
-    qm_n = qm / np.linalg.norm(qm, axis=1, keepdims=True)
-
+    spark = items.sparkSession
+    iid_type = items.schema[id_col].dataType
+    qid_type = (
+        spark.createDataFrame(queries_pdf[[query_id]]).schema[query_id].dataType
+        if len(queries_pdf)
+        else T.StringType()
+    )
     out_schema = T.StructType(
         [
-            T.StructField(query_id, T.StringType()),
-            T.StructField("_iid", T.LongType()),
+            T.StructField(query_id, qid_type),
+            T.StructField("_iid", iid_type),
             T.StructField("cosine", T.DoubleType()),
         ]
     )
+    final_schema = T.StructType(
+        [
+            T.StructField(query_id, qid_type),
+            T.StructField(id_col, iid_type),
+            T.StructField("cosine", T.DoubleType()),
+            T.StructField("rank", T.IntegerType()),
+        ]
+    )
+    if not len(queries_pdf):
+        return spark.createDataFrame([], final_schema)
+    qids = queries_pdf[query_id].tolist()
+    qm = np.stack([np.asarray(v, dtype=np.float64) for v in queries_pdf[vec_col]])
+    qm_n = qm / np.linalg.norm(qm, axis=1, keepdims=True)
 
     def batch_topk(it):
         for pdf in it:
+            if not len(pdf):
+                continue
             m = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
             norms = np.linalg.norm(m, axis=1)
             norms[norms == 0] = 1.0
             cos = (m / norms[:, None]) @ qm_n.T  # (batch, nq)
             kk = min(k, len(m))
-            idx = np.argpartition(-cos, kk - 1, axis=0)[:kk]  # (k, nq)
             rows = {query_id: [], "_iid": [], "cosine": []}
             ids = pdf[id_col].to_numpy()
             for qi in range(len(qids)):
-                sel = idx[:, qi]
-                rows[query_id].extend([str(qids[qi])] * len(sel))
+                # deterministic per-batch cut: (cosine desc, id asc) — a bare
+                # argpartition splits tied cosines arbitrarily and could drop
+                # the smallest-id item before the global re-rank sees it
+                order = np.lexsort((ids, -cos[:, qi]))
+                sel = order[:kk]
+                rows[query_id].extend([qids[qi]] * len(sel))
                 rows["_iid"].extend(ids[sel].tolist())
                 rows["cosine"].extend(cos[sel, qi].tolist())
             yield pd.DataFrame(rows)
 
-    cand = items.select(id_col, vec_col).mapInPandas(batch_topk, out_schema)
+    cand = (
+        items.select(id_col, vec_col)
+        .filter(F.col(vec_col).isNotNull())
+        .mapInPandas(batch_topk, out_schema)
+    )
     ranked = (
         cand.withColumn(
             "rank",
@@ -150,10 +178,21 @@ def train_ivf_centroids(
     if n == 0:
         raise ValueError("train_ivf_centroids: no vectors to train on")
     frac = 1.0 if n <= sample_size else min(1.0, 1.25 * sample_size / n)
-    train = vecs.sample(fraction=frac, seed=seed).localCheckpoint(eager=True)
+    # hash-threshold sample, NOT df.sample: Spark's Bernoulli sample derives
+    # per-partition seeds from the partition index, so membership (and the
+    # trained centroids) would change with the input's partitioning
+    if frac >= 1.0:
+        train = vecs.localCheckpoint(eager=True)
+    else:
+        u = (
+            F.pmod(F.xxhash64(F.col("_v"), F.lit(int(seed))), F.lit(1_000_000))
+            .cast("double")
+            / 1_000_000.0
+        )
+        train = vecs.filter(u < frac).localCheckpoint(eager=True)
     if train.isEmpty():  # pathological tiny input + low fraction
         train = vecs.localCheckpoint(eager=True)
-    init = train.dropDuplicates().limit(n_centroids).collect()
+    init = train.dropDuplicates().orderBy("_v").limit(n_centroids).collect()
     cent = np.stack([np.asarray(r["_v"], dtype=np.float64) for r in init])
 
     part_schema = T.StructType(
@@ -183,8 +222,12 @@ def train_ivf_centroids(
         for c in range(len(cent)):
             sub = parts[parts["c"] == c]
             if len(sub):
-                tot = np.stack([np.asarray(s, dtype=np.float64) for s in sub["s"]]).sum(axis=0)
-                cent[c] = tot / float(sub["n"].sum())
+                arr = np.stack([np.asarray(s, dtype=np.float64) for s in sub["s"]])
+                # canonical combine order: partial-sum ARRIVAL order depends
+                # on partitioning, and float addition is order-sensitive —
+                # sort partials lexicographically before the fold
+                arr = arr[np.lexsort(arr.T[::-1])]
+                cent[c] = arr.sum(axis=0) / float(sub["n"].sum())
     return cent
 
 
@@ -212,6 +255,7 @@ def ivf_topk(
     Pass explicit ``centroids`` (n_centroids × dim) to skip training — e.g.
     integer centroids whose distance comparisons are exact, making list
     assignment reproducible outside numpy (the SQL-oracle variant)."""
+    items = items.filter(F.col(vec_col).isNotNull())
     if centroids is not None:
         cent = np.asarray(centroids, dtype=np.float64)
     else:
@@ -232,14 +276,36 @@ def ivf_topk(
         d = ((m[:, None, :] - cent_b[None, :, :]) ** 2).sum(axis=2)
         return pd.Series(d.argmin(axis=1).astype(np.int32))
 
+    if dim is not None and cent.shape[1] != dim:
+        raise ValueError(
+            f"ivf_topk: centroids have dim {cent.shape[1]}, expected {dim}"
+        )
     it = items.withColumn("_list", nearest_centroid(F.col(vec_col)))
 
+    spark = items.sparkSession
+    qid_type = (
+        spark.createDataFrame(queries_pdf[[query_id]]).schema[query_id].dataType
+        if len(queries_pdf)
+        else T.StringType()
+    )
+    if not len(queries_pdf):
+        return spark.createDataFrame(
+            [],
+            T.StructType(
+                [
+                    T.StructField(query_id, qid_type),
+                    T.StructField(id_col, items.schema[id_col].dataType),
+                    T.StructField("cosine", T.DoubleType()),
+                    T.StructField("rank", T.IntegerType()),
+                ]
+            ),
+        )
     qm = np.stack([np.asarray(v, dtype=np.float64) for v in queries_pdf[vec_col]])
     qd = ((qm[:, None, :] - cent_b[None, :, :]) ** 2).sum(axis=2)
     probes = np.argsort(qd, axis=1)[:, : min(n_probe, len(cent_b))]
-    spark = items.sparkSession
+    qids = queries_pdf[query_id].tolist()
     qrows = [
-        (str(queries_pdf[query_id].iloc[i]), [float(x) for x in qm[i]], int(p))
+        (qids[i], [float(x) for x in qm[i]], int(p))
         for i in range(len(queries_pdf))
         for p in probes[i]
     ]
@@ -247,7 +313,7 @@ def ivf_topk(
         qrows,
         T.StructType(
             [
-                T.StructField(query_id, T.StringType()),
+                T.StructField(query_id, qid_type),
                 T.StructField("_qvec", T.ArrayType(T.DoubleType())),
                 T.StructField("_list", T.IntegerType()),
             ]
@@ -315,11 +381,12 @@ def lsh_topk(
     """Approximate cosine top-k: bucket both sides by hyperplane signature,
     multi-probe queries into Hamming-1 neighbor buckets (probe list built as
     a literal array — no extra shuffle), exact cosine re-rank inside the
-    probed buckets only."""
+    probed buckets only. NULL-embedding rows are skipped (np.stack inside
+    the Arrow bucket kernel would otherwise crash the job)."""
     bucket = lsh_bucket_udf(dim, n_planes, seed, planes=planes)
     if planes is not None:
         n_planes = np.asarray(planes).shape[0]
-    it = items.select(
+    it = items.filter(F.col(vec_col).isNotNull()).select(
         F.col(id_col).alias("_iid"), F.col(vec_col).alias("_ivec")
     ).withColumn("bucket", bucket(F.col("_ivec")))
     q = queries.select(
@@ -374,7 +441,9 @@ def cosine_near_duplicates(
     from .text import cap_buckets
 
     bucket = lsh_bucket_udf(dim, n_planes, seed, planes=planes)
-    it = items.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_vec"))
+    it = items.filter(F.col(vec_col).isNotNull()).select(
+        F.col(id_col).alias("_id"), F.col(vec_col).alias("_vec")
+    )
     slim = it.withColumn("bucket", bucket(F.col("_vec"))).select("_id", "bucket")
     slim = cap_buckets(slim, ["bucket"], max_bucket_size, "cosine_near_duplicates")
     l, r = slim.alias("l"), slim.alias("r")

@@ -151,13 +151,18 @@ def filter_by_polygon(
 ) -> DataFrame:
     """Vector → raster join: keep docs inside the polygon.
 
-    Stage 1 (coarse): semi-join on the covering cell set (partition-prunable,
-    pure equi-join). Stage 2 (exact, optional): vectorized ray-casting PIP on
-    the survivors only — the expensive geometry test touches a tiny fraction
-    of the table.
+    Stage 1 (coarse): semi-join against a BROADCAST covering-cell frame
+    (same shape as spatial_join). For small cell sets an isin literal list
+    would also work, but a large polygon on a fine grid covers millions of
+    cells — as plan literals those blow up plan serialization and driver
+    memory, while a broadcast join scales to any covering-set size. Stage 2
+    (exact, optional): vectorized ray-casting PIP on the survivors only —
+    the expensive geometry test touches a tiny fraction of the table.
     """
     cells = polygon_covering_cells(ring_vertices, spec)
-    coarse = docs_with_cell.filter(F.col("cell_id").isin(cells))
+    spark = docs_with_cell.sparkSession
+    cells_df = spark.createDataFrame([(int(c),) for c in cells], "cell_id long")
+    coarse = docs_with_cell.join(F.broadcast(cells_df), "cell_id", "left_semi")
     if not exact:
         return coarse
     from .udfs import pip_udf

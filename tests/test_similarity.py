@@ -112,3 +112,91 @@ def test_cosine_near_dup_bucket_cap(spark):
     # uncapped produces the quadratic block
     n = S.cosine_near_duplicates(df, threshold=0.99, dim=8, planes=planes).count()
     assert n == 100 * 99 // 2 + 1
+
+
+def test_arrow_topk_tie_break_deterministic(spark):
+    """Tied cosines at the per-batch cut must keep the smallest ids (the
+    global tie rule) — a bare argpartition splits ties arbitrarily."""
+    import pandas as pd
+
+    from seraster_spark.similarity import brute_force_topk_arrow
+
+    # 30 identical vectors -> all cosines tie; top-3 must be ids 0,1,2
+    rows = [(i, [1.0, 0.0]) for i in range(30)]
+    items = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = pd.DataFrame({"query_id": ["q"], "embedding": [[1.0, 0.0]]})
+    got = sorted(
+        r["vec_id"]
+        for r in brute_force_topk_arrow(items.repartition(5), q, 3).collect()
+    )
+    assert got == [0, 1, 2]
+
+
+def test_arrow_topk_preserves_dtypes_and_empty_queries(spark):
+    import pandas as pd
+
+    from seraster_spark.similarity import brute_force_topk_arrow
+
+    items = spark.createDataFrame(
+        [("docA", [1.0, 0.0]), ("docB", [0.0, 1.0])],
+        "vec_id string, embedding array<double>",
+    )
+    q = pd.DataFrame({"query_id": [7], "embedding": [[1.0, 0.0]]})
+    rows = brute_force_topk_arrow(items, q, 1).collect()
+    assert rows[0]["query_id"] == 7          # int preserved, not "7"
+    assert rows[0]["vec_id"] == "docA"       # string item ids work
+    empty = brute_force_topk_arrow(items, q.iloc[0:0], 1)
+    assert empty.count() == 0
+
+
+def test_similarity_paths_skip_null_embeddings(spark):
+    import pandas as pd
+
+    from seraster_spark.similarity import (
+        brute_force_topk_arrow,
+        cosine_near_duplicates,
+        ivf_topk,
+    )
+
+    items = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, None), (3, [1.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    q = pd.DataFrame({"query_id": ["q"], "embedding": [[1.0, 0.0]]})
+    assert brute_force_topk_arrow(items, q, 2).count() == 2
+    got = ivf_topk(items, q, 2, dim=2, n_centroids=1, sample_size=10).collect()
+    assert {r["vec_id"] for r in got} == {1, 3}
+    pairs = cosine_near_duplicates(items, threshold=0.9, dim=2).collect()
+    assert {(r["id_a"], r["id_b"]) for r in pairs} == {(1, 3)}
+
+
+def test_ivf_dim_mismatch_raises(spark):
+    import numpy as np
+    import pandas as pd
+
+    from seraster_spark.similarity import ivf_topk
+
+    items = spark.createDataFrame([(1, [1.0, 0.0])], "vec_id long, embedding array<double>")
+    q = pd.DataFrame({"query_id": ["q"], "embedding": [[1.0, 0.0]]})
+    with pytest.raises(ValueError, match="dim"):
+        ivf_topk(items, q, 1, dim=5, centroids=np.zeros((2, 2)))
+
+
+def test_ivf_training_reproducible_across_partitionings(spark):
+    import numpy as np
+
+    from seraster_spark.similarity import train_ivf_centroids
+
+    rng = np.random.default_rng(0)
+    rows = [(int(i), [float(x) for x in rng.normal(size=4)]) for i in range(500)]
+    d = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    a = train_ivf_centroids(d.repartition(2), n_centroids=4, kmeans_iters=2, seed=7)
+    b = train_ivf_centroids(d.repartition(11), n_centroids=4, kmeans_iters=2, seed=7)
+    # sample membership + init are now partition-invariant (the former
+    # df.sample seeded per PARTITION, silently changing the training set);
+    # residual delta is float reassociation of partial sums across
+    # different partition boundaries — tiny and bounded
+    assert np.allclose(a, b, rtol=0, atol=1e-9)
+    # and bitwise-identical for a FIXED partitioning
+    c = train_ivf_centroids(d.repartition(11), n_centroids=4, kmeans_iters=2, seed=7)
+    assert np.array_equal(b, c)

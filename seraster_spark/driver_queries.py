@@ -1662,13 +1662,11 @@ def q_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = read_table(spark, sf_dir, "embeddings")
     items = e.select("vec_id", _vec16_expr().alias("embedding"))
-    queries_pdf = (
-        items.filter(F.col("vec_id") % 97 == 0)
-        .select(F.col("vec_id").alias("query_id"), "embedding")
-        .toPandas()
+    queries = items.filter(F.col("vec_id") % 97 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
     )
     out = S.ivf_topk(
-        items, queries_pdf, 5, dim=_LSH_DIM,
+        items, queries, 5, dim=_LSH_DIM,
         n_probe=_IVF_NPROBE, centroids=np.array(IVF_CENTROIDS),
     )
     return out.select(
@@ -2475,17 +2473,297 @@ WHERE CAST({_SQL_HEX8.format(h="md5('mix1' || CAST(doc_id AS VARCHAR))")} AS DOU
 """
 
 
+# ---------------------------------------------------------------------------
+# merged driver-contract queries
+#
+# The driver snapshots at most the FIRST 50 entries of the registry
+# (CORRECTNESS_r03 checked exactly registry[:50] of 60). To give every
+# operator a hard oracle signal each round, sibling ops that share a table
+# and join key are checked through ONE merged oracle row, and ops whose
+# oracle was a literal duplicate of another entry (udf-path raster, hex kNN,
+# rotation coords, simhash signatures, uncapped minhash) are covered by
+# dedicated pytest parity tests instead (test_rasterize.test_expr_udf_paths
+# _agree, test_knn, test_permutate.test_rotation_values_vs_numpy,
+# test_text.test_simhash_md5_oracle / test_minhash_lsh_finds_near_dups).
+
+
+def q_focal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Focal statistics, both kernels in one oracle row: uniform 3×3 queen
+    (mean_*) and integer binomial 1-2-1⊗1-2-1 smoothing (gauss_*), joined on
+    the tile key. Same raster input, one tile-cardinality join."""
+    from .focal import binomial_kernel, focal_stats
+
+    t, _ = _sq_tiles(spark, sf_dir)
+    raster = t.groupBy("row_i", "col_i").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+    mean = focal_stats(raster, "n_docs").select(
+        "row_i",
+        "col_i",
+        "n_docs",
+        F.col("focal_sum").alias("mean_sum"),
+        F.col("focal_n").alias("mean_n"),
+        F.col("focal_mean").alias("mean_avg"),
+    )
+    gauss = focal_stats(raster, "n_docs", kernel=binomial_kernel(1)).select(
+        "row_i",
+        "col_i",
+        F.col("focal_sum").alias("gauss_sum"),
+        F.col("focal_n").alias("gauss_n"),
+        F.col("focal_mean").alias("gauss_avg"),
+    )
+    return mean.join(gauss, ["row_i", "col_i"])
+
+
+SQL_FOCAL_STATS = f"""
+WITH {_SQL_DOCS}, {_SQL_BBOX}, {_SQL_SQ_CELLS},
+r AS (SELECT row_i, col_i, count(*) AS n_docs FROM c GROUP BY 1, 2),
+fm AS (
+  SELECT a.row_i, a.col_i, a.n_docs,
+         CAST(sum(b.n_docs) AS BIGINT) AS mean_sum,
+         count(*) AS mean_n,
+         CAST(sum(b.n_docs) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean_avg
+  FROM r a JOIN r b
+    ON b.row_i BETWEEN a.row_i - 1 AND a.row_i + 1
+   AND b.col_i BETWEEN a.col_i - 1 AND a.col_i + 1
+  GROUP BY a.row_i, a.col_i, a.n_docs
+),
+fg AS (
+  SELECT a.row_i, a.col_i,
+         CAST(sum(b.n_docs * (2 - abs(a.row_i - b.row_i))
+                           * (2 - abs(a.col_i - b.col_i))) AS BIGINT) AS gauss_sum,
+         CAST(sum((2 - abs(a.row_i - b.row_i))
+                * (2 - abs(a.col_i - b.col_i))) AS BIGINT) AS gauss_n,
+         CAST(sum(b.n_docs * (2 - abs(a.row_i - b.row_i))
+                           * (2 - abs(a.col_i - b.col_i))) AS DOUBLE)
+           / CAST(sum((2 - abs(a.row_i - b.row_i))
+                    * (2 - abs(a.col_i - b.col_i))) AS DOUBLE) AS gauss_avg
+  FROM r a JOIN r b
+    ON b.row_i BETWEEN a.row_i - 1 AND a.row_i + 1
+   AND b.col_i BETWEEN a.col_i - 1 AND a.col_i + 1
+  GROUP BY a.row_i, a.col_i
+)
+SELECT fm.row_i, fm.col_i, fm.n_docs, fm.mean_sum, fm.mean_n, fm.mean_avg,
+       fg.gauss_sum, fg.gauss_n, fg.gauss_avg
+FROM fm JOIN fg ON fm.row_i = fg.row_i AND fm.col_i = fg.col_i
+"""
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token statistics + quality scoring in one oracle row (same table, same
+    doc_id key). NB the two ops keep their own token-count semantics:
+    token_count() maps whitespace-only text to 0 tokens; the quality ratios
+    use the raw split length (1 for empty) as their denominator guard."""
+    d = read_table(spark, sf_dir, "documents")
+    toks = TX.tokens_expr(F.col("text"))
+    t = TX.token_count(d).select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_distinct_tokens"),
+        F.length("text").cast("long").alias("len_chars"),
+    )
+    q = TX.quality_score(d).select(
+        "doc_id",
+        "alpha_ratio",
+        "distinct_token_ratio",
+        "mean_word_len",
+        "quality_score",
+    )
+    return t.join(q, "doc_id")
+
+
+SQL_TEXT_QUALITY = r"""
+WITH t AS (
+  SELECT doc_id,
+         regexp_split_to_array(trim(lower(text)), '\s+') AS toks,
+         length(text) AS n_chars,
+         length(trim(text)) AS n_trim,
+         length(text) - length(regexp_replace(text, '[A-Za-z ]', '', 'g')) AS n_alpha
+  FROM documents
+),
+m AS (
+  SELECT doc_id,
+         CASE WHEN n_trim = 0 THEN 0 ELSE len(toks) END AS n_tokens,
+         len(list_distinct(toks)) AS n_distinct_tokens,
+         n_chars,
+         len(toks) AS n_tok,
+         CAST(n_alpha AS DOUBLE) / greatest(n_chars, 1) AS alpha_ratio,
+         CAST(len(list_distinct(toks)) AS DOUBLE) / greatest(len(toks), 1) AS distinct_ratio,
+         CAST(n_chars - (len(toks) - 1) AS DOUBLE) / greatest(len(toks), 1) AS mean_wordlen
+  FROM t
+)
+SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(n_distinct_tokens AS BIGINT) AS n_distinct_tokens,
+       CAST(n_chars AS BIGINT) AS len_chars,
+       alpha_ratio,
+       distinct_ratio AS distinct_token_ratio,
+       mean_wordlen AS mean_word_len,
+       0.25 * (CASE WHEN n_tok >= 5 AND n_tok <= 100000 THEN 1.0 ELSE 0.0 END)
+       + 0.25 * (CASE WHEN mean_wordlen >= 2.0 AND mean_wordlen <= 12.0 THEN 1.0 ELSE 0.0 END)
+       + 0.25 * alpha_ratio
+       + 0.25 * distinct_ratio AS quality_score
+FROM m
+"""
+
+
+def q_lang_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language marker counts + full language-ID argmax in one oracle row
+    (same table, same key; lang_id's marker table is independent of the
+    two marker lists spot-checked here)."""
+    d = read_table(spark, sf_dir, "documents")
+    toks = TX.tokens_expr(F.col("text"))
+
+    def hits(markers: list[str]):
+        return F.size(F.filter(toks, lambda t: t.isin(markers)))
+
+    m = d.select(
+        "doc_id",
+        hits(["the", "and", "of"]).cast("long").alias("en_hits"),
+        hits(["der", "die", "und"]).cast("long").alias("de_hits"),
+    )
+    lid = TX.lang_id(d).select("doc_id", "lang_guess")
+    return m.join(lid, "doc_id")
+
+
+SQL_LANG_PROFILE = f"""
+WITH lm AS ({SQL_LANG_MARKERS}), li AS ({SQL_LANG_ID})
+SELECT lm.doc_id, lm.en_hits, lm.de_hits, li.lang_guess
+FROM lm JOIN li ON lm.doc_id = li.doc_id
+"""
+
+
+def q_events_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full streaming-window family in one oracle row: tumbling (1h),
+    sliding (1h/30m) and session (10m gap) aggregates, tagged by win_kind.
+    Each branch is the identical expression the streaming path uses
+    (F.window / F.session_window), run in batch so DuckDB can replay it."""
+    e = read_table(spark, sf_dir, "events")
+
+    def roll(grouped, kind: str) -> DataFrame:
+        return (
+            grouped.agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.sum(F.floor(F.col("value") * 100.0)).cast("long").alias("sum_cents"),
+            )
+            .select(
+                F.lit(kind).alias("win_kind"),
+                F.unix_timestamp(F.col("w.start")).alias("win_start_epoch"),
+                F.unix_timestamp(F.col("w.end")).alias("win_end_epoch"),
+                "event_type",
+                "n_events",
+                "sum_cents",
+            )
+        )
+
+    tumb = roll(e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type"), "tumbling")
+    slide = roll(
+        e.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type"),
+        "sliding",
+    )
+    sess = roll(
+        e.groupBy(F.session_window("ts", "10 minutes").alias("w"), "event_type"),
+        "session",
+    )
+    return tumb.unionByName(slide).unionByName(sess)
+
+
+SQL_EVENTS_WINDOWS = f"""
+WITH tw AS ({SQL_EVENTS_WINDOW}), sw AS ({SQL_EVENTS_SLIDING}), ss AS ({SQL_EVENTS_SESSIONS})
+SELECT 'tumbling' AS win_kind, window_start_epoch AS win_start_epoch,
+       window_start_epoch + 3600 AS win_end_epoch, event_type, n_events, sum_cents
+FROM tw
+UNION ALL
+SELECT 'sliding', window_start_epoch, window_start_epoch + 3600,
+       event_type, n_events, sum_cents
+FROM sw
+UNION ALL
+SELECT 'session', session_start_epoch, session_end_epoch,
+       event_type, n_events, sum_cents
+FROM ss
+"""
+
+
+def q_corpus_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row corpus summary: padded bbox + doc count (§2.2 bbox semantics)
+    alongside the KMV distinct-vocabulary sketch vs the exact count — two
+    1-row aggregates cross-joined."""
+    return q_bbox_pad(spark, sf_dir).crossJoin(q_kmv_distinct(spark, sf_dir))
+
+
+SQL_CORPUS_SUMMARY = f"""
+SELECT * FROM ({SQL_BBOX_PAD}) b2, ({SQL_KMV_DISTINCT}) k2
+"""
+
+
+def q_raster_empty_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference all-zero-pixel semantics (R/main.R:153-176): docs with
+    doc_id % 7 == 0 get EMPTY `values` arrays, so some occupied tiles have
+    no sparse triplet at all — keep_empty_feature_tiles=True must still emit
+    them (feature NULL, pixelval 0.0, num_cell intact)."""
+    from .bbox import grid_spec_for
+
+    vals_t = "array<struct<feature:string,value:double>>"
+    d = docs_with_coords(spark, sf_dir).withColumn(
+        "values",
+        F.when(F.col("doc_id") % 7 == 0, F.array().cast(vals_t)).otherwise(
+            F.array(
+                F.struct(F.lit("n_chars").alias("feature"), F.col("val").alias("value"))
+            )
+        ),
+    )
+    spec = grid_spec_for(d, RES, square=True)
+    t = R.rasterize_gene_expression(
+        d, RES, fun="mean", spec=spec, keep_empty_feature_tiles=True
+    )
+    row, col = X.unpack_rowcol(F.col("cell_id"))
+    return t.select(
+        row.cast("long").alias("row_i"),
+        col.cast("long").alias("col_i"),
+        "feature",
+        F.col("pixelval").alias("mean_val"),
+        F.col("num_cell").cast("long").alias("num_cell"),
+    )
+
+
+SQL_RASTER_EMPTY_TILES = f"""
+WITH {_SQL_DOCS}, {_SQL_BBOX}, {_SQL_SQ_CELLS},
+n AS (SELECT row_i, col_i, count(*) AS num_cell FROM c GROUP BY 1, 2),
+s AS (SELECT row_i, col_i, sum(val) AS sv FROM c WHERE doc_id % 7 <> 0 GROUP BY 1, 2)
+SELECT n.row_i, n.col_i,
+       CASE WHEN s.row_i IS NOT NULL THEN 'n_chars' END AS feature,
+       coalesce(s.sv, 0.0) / CAST(n.num_cell AS DOUBLE) AS mean_val,
+       n.num_cell
+FROM n LEFT JOIN s ON s.row_i = n.row_i AND s.col_i = n.col_i
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Driver-contract registry — EXACTLY 50 entries (the driver snapshots
+    at most the first 50), ordered so ops that have never had a driver-green
+    row come first. Ops folded out of the registry keep dedicated pytest
+    parity coverage (see the merged-queries section above)."""
     return {
-        "bbox_pad": q_bbox_pad,
+        # --- never driver-checked before round 4 (r03 capped at 50/60) ----
+        "simhash_pairs": q_simhash_pairs,
+        "lsh_ann": q_lsh_ann,
+        "ivf_ann": q_ivf_ann,
+        "dedup_clusters": q_dedup_clusters,
+        "raster_algebra": q_raster_algebra,
+        "ngram_jaccard": q_ngram_jaccard,
+        "cosine_near_dup": q_cosine_near_dup,
+        # --- new/merged this round ----------------------------------------
+        "text_quality": q_text_quality,
+        "lang_profile": q_lang_profile,
+        "raster_empty_tiles": q_raster_empty_tiles,
+        "focal_stats": q_focal_stats,
+        "events_windows": q_events_windows,
+        "corpus_summary": q_corpus_summary,
+        # --- driver-green in CORRECTNESS_r03 ------------------------------
         "raster_square_kind_sum": q_raster_square_kind_sum,
-        "raster_square_kind_sum_udf": q_raster_square_kind_sum_udf,
         "raster_square_kind_mean": q_raster_square_kind_mean,
-        "knn_hex": q_knn_hex,
         "raster_square_value_mean": q_raster_square_value_mean,
         "raster_square_roster": q_raster_square_roster,
         "raster_hex_kind_sum": q_raster_hex_kind_sum,
-        "rotation_coords": q_rotation_coords,
         "rotation_raster": q_rotation_raster,
         "knn_square": q_knn_square,
         "raster_matrix": q_raster_matrix,
@@ -2500,8 +2778,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "raster_restricted": q_raster_restricted,
         "spatial_join": q_spatial_join,
         "zonal_stats": q_zonal_stats,
-        "focal_mean": q_focal_mean,
-        "focal_gauss": q_focal_gauss,
         "moran_i": q_moran_i,
         "gi_star": q_gi_star,
         "raster_regions": q_raster_regions,
@@ -2509,11 +2785,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tile_morton": q_tile_morton,
         "events_asof": q_events_asof,
         "events_intervals": q_events_intervals,
-        "kmv_distinct": q_kmv_distinct,
         "stratified_sample": q_stratified_sample,
-        "events_window": q_events_window,
-        "events_sliding": q_events_sliding,
-        "events_sessions": q_events_sessions,
         "cube_counts": q_cube_counts,
         "token_quantiles": q_token_quantiles,
         "stateful_totals": q_stateful_totals,
@@ -2521,36 +2793,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_new": q_incremental_new,
         "vocab": q_vocab,
         "bigram_counts": q_bigram_counts,
-        "token_stats": q_token_stats,
-        "lang_markers": q_lang_markers,
         "fingerprint": q_fingerprint,
         "ann_topk": q_ann_topk,
-        "minhash_pairs": q_minhash_pairs,
         "minhash_pairs_capped": q_minhash_pairs_capped,
-        "simhash": q_simhash,
-        "lsh_ann": q_lsh_ann,
-        "ivf_ann": q_ivf_ann,
-        "dedup_clusters": q_dedup_clusters,
-        "raster_algebra": q_raster_algebra,
-        "ngram_jaccard": q_ngram_jaccard,
-        "cosine_near_dup": q_cosine_near_dup,
-        "quality_score": q_quality_score,
-        "lang_id": q_lang_id,
-        "simhash_pairs": q_simhash_pairs,
     }
 
 
 def oracle_sql() -> dict[str, str]:
     return {
-        "bbox_pad": SQL_BBOX_PAD,
+        "simhash_pairs": SQL_SIMHASH_PAIRS,
+        "lsh_ann": SQL_LSH_ANN,
+        "ivf_ann": SQL_IVF_ANN,
+        "dedup_clusters": SQL_DEDUP_CLUSTERS,
+        "raster_algebra": SQL_RASTER_ALGEBRA,
+        "ngram_jaccard": SQL_NGRAM_JACCARD,
+        "cosine_near_dup": SQL_COSINE_NEAR_DUP,
+        "text_quality": SQL_TEXT_QUALITY,
+        "lang_profile": SQL_LANG_PROFILE,
+        "raster_empty_tiles": SQL_RASTER_EMPTY_TILES,
+        "focal_stats": SQL_FOCAL_STATS,
+        "events_windows": SQL_EVENTS_WINDOWS,
+        "corpus_summary": SQL_CORPUS_SUMMARY,
         "raster_square_kind_sum": SQL_RASTER_SQUARE_KIND_SUM,
-        "raster_square_kind_sum_udf": SQL_RASTER_SQUARE_KIND_SUM,
         "raster_square_kind_mean": SQL_RASTER_SQUARE_KIND_MEAN,
-        "knn_hex": SQL_KNN_SQUARE,
         "raster_square_value_mean": SQL_RASTER_SQUARE_VALUE_MEAN,
         "raster_square_roster": SQL_RASTER_SQUARE_ROSTER,
         "raster_hex_kind_sum": SQL_RASTER_HEX_KIND_SUM,
-        "rotation_coords": SQL_ROTATION_COORDS,
         "rotation_raster": SQL_ROTATION_RASTER,
         "knn_square": SQL_KNN_SQUARE,
         "raster_matrix": SQL_RASTER_MATRIX,
@@ -2565,8 +2833,6 @@ def oracle_sql() -> dict[str, str]:
         "raster_restricted": SQL_RASTER_RESTRICTED,
         "spatial_join": SQL_SPATIAL_JOIN,
         "zonal_stats": SQL_ZONAL_STATS,
-        "focal_mean": SQL_FOCAL_MEAN,
-        "focal_gauss": SQL_FOCAL_GAUSS,
         "moran_i": SQL_MORAN_I,
         "gi_star": SQL_GI_STAR,
         "raster_regions": SQL_RASTER_REGIONS,
@@ -2574,11 +2840,7 @@ def oracle_sql() -> dict[str, str]:
         "tile_morton": SQL_TILE_MORTON,
         "events_asof": SQL_EVENTS_ASOF,
         "events_intervals": SQL_EVENTS_INTERVALS,
-        "kmv_distinct": SQL_KMV_DISTINCT,
         "stratified_sample": SQL_STRATIFIED_SAMPLE,
-        "events_window": SQL_EVENTS_WINDOW,
-        "events_sliding": SQL_EVENTS_SLIDING,
-        "events_sessions": SQL_EVENTS_SESSIONS,
         "cube_counts": SQL_CUBE_COUNTS,
         "token_quantiles": SQL_TOKEN_QUANTILES,
         "stateful_totals": SQL_STATEFUL_TOTALS,
@@ -2586,20 +2848,7 @@ def oracle_sql() -> dict[str, str]:
         "incremental_new": SQL_INCREMENTAL_NEW,
         "vocab": SQL_VOCAB,
         "bigram_counts": SQL_BIGRAM_COUNTS,
-        "token_stats": SQL_TOKEN_STATS,
-        "lang_markers": SQL_LANG_MARKERS,
         "fingerprint": SQL_FINGERPRINT,
         "ann_topk": SQL_ANN_TOPK,
-        "minhash_pairs": SQL_MINHASH_PAIRS,
         "minhash_pairs_capped": SQL_MINHASH_PAIRS_CAPPED,
-        "simhash": SQL_SIMHASH,
-        "lsh_ann": SQL_LSH_ANN,
-        "ivf_ann": SQL_IVF_ANN,
-        "dedup_clusters": SQL_DEDUP_CLUSTERS,
-        "raster_algebra": SQL_RASTER_ALGEBRA,
-        "ngram_jaccard": SQL_NGRAM_JACCARD,
-        "cosine_near_dup": SQL_COSINE_NEAR_DUP,
-        "quality_score": SQL_QUALITY_SCORE,
-        "lang_id": SQL_LANG_ID,
-        "simhash_pairs": SQL_SIMHASH_PAIRS,
     }

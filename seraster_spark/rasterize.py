@@ -222,6 +222,7 @@ def rasterize_gene_expression(
     broadcast_meta: bool = True,
     assay_col: str | None = None,
     assay_name: str | None = None,
+    keep_empty_feature_tiles: bool = False,
 ) -> DataFrame:
     """Continuous-feature rasterization (reference
     ``rasterizeGeneExpression``, ``R/main.R:291-375``; default fun="mean",
@@ -240,12 +241,16 @@ def rasterize_gene_expression(
     optionally ``assay_name`` — validated eagerly against the assays present,
     defaulting to the first (``R/main.R:315-321``).
 
-    Known divergence: an occupied tile whose member docs ALL have empty
-    ``values`` arrays yields no output row here (sparse long form has
-    nothing to emit), whereas the reference keeps an all-zero pixel column
-    with num_cell metadata (R/main.R:153-176). Tile-complete metadata is
-    available via :func:`tile_meta` or the :func:`rasterize_matrix` facade,
-    whose ``meta_rast``/``pos_rast`` cover every occupied tile.
+    By default an occupied tile whose member docs ALL have empty ``values``
+    arrays yields no output row (sparse long form has nothing to emit),
+    whereas the reference keeps an all-zero pixel column with num_cell
+    metadata (R/main.R:153-176). Pass ``keep_empty_feature_tiles=True`` for
+    reference semantics: such tiles are emitted with ``feature = NULL`` and
+    ``pixelval = 0.0`` (the long-form encoding of the all-zero column),
+    num_cell metadata intact. Implemented as a tile-cardinality anti-join
+    from ``tile_meta`` unioned back in — never a re-scan of the corpus, and
+    the big fact side stays streamable (a broadcast right-outer is not a
+    plannable shape; the anti+union is).
     """
     if fun not in VALID_FUNS:
         raise ValueError(f"fun must be one of {VALID_FUNS} (R/main.R:33-36)")
@@ -270,6 +275,21 @@ def rasterize_gene_expression(
     sums = triplets.groupBy(*keys, "feature").agg(F.sum("value").alias("_sum"))
     meta_j = F.broadcast(meta) if broadcast_meta else meta
     joined = sums.join(meta_j, on=keys, how="inner")
+    if keep_empty_feature_tiles:
+        # tiles present in meta but absent from the sparse sums: all member
+        # docs had empty `values`. Both sides of this anti-join are
+        # tile-cardinality (sums is already aggregated), so it is cheap at
+        # any scale; the union adds one row per all-empty tile.
+        feat_type = dict(sums.dtypes)["feature"]
+        empty = meta.join(
+            sums.select(*keys).distinct(), on=keys, how="left_anti"
+        ).withColumns(
+            {
+                "feature": F.lit(None).cast(feat_type),
+                "_sum": F.lit(0.0),
+            }
+        )
+        joined = joined.unionByName(empty)
     pixelval = (
         F.col("_sum") if fun == "sum" else F.col("_sum") / F.col("num_cell").cast("double")
     )
@@ -531,11 +551,15 @@ def relative_enrichment(cell_type_tiles: DataFrame, label_col: str = "kind") -> 
     mat = cell_type_tiles.select("cell_id", label_col, "pixelval")
     w_ct = W.partitionBy(label_col)
     w_px = W.partitionBy("cell_id")
-    w_all = W.partitionBy()
+    # grand total as a 1-row aggregate broadcast back in — NEVER
+    # `Window.partitionBy()` (an empty partitionBy collapses all tiles×labels
+    # rows into ONE window partition: a single-task exchange that serializes
+    # at scale). Same pattern as focal.py's global-moment broadcasts.
+    grand = mat.agg(F.sum("pixelval").alias("_grand"))
     return (
         mat.withColumn("_ct_total", F.sum("pixelval").over(w_ct))
         .withColumn("_px_total", F.sum("pixelval").over(w_px))
-        .withColumn("_grand", F.sum("pixelval").over(w_all))
+        .crossJoin(F.broadcast(grand))
         .withColumn(
             "re",
             F.col("pixelval")

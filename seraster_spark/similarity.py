@@ -233,7 +233,7 @@ def train_ivf_centroids(
 
 def ivf_topk(
     items: DataFrame,
-    queries_pdf: pd.DataFrame,
+    queries: DataFrame | pd.DataFrame,
     k: int,
     dim: int,
     n_centroids: int = 16,
@@ -245,6 +245,7 @@ def ivf_topk(
     seed: int = 7,
     kmeans_iters: int = 8,
     centroids: np.ndarray | None = None,
+    broadcast_queries: bool = True,
 ) -> DataFrame:
     """IVF approximate top-k: coarse k-means centroids trained CLUSTER-SIDE
     (seeded uniform sample + mapInPandas partial-sum iterations — see
@@ -252,9 +253,23 @@ def ivf_topk(
     (one numpy matmul per Arrow batch), queries probe their n_probe nearest
     centroid lists, exact cosine re-rank inside the probed lists only.
 
+    ``queries`` is a DataFrame (query_id, vec_col), so corpus-scale doc↔doc
+    ANN is expressible — the query side never materializes on the driver:
+    probe lists are assigned by the same Arrow kernel family as the item
+    side and exploded in place. Only the centroid matrix (n_centroids × dim
+    floats) rides the closure. A small pandas frame is still accepted for
+    serving-style calls and is converted, not collected.
+
+    ``broadcast_queries=True`` (default) fits the serving shape: a small
+    query set rides a broadcast join, the item scan never shuffles. For
+    corpus-scale query sides (doc↔doc ANN) pass False: both sides
+    shuffle-join on the probed list id — the co-partitioned equi-join shape
+    that survives a 100× scale-up where a broadcast would OOM.
+
     Pass explicit ``centroids`` (n_centroids × dim) to skip training — e.g.
     integer centroids whose distance comparisons are exact, making list
     assignment reproducible outside numpy (the SQL-oracle variant)."""
+    spark = items.sparkSession
     items = items.filter(F.col(vec_col).isNotNull())
     if centroids is not None:
         cent = np.asarray(centroids, dtype=np.float64)
@@ -282,59 +297,60 @@ def ivf_topk(
         )
     it = items.withColumn("_list", nearest_centroid(F.col(vec_col)))
 
-    spark = items.sparkSession
-    qid_type = (
-        spark.createDataFrame(queries_pdf[[query_id]]).schema[query_id].dataType
-        if len(queries_pdf)
-        else T.StringType()
-    )
-    if not len(queries_pdf):
-        return spark.createDataFrame(
-            [],
-            T.StructType(
-                [
-                    T.StructField(query_id, qid_type),
-                    T.StructField(id_col, items.schema[id_col].dataType),
-                    T.StructField("cosine", T.DoubleType()),
-                    T.StructField("rank", T.IntegerType()),
-                ]
-            ),
+    if isinstance(queries, pd.DataFrame):
+        if not len(queries):
+            return spark.createDataFrame(
+                [],
+                T.StructType(
+                    [
+                        T.StructField(query_id, T.StringType()),
+                        T.StructField(id_col, items.schema[id_col].dataType),
+                        T.StructField("cosine", T.DoubleType()),
+                        T.StructField("rank", T.IntegerType()),
+                    ]
+                ),
+            )
+        qpdf = queries[[query_id, vec_col]].copy()
+        # normalize vector cells (ndarray / list / mixed float widths) to
+        # plain float lists so the pandas->Spark conversion is type-stable
+        qpdf[vec_col] = [[float(x) for x in v] for v in qpdf[vec_col]]
+        queries = spark.createDataFrame(qpdf)
+
+    n_pr = min(n_probe, len(cent_b))
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def probe_lists(vec: pd.Series) -> pd.Series:
+        m = np.stack([np.asarray(v, dtype=np.float64) for v in vec])
+        d = ((m[:, None, :] - cent_b[None, :, :]) ** 2).sum(axis=2)
+        p = np.argsort(d, axis=1)[:, :n_pr]
+        return pd.Series([row.astype(np.int32).tolist() for row in p])
+
+    q = (
+        queries.filter(F.col(vec_col).isNotNull())
+        .select(
+            F.col(query_id).alias("_qid"),
+            F.col(vec_col).cast("array<double>").alias("_qvec"),
         )
-    qm = np.stack([np.asarray(v, dtype=np.float64) for v in queries_pdf[vec_col]])
-    qd = ((qm[:, None, :] - cent_b[None, :, :]) ** 2).sum(axis=2)
-    probes = np.argsort(qd, axis=1)[:, : min(n_probe, len(cent_b))]
-    qids = queries_pdf[query_id].tolist()
-    qrows = [
-        (qids[i], [float(x) for x in qm[i]], int(p))
-        for i in range(len(queries_pdf))
-        for p in probes[i]
-    ]
-    q = spark.createDataFrame(
-        qrows,
-        T.StructType(
-            [
-                T.StructField(query_id, qid_type),
-                T.StructField("_qvec", T.ArrayType(T.DoubleType())),
-                T.StructField("_list", T.IntegerType()),
-            ]
-        ),
+        .withColumn("_list", F.explode(probe_lists(F.col("_qvec"))))
     )
-    joined = it.join(F.broadcast(q), "_list")
+    joined = it.join(F.broadcast(q) if broadcast_queries else q, "_list")
     cos = _dot(F.col(vec_col), F.col("_qvec")) / (
         norm_expr(F.col(vec_col)) * norm_expr(F.col("_qvec"))
     )
     ranked = (
         joined.withColumn("cosine", cos)
-        .dropDuplicates([query_id, id_col])
+        .dropDuplicates(["_qid", id_col])
         .withColumn(
             "rank",
             F.row_number().over(
-                W.partitionBy(query_id).orderBy(F.col("cosine").desc(), F.col(id_col).asc())
+                W.partitionBy("_qid").orderBy(F.col("cosine").desc(), F.col(id_col).asc())
             ),
         )
         .filter(F.col("rank") <= k)
     )
-    return ranked.select(query_id, id_col, "cosine", "rank")
+    return ranked.select(
+        F.col("_qid").alias(query_id), id_col, "cosine", "rank"
+    )
 
 
 def _hyperplanes(dim: int, n_planes: int, seed: int = 7) -> np.ndarray:
@@ -377,12 +393,18 @@ def lsh_topk(
     n_probes: int = 4,
     seed: int = 7,
     planes: np.ndarray | None = None,
+    broadcast_queries: bool = True,
 ) -> DataFrame:
     """Approximate cosine top-k: bucket both sides by hyperplane signature,
     multi-probe queries into Hamming-1 neighbor buckets (probe list built as
     a literal array — no extra shuffle), exact cosine re-rank inside the
     probed buckets only. NULL-embedding rows are skipped (np.stack inside
-    the Arrow bucket kernel would otherwise crash the job)."""
+    the Arrow bucket kernel would otherwise crash the job).
+
+    ``broadcast_queries=False`` switches the probe join from broadcast to a
+    shuffle equi-join on the bucket id — the corpus-scale doc↔doc shape
+    (both sides co-partitioned by bucket, no driver-sized assumption about
+    the query set)."""
     bucket = lsh_bucket_udf(dim, n_planes, seed, planes=planes)
     if planes is not None:
         n_planes = np.asarray(planes).shape[0]
@@ -396,7 +418,7 @@ def lsh_topk(
         F.col("bucket0").bitwiseXOR(F.lit(1 << b)) for b in range(min(n_probes - 1, n_planes))
     ]
     qp = q.withColumn("bucket", F.explode(F.array(*probes))).drop("bucket0")
-    joined = it.join(F.broadcast(qp), "bucket")
+    joined = it.join(F.broadcast(qp) if broadcast_queries else qp, "bucket")
     cos = _dot(F.col("_ivec"), F.col("_qvec")) / (
         norm_expr(F.col("_ivec")) * norm_expr(F.col("_qvec"))
     )

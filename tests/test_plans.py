@@ -270,3 +270,17 @@ def test_knn_done_flag_reuses_rank_exchange(spark):
         if "ShuffleExchange" in h or "hashpartitioning" in h
     ]
     assert len(shuffles) == 1, shuffles
+
+
+def test_relative_enrichment_no_global_window(spark, docs):
+    """The grand total must come from a 1-row aggregate broadcast back in,
+    never a Window.partitionBy() (empty partition spec = ALL tiles x labels
+    rows serialized through one window task). An empty-partition window
+    shows as windowspecdefinition(specifiedwindowframe...) — no partition
+    columns before the frame."""
+    ct = rasterize.rasterize_cell_type(docs, 100.0, fun="sum")
+    re = rasterize.relative_enrichment(ct)
+    plan = _physical(re)
+    assert "windowspecdefinition(specifiedwindowframe" not in plan, plan
+    # the 1-row grand total rides a broadcast nested-loop cross join
+    assert "BroadcastNestedLoopJoin" in plan, plan

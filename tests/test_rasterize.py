@@ -478,3 +478,40 @@ def test_regrid_mean_vs_sum(spark):
     m = {r["cell_id"]: r["v"] for r in regrid(tiles, s_from, s_to, ("v",), fun="mean").collect()}
     assert sorted(s.values()) == [10.0, 40.0]
     assert sorted(m.values()) == [5.0, 20.0]
+
+
+def test_keep_empty_feature_tiles(spark):
+    """Reference all-zero-pixel semantics (R/main.R:153-176): a tile whose
+    member docs ALL have empty `values` arrays still appears (feature NULL,
+    pixelval 0.0, num_cell intact); mixed tiles keep sparse rows only, with
+    the all-empty docs still counted in the mean denominator."""
+    from pyspark.sql import types as T
+
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("x", T.DoubleType()),
+        T.StructField("y", T.DoubleType()),
+        T.StructField("values", T.ArrayType(T.StructType([
+            T.StructField("feature", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+        ]))),
+    ])
+    rows = [
+        (1, 10.0, 10.0, [("f", 6.0)]),   # tile A: one real + one empty doc
+        (2, 20.0, 20.0, []),             # tile A, empty values
+        (3, 510.0, 10.0, []),            # tile B: ALL empty
+        (4, 520.0, 20.0, []),            # tile B
+    ]
+    df = spark.createDataFrame(rows, schema)
+    out = rasterize.rasterize_gene_expression(
+        df, 100.0, fun="mean", keep_empty_feature_tiles=True
+    ).select("cell_id", "feature", "pixelval", "num_cell").collect()
+    by_feat = {(r["feature"], r["num_cell"]): r["pixelval"] for r in out}
+    assert len(out) == 2
+    # tile A: mean = 6 / 2 (empty doc counts in the denominator)
+    assert by_feat[("f", 2)] == 3.0
+    # tile B: emitted with NULL feature and zero value
+    assert by_feat[(None, 2)] == 0.0
+    # default drops the all-empty tile
+    dflt = rasterize.rasterize_gene_expression(df, 100.0, fun="mean").collect()
+    assert len(dflt) == 1

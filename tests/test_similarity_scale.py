@@ -102,3 +102,24 @@ def test_ivf_trained_distributed_100k_recall(spark):
         hits += len(exp & grp)
         total += 5
     assert hits / total >= 0.9
+
+
+def test_ivf_dataframe_query_side_10k(spark, clustered):
+    """Corpus-scale query side: 10k queries as a DataFrame (never
+    materialized on the driver) through ivf_topk with the shuffle-join shape
+    (broadcast_queries=False). Every query is a replicated item vector, so
+    its rank-1 neighbor must be the source item at cosine ~1."""
+    items, m = clustered
+    reps = spark.range(20).select(F.col("id").alias("rep"))
+    queries = items.crossJoin(reps).select(
+        (F.col("vec_id") + N * F.col("rep")).alias("query_id"), "embedding"
+    )
+    got = S.ivf_topk(
+        items, queries, 3, dim=DIM, n_centroids=8, n_probe=1,
+        broadcast_queries=False,
+    )
+    assert got.count() == 20 * N * 3
+    top1 = got.filter((F.col("rank") == 1) & (F.col("query_id") < N)).toPandas()
+    assert len(top1) == N
+    assert (top1["query_id"] == top1["vec_id"]).all()
+    assert (top1["cosine"] > 0.999999).all()

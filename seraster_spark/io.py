@@ -109,6 +109,23 @@ def _manifest_path(out_dir: str) -> str:
     return os.path.join(out_dir, "_manifest")
 
 
+# chars Spark escapes in partition directory names (Hive FileUtils /
+# ExternalCatalogUtils.escapePathName): C0 controls, DEL, and the listed
+# specials — each becomes %XX (uppercase hex)
+_PART_ESCAPE_CHARS = (
+    {chr(c) for c in range(0x20)} | {chr(0x7F)} | set('"#%\'*/:=?\\{[]^')
+)
+
+
+def _escape_partition_value(v: str) -> str:
+    """Python replica of Spark's partition-directory escaping, so paths we
+    derive for cleanup (and manifest filenames) match what the writer
+    actually produced for units containing '/', ':', '%', etc."""
+    return "".join(
+        f"%{ord(c):02X}" if c in _PART_ESCAPE_CHARS else c for c in v
+    )
+
+
 def completed_units(spark: SparkSession | None, out_dir: str) -> set[str]:
     """Units with a manifest row. Pure local-filesystem scan; the ``spark``
     parameter is unused and kept only for caller compatibility (pass
@@ -158,7 +175,9 @@ def checkpointed_write(
         import shutil
 
         for u in pending:
-            stale = os.path.join(out_dir, f"{unit_col}={u}")
+            stale = os.path.join(
+                out_dir, f"{unit_col}={_escape_partition_value(u)}"
+            )
             if os.path.isdir(stale):
                 shutil.rmtree(stale)
         pending_df = df.filter(F.col(unit_col).cast("string").isin(pending))
@@ -208,7 +227,11 @@ def checkpointed_write(
                 "wall_s": wall,
                 "finished_at": finished,
             }
-            with open(os.path.join(_manifest_path(out_dir), f"{u}.json"), "w") as f:
+            # escaped filename: unit values may contain path separators etc.;
+            # the raw unit string lives inside the JSON (completed_units
+            # reads the field, not the filename)
+            mf = f"{_escape_partition_value(u)}.json"
+            with open(os.path.join(_manifest_path(out_dir), mf), "w") as f:
                 json.dump(rec, f)
             records.append(rec)
     lineage = {

@@ -41,6 +41,7 @@ def interval_join(
     bucket: float,
     on: list[str] | None = None,
     how: str = "inner",
+    outlier_buckets: int | None = None,
 ) -> DataFrame:
     """Range (interval-containment) join: each point row matched to every
     interval with ``start <= ts < end`` (optionally also equal on ``on``
@@ -56,8 +57,11 @@ def interval_join(
 
     Pick ``bucket`` near the TYPICAL interval length: fan-out stays O(1)
     while each bucket's candidate set stays local. A pathological interval
-    spanning the whole timeline explodes to timeline/bucket rows — cap
-    outliers upstream or route them through a broadcast side-channel.
+    spanning the whole timeline explodes to timeline/bucket rows; pass
+    ``outlier_buckets`` to route intervals whose bucket fan-out exceeds it
+    through a BROADCAST side-channel instead of the explode (outliers are
+    by definition few, so they fit a broadcast; every point still meets a
+    qualifying outlier exactly once, via the side-channel only).
 
     Interval columns whose names collide with point columns (outside
     ``on``) come back prefixed ``ivl_``. ``how='inner'`` keeps matched
@@ -78,8 +82,15 @@ def interval_join(
     end_col = f"ivl_{end_col}" if end_col in points.columns else end_col
     # the generated key makes the left-mode anti-join exact (null-unsafe
     # equality over payload columns would duplicate NULL-bearing rows) and
-    # slim (one long, not the whole payload)
-    points = points.withColumn("_pid", F.monotonically_increasing_id())
+    # slim (one long, not the whole payload). It must be STABLE across the
+    # two independent evaluations of the points lineage (matched branch +
+    # left_anti branch): monotonically_increasing_id depends on partition
+    # row order, which a shuffled upstream or a task retry can change —
+    # materialize once, eagerly, before either branch reads it.
+    if how == "left":
+        points = points.withColumn(
+            "_pid", F.monotonically_increasing_id()
+        ).localCheckpoint(eager=True)
     pb = points.withColumn("_bkt", F.floor(F.col(ts_col).cast("double") / bucket))
     # empty/inverted intervals match nothing under half-open semantics; drop
     # them BEFORE the explode (F.sequence would otherwise step backwards)
@@ -93,11 +104,14 @@ def interval_join(
         (F.floor(end_b) == end_b) & (F.floor(end_b) > F.floor(F.col(start_col).cast("double") / bucket)),
         F.lit(1),
     ).otherwise(F.lit(0))
+    first_bkt = F.floor(F.col(start_col).cast("double") / bucket)
+    outliers = None
+    if outlier_buckets is not None:
+        fanout = last_bkt - first_bkt + 1
+        outliers = intervals.filter(fanout > outlier_buckets)
+        intervals = intervals.filter(fanout <= outlier_buckets)
     ib = intervals.withColumn(
-        "_bkt",
-        F.explode(
-            F.sequence(F.floor(F.col(start_col).cast("double") / bucket), last_bkt)
-        ),
+        "_bkt", F.explode(F.sequence(first_bkt, last_bkt))
     )
     cond = [pb["_bkt"] == ib["_bkt"]] + [pb[k] == ib[k] for k in on]
     matched = (
@@ -110,6 +124,23 @@ def interval_join(
     )
     for k in on:
         matched = matched.drop(ib[k])
+    if outliers is not None:
+        # side-channel: the few wide intervals ride a broadcast join (hash
+        # on the `on` keys when present, nested-loop otherwise) with the
+        # exact containment as the predicate — no bucket explode, so one
+        # timeline-spanning interval costs O(points), not
+        # O(points + timeline/bucket) shuffle rows
+        ob = F.broadcast(outliers)
+        if on:
+            om = pb.join(ob, [pb[k] == ob[k] for k in on], "inner")
+        else:
+            om = pb.crossJoin(ob)
+        om = om.filter(
+            (pb[ts_col] >= ob[start_col]) & (pb[ts_col] < ob[end_col])
+        ).drop(pb["_bkt"])
+        for k in on:
+            om = om.drop(ob[k])
+        matched = matched.unionByName(om)
     if how == "inner":
         return matched.drop("_pid")
     # left: re-attach points that matched nothing (anti-join on _pid only)
@@ -202,6 +233,134 @@ def asof_join(
             else F.col(f"{prefix}{ts_col}") - F.col(ts_col)
         )
         keep = gap <= tolerance
+        for c in payload:
+            out = out.withColumn(
+                f"{prefix}{c}", F.when(keep, F.col(f"{prefix}{c}"))
+            )
+    return out
+
+
+def asof_join_bucketed(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    ts_col: str,
+    right_cols: list[str],
+    bucket: float,
+    tiebreak: str | None = None,
+    tolerance: Column | None = None,
+    prefix: str = "asof_",
+) -> DataFrame:
+    """:func:`asof_join` (backward direction) with HOT-KEY ESCAPE: the plain
+    formulation serializes each ``on``-key group through ONE window
+    partition, so a key carrying 50% of the rows caps scaling at 2×. Here
+    the window partitions on (keys..., time bucket) — a hot key splits into
+    timeline/bucket independent partitions — and each bucket is seeded with
+    the latest right row from all PRIOR buckets so carry-forward semantics
+    are exactly preserved:
+
+      1. per-(key, bucket) latest right row (one aggregate; ``max`` over a
+         (ts, tiebreak, payload) struct — lexicographic = the window's
+         ordering);
+      2. carry that struct forward across the bucket spine (buckets seen on
+         EITHER side) and lag by one — a bucket-cardinality window, tiny;
+      3. inject each bucket's seed as a pseudo right row sorted before
+         everything in its bucket (_src = -1 at the bucket boundary), then
+         run the standard union + window pass partitioned by (keys, bucket).
+
+    Result rows are identical to ``asof_join(...)``; forward as-of over a
+    hot key is the same operator on negated numeric timestamps. ``ts_col``
+    must be numeric or castable to double seconds (timestamps are)."""
+    from pyspark.sql import types as T
+
+    payload = list(right_cols)
+    if ts_col not in payload:
+        payload = [ts_col, *payload]
+    if tiebreak is not None and tiebreak not in payload:
+        payload = [*payload, tiebreak]
+
+    ts_type = left.schema[ts_col].dataType
+    r_struct_type = T.StructType([right.schema[c] for c in payload])
+    r_clean = right.filter(F.col(ts_col).isNotNull())
+    bkt = lambda c: F.floor(c.cast("double") / bucket)  # noqa: E731
+
+    # 1. latest right row per (key, bucket): struct max is lexicographic on
+    # (ts, tiebreak, ...) — the same "last row the window sees" rule
+    ordfields = [F.col(ts_col).alias("_ots")]
+    if tiebreak is not None:
+        ordfields.append(F.col(tiebreak).alias("_otb"))
+    rb = r_clean.withColumn("_bkt", bkt(F.col(ts_col)))
+    lastr = rb.groupBy(*on, "_bkt").agg(
+        F.max(
+            F.struct(
+                *ordfields,
+                F.struct(*[F.col(c).alias(c) for c in payload]).alias("_p"),
+            )
+        ).alias("_m")
+    )
+
+    # 2. bucket spine = buckets present on either side; carry the latest
+    # struct forward and shift by one bucket -> each bucket's SEED
+    spine = (
+        left.select(*on, bkt(F.col(ts_col)).alias("_bkt"))
+        .unionByName(rb.select(*on, "_bkt"))
+        .distinct()
+    )
+    wsp = Window.partitionBy(*on).orderBy("_bkt")
+    seeds = (
+        spine.join(lastr, [*on, "_bkt"], "left")
+        .withColumn("_carry", F.last("_m", ignorenulls=True).over(wsp))
+        .withColumn("_seed", F.lag("_carry").over(wsp))
+        .filter(F.col("_seed").isNotNull())
+        .select(*on, "_bkt", F.col("_seed._p").alias("_r"))
+    )
+
+    # 3. standard union + window, partitioned by (keys, bucket); the seed
+    # sorts first in its bucket via _src = -1 at the bucket-boundary ts
+    l_tag = left.select(
+        *[F.col(c) for c in left.columns],
+        bkt(F.col(ts_col)).alias("_bkt"),
+        F.lit(1).alias("_src"),
+        F.lit(None).cast(r_struct_type).alias("_r"),
+    )
+    r_tag = rb.select(
+        *[F.col(c) for c in on],
+        F.col(ts_col),
+        F.col("_bkt"),
+        F.lit(0).alias("_src"),
+        F.struct(*[F.col(c).alias(c) for c in payload]).alias("_r"),
+    )
+    s_tag = seeds.select(
+        *[F.col(c) for c in on],
+        (F.col("_bkt") * F.lit(bucket)).cast("double").cast(ts_type).alias(ts_col),
+        F.col("_bkt"),
+        F.lit(-1).alias("_src"),
+        F.col("_r"),
+    )
+    for c in left.columns:
+        if c not in r_tag.columns:
+            r_tag = r_tag.withColumn(c, F.lit(None).cast(left.schema[c].dataType))
+            s_tag = s_tag.withColumn(c, F.lit(None).cast(left.schema[c].dataType))
+    u = (
+        r_tag.select(*l_tag.columns)
+        .unionByName(s_tag.select(*l_tag.columns))
+        .unionByName(l_tag)
+    )
+
+    order = [F.col(ts_col).asc(), F.col("_src").asc()]
+    if tiebreak is not None:
+        order.append(F.col(f"_r.{tiebreak}").asc_nulls_first())
+    w = (
+        Window.partitionBy(*on, "_bkt")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    matched = u.withColumn("_rm", F.last("_r", ignorenulls=True).over(w))
+    for c in payload:
+        matched = matched.withColumn(f"{prefix}{c}", F.col(f"_rm.{c}"))
+    out = matched.filter(F.col("_src") == 1).drop("_src", "_r", "_rm", "_bkt")
+    if tolerance is not None:
+        keep = (F.col(ts_col) - F.col(f"{prefix}{ts_col}")) <= tolerance
         for c in payload:
             out = out.withColumn(
                 f"{prefix}{c}", F.when(keep, F.col(f"{prefix}{c}"))

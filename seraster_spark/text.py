@@ -176,7 +176,7 @@ def fingerprint(df: DataFrame, text_col: str = "text", out: str = "fp64") -> Dat
 
 
 def vocabulary(
-    df: DataFrame, text_col: str = "text", min_df: int = 1
+    df: DataFrame, text_col: str = "text", min_df: int = 1, id_col: str = "doc_id"
 ) -> DataFrame:
     """Corpus vocabulary: per token, collection frequency (total
     occurrences), document frequency, and the smallest doc id containing it
@@ -191,17 +191,19 @@ def vocabulary(
     the hapax tail after aggregation.
     """
     toks = df.select(
-        F.col("doc_id"), F.explode(tokens_expr(F.col(text_col))).alias("tok")
+        F.col(id_col), F.explode(tokens_expr(F.col(text_col))).alias("tok")
     ).filter(F.col("tok") != "")
     out = toks.groupBy("tok").agg(
         F.count(F.lit(1)).alias("cf"),
-        F.countDistinct("doc_id").cast("long").alias("df"),
-        F.min("doc_id").alias("first_doc"),
+        F.countDistinct(id_col).cast("long").alias("df"),
+        F.min(id_col).alias("first_doc"),
     )
     return out.filter(F.col("df") >= min_df) if min_df > 1 else out
 
 
-def bigrams(df: DataFrame, text_col: str = "text") -> DataFrame:
+def bigrams(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
     """Per-document word bigrams (adjacent token pairs) — the n-gram-LM /
     collocation-mining primitive. Pure Column math: two shifted slices of
     the token array zipped and exploded; no shuffle until the caller
@@ -213,9 +215,9 @@ def bigrams(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
     return (
         df.filter(F.length(F.trim(F.col(text_col))) > 0)
-        .select(F.col("doc_id"), F.explode(pairs).alias("bg"))
+        .select(F.col(id_col), F.explode(pairs).alias("bg"))
         .select(
-            "doc_id",
+            id_col,
             F.col("bg.w1").alias("w1"),
             F.col("bg.w2").alias("w2"),
         )

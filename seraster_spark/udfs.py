@@ -51,6 +51,23 @@ def wkt_udf(spec: GridSpec, decimals: int = 6):
     return _wkt
 
 
+def geojson_geom_udf(spec: GridSpec, decimals: int = 6):
+    """cell_id → GeoJSON Polygon geometry JSON string (closed ring, fixed
+    decimal formatting — byte-deterministic like the WKT path)."""
+
+    @F.pandas_udf(T.StringType())
+    def _geom(cell_id: pd.Series) -> pd.Series:
+        verts = grid.polygon_vertices(cell_id.to_numpy(np.int64), spec)
+        fmt = f"[%.{decimals}f,%.{decimals}f]"
+        out = []
+        for ring in verts:
+            pts = ",".join(fmt % (vx, vy) for vx, vy in ring)
+            out.append('{"type":"Polygon","coordinates":[[' + pts + "]]}")
+        return pd.Series(out)
+
+    return _geom
+
+
 def kring_udf(spec: GridSpec, k: int):
     """cell_id → array of neighbor cell ids within ring distance k
     (including the center). Fan out with F.explode downstream."""

@@ -28,14 +28,28 @@ def tiles_with_wkt(tiles: DataFrame, spec: GridSpec, decimals: int = 6) -> DataF
     return tiles.withColumn("geometry_wkt", wkt_udf(spec, decimals)(F.col("cell_id")))
 
 
-def tiles_geojson(tiles: DataFrame, spec: GridSpec, properties: list[str] | None = None) -> str:
+def tiles_geojson(
+    tiles: DataFrame,
+    spec: GridSpec,
+    properties: list[str] | None = None,
+    max_rows: int = 1_000_000,
+) -> str:
     """Driver-side GeoJSON FeatureCollection export of a (small) tiles result.
 
     Distributed part = the tiles DataFrame itself; the serialization is a
     driver sink like the reference's plot path (R/main.R:791-849).
+    ``max_rows`` guards the collect (a raster at continent scale has more
+    tiles than driver memory) — raise it deliberately, or use
+    :func:`write_geojson_lines` which never materializes on the driver.
     """
     props = properties or [c for c in tiles.columns if c != "cell_id"]
-    rows = tiles.select("cell_id", *props).collect()
+    rows = tiles.select("cell_id", *props).limit(max_rows + 1).collect()
+    if len(rows) > max_rows:
+        raise ValueError(
+            f"tiles_geojson: result exceeds max_rows={max_rows}; this is a "
+            "driver sink — raise max_rows deliberately or use "
+            "write_geojson_lines for a distributed export"
+        )
     cell_ids = np.array([r["cell_id"] for r in rows], dtype=np.int64)
     verts = polygon_vertices(cell_ids, spec) if len(rows) else np.zeros((0, 5, 2))
     feats = []
@@ -51,6 +65,35 @@ def tiles_geojson(tiles: DataFrame, spec: GridSpec, properties: list[str] | None
             }
         )
     return json.dumps({"type": "FeatureCollection", "features": feats})
+
+
+def write_geojson_lines(
+    tiles: DataFrame,
+    spec: GridSpec,
+    path: str,
+    properties: list[str] | None = None,
+    decimals: int = 6,
+    mode: str = "overwrite",
+) -> None:
+    """Distributed newline-delimited GeoJSON export (one RFC 7946 Feature
+    per line — the 'GeoJSONL' layout GIS tools stream): geometry is
+    polygonized per Arrow batch by the same numpy kernel as the WKT path,
+    properties are serialized JVM-side with ``to_json``, and each partition
+    writes its own part file — nothing ever materializes on the driver, so
+    this is the raster→vector sink that survives continent-scale rasters
+    (cf. :func:`tiles_geojson`, the capped driver-side FeatureCollection)."""
+    from .udfs import geojson_geom_udf
+
+    props = properties or [c for c in tiles.columns if c != "cell_id"]
+    geom = geojson_geom_udf(spec, decimals)(F.col("cell_id"))
+    line = F.concat(
+        F.lit('{"type":"Feature","geometry":'),
+        geom,
+        F.lit(',"properties":'),
+        F.to_json(F.struct(*[F.col(p) for p in props])),
+        F.lit("}"),
+    )
+    tiles.select(line.alias("value")).write.mode(mode).text(path)
 
 
 def polygon_covering_cells(ring_vertices: list[tuple[float, float]], spec: GridSpec) -> list[int]:

@@ -191,3 +191,31 @@ def test_checkpointed_write_numeric_looking_unit_strings(spark, tmp_path):
     lineage = checkpointed_write(d, out, "unit", ["01", "02"])
     rec = {r["unit"]: r["rows"] for r in lineage["records"]}
     assert rec == {"01": 2, "02": 1}
+
+
+def test_checkpointed_write_special_char_units(spark, tmp_path):
+    """Unit values containing chars Spark escapes in partition dir names
+    (':', '/', '%') must round-trip: write, resume-skip, and the
+    stale-crashed-dir cleanup must find the ESCAPED directory."""
+    import os
+
+    from seraster_spark.io import checkpointed_write
+
+    out = str(tmp_path / "ckw_esc")
+    units = ["a:b", "p/q", "50%"]
+    d1 = spark.createDataFrame(
+        [("a:b", 1), ("a:b", 2), ("p/q", 3), ("50%", 4)], "unit string, v long"
+    )
+    lineage = checkpointed_write(d1, out, "unit", units)
+    rec = {r["unit"]: r["rows"] for r in lineage["records"]}
+    assert rec == {"a:b": 2, "p/q": 1, "50%": 1}
+    # crash-simulate the ':' unit: manifest row lost, escaped data dir stays
+    os.remove(os.path.join(out, "_manifest", "a%3Ab.json"))
+    assert os.path.isdir(os.path.join(out, "unit=a%3Ab"))
+    d2 = spark.createDataFrame([("p/q", 3)], "unit string, v long")
+    lineage2 = checkpointed_write(d2, out, "unit", units)
+    rec2 = {r["unit"]: r["rows"] for r in lineage2["records"]}
+    assert rec2 == {"a:b": 0}  # cleared, not resurrected; others skipped
+    got = spark.read.parquet(out)
+    assert got.filter(F.col("unit") == "a:b").count() == 0
+    assert got.filter(F.col("unit") == "p/q").count() == 1

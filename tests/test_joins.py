@@ -258,3 +258,128 @@ def test_interval_join_boundary_exact_at_epoch_scale(spark):
     I = spark.createDataFrame([(t0, t0 + 3600, 0)], "istart long, iend long, iid long")
     got = {r["pid"] for r in interval_join(P, I, "ts", "istart", "iend", bucket=3600.0).collect()}
     assert got == {1}
+
+
+# ---------------------------------------------------------------------------
+# skew escapes
+
+
+def _hot_frames(spark, seed=3, n_left=400, n_right=600):
+    """50% of both sides on ONE key; duplicate timestamps everywhere."""
+    rng = np.random.default_rng(seed)
+    hotl, hotr = n_left // 2, n_right // 2
+    lpdf = pd.DataFrame(
+        {
+            "k": np.concatenate([np.zeros(hotl, int), rng.integers(1, 8, n_left - hotl)]),
+            "ts": rng.integers(0, 500, n_left),
+            "lid": np.arange(n_left),
+        }
+    )
+    rpdf = pd.DataFrame(
+        {
+            "k": np.concatenate([np.zeros(hotr, int), rng.integers(1, 8, n_right - hotr)]),
+            "ts": rng.integers(0, 500, n_right),
+            "rid": np.arange(n_right),
+            "v": rng.integers(0, 100, n_right),
+        }
+    )
+    left = spark.createDataFrame(lpdf.astype(int)).repartition(8)
+    right = spark.createDataFrame(rpdf.astype(int)).repartition(8)
+    return left, right
+
+
+def test_asof_bucketed_matches_plain_on_hot_key(spark):
+    """Result parity: the bucket-pre-split variant = the plain operator,
+    row for row, on a 50%-hot-key fixture (boundary ties, empty buckets,
+    leading buckets with no rights all exercised by the random draw)."""
+    from seraster_spark.joins import asof_join_bucketed
+
+    left, right = _hot_frames(spark)
+    plain = asof_join(left, right, ["k"], "ts", ["rid", "v"], tiebreak="rid")
+    bucketed = asof_join_bucketed(
+        left, right, ["k"], "ts", ["rid", "v"], bucket=50.0, tiebreak="rid"
+    )
+    a = sorted(map(tuple, plain.toPandas().fillna(-1).to_numpy().tolist()))
+    b = sorted(map(tuple, bucketed.toPandas().fillna(-1).to_numpy().tolist()))
+    assert a == b
+    assert sorted(plain.columns) == sorted(bucketed.columns)
+
+
+def test_asof_bucketed_tolerance_matches_plain(spark):
+    from seraster_spark.joins import asof_join_bucketed
+
+    left, right = _hot_frames(spark, seed=9)
+    tol = F.lit(30)
+    plain = asof_join(
+        left, right, ["k"], "ts", ["rid", "v"], tiebreak="rid", tolerance=tol
+    )
+    bucketed = asof_join_bucketed(
+        left, right, ["k"], "ts", ["rid", "v"], bucket=64.0, tiebreak="rid",
+        tolerance=tol,
+    )
+    a = sorted(map(tuple, plain.toPandas().fillna(-1).to_numpy().tolist()))
+    b = sorted(map(tuple, bucketed.toPandas().fillna(-1).to_numpy().tolist()))
+    assert a == b
+
+
+def test_asof_bucketed_window_partitions_on_bucket(spark):
+    """Plan shape: the big union+window pass must hash-partition on
+    (key, _bkt) — the hot key actually splits — while the plain operator
+    partitions on the key alone."""
+    from seraster_spark.joins import asof_join_bucketed
+
+    left, right = _hot_frames(spark)
+    bucketed = asof_join_bucketed(
+        left, right, ["k"], "ts", ["rid", "v"], bucket=50.0, tiebreak="rid"
+    )
+    plan = bucketed._jdf.queryExecution().executedPlan().toString()
+    assert any(
+        "hashpartitioning(k#" in line and "_bkt#" in line
+        for line in plan.splitlines()
+        if "Exchange" in line
+    ), plan
+
+
+def test_interval_join_outlier_sidechannel_matches_naive(spark):
+    """A timeline-spanning interval must produce identical matches through
+    the broadcast side-channel as through the explode path, and the explode
+    path must not see it (bounded fan-out)."""
+    points = spark.createDataFrame(
+        pd.DataFrame({"ts": np.arange(0, 1000, 7), "pid": np.arange(143)})
+    )
+    ivals = pd.DataFrame(
+        {
+            "start": [0, 100, 350, 900],
+            "end": [1000, 130, 410, 960],  # first spans the whole timeline
+            "iv": ["wide", "a", "b", "c"],
+        }
+    )
+    intervals = spark.createDataFrame(ivals)
+    base = interval_join(points, intervals, "ts", "start", "end", bucket=50.0)
+    esc = interval_join(
+        points, intervals, "ts", "start", "end", bucket=50.0, outlier_buckets=4
+    )
+    a = sorted(map(tuple, base.toPandas()[["pid", "iv"]].to_numpy().tolist()))
+    b = sorted(map(tuple, esc.toPandas()[["pid", "iv"]].to_numpy().tolist()))
+    assert a == b
+    assert len([x for x in b if x[1] == "wide"]) == 143
+    # left mode parity too (unmatched points unaffected by the split)
+    base_l = interval_join(
+        points, intervals.filter(F.col("iv") != "wide"), "ts", "start", "end",
+        bucket=50.0, how="left", outlier_buckets=4,
+    )
+    assert base_l.filter(F.col("iv").isNull()).count() > 0
+
+
+def test_interval_join_outlier_rides_broadcast(spark):
+    from seraster_spark.joins import interval_join as ij
+
+    points = spark.createDataFrame(
+        pd.DataFrame({"ts": np.arange(0, 1000, 7), "pid": np.arange(143)})
+    )
+    intervals = spark.createDataFrame(
+        pd.DataFrame({"start": [0, 100], "end": [1000, 130], "iv": ["wide", "a"]})
+    )
+    out = ij(points, intervals, "ts", "start", "end", bucket=10.0, outlier_buckets=5)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan, plan

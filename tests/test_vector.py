@@ -60,3 +60,38 @@ def test_coarse_filter_superset(spark, docs):
     coarse = vector.filter_by_polygon(with_cell, ring, spec, exact=False)
     exact = vector.filter_by_polygon(with_cell, ring, spec, exact=True)
     assert exact.join(coarse, "doc_id", "left_anti").count() == 0
+
+
+def test_geojson_lines_writer_matches_driver_export(spark, docs, tmp_path):
+    """Distributed GeoJSONL sink: same features (geometry + properties) as
+    the driver-side FeatureCollection export, one JSON Feature per line,
+    written without any driver collect."""
+    spec = grid_spec_for(docs, 200.0, square=True)
+    tiles = (
+        rasterize.rasterize_cell_type(docs, 200.0, spec=spec, fun="sum")
+        .select("cell_id", "num_cell")
+        .distinct()
+    )
+    path = str(tmp_path / "gjl")
+    vector.write_geojson_lines(tiles, spec, path)
+    lines = [json.loads(r["value"]) for r in spark.read.text(path).collect()]
+    gj = json.loads(vector.tiles_geojson(tiles, spec))
+
+    def key(feat):
+        return json.dumps(feat["geometry"]) + "|" + str(feat["properties"]["num_cell"])
+
+    assert sorted(map(key, lines)) == sorted(map(key, gj["features"]))
+    assert all(f["type"] == "Feature" for f in lines)
+
+
+def test_tiles_geojson_row_cap(spark, docs):
+    import pytest
+
+    spec = grid_spec_for(docs, 100.0, square=True)
+    tiles = (
+        rasterize.rasterize_cell_type(docs, 100.0, spec=spec, fun="sum")
+        .select("cell_id", "num_cell")
+        .distinct()
+    )
+    with pytest.raises(ValueError, match="max_rows"):
+        vector.tiles_geojson(tiles, spec, max_rows=5)

@@ -232,6 +232,41 @@ def bench_queries(spark, sf_dir: str, n_docs: int):
         ),
     )
 
+    # q6c: as-of hot-key escape — 50% of both sides on ONE key. The plain
+    # operator serializes the hot key through a single window-sort task;
+    # asof_join_bucketed splits it across ~40 time buckets with
+    # carry-forward seeds (identical rows, see test_joins parity)
+    from seraster_spark.joins import asof_join_bucketed
+
+    hot_kind = (
+        F.when(F.col("doc_id") % 2 == 0, F.lit("hot"))
+        .otherwise(F.col("kind"))
+        .alias("kind")
+    )
+    hot_l = docs.select("doc_id", hot_kind, "x")
+    hot_r = docs.filter(F.col("doc_id") % 3 == 0).select(
+        hot_kind, "doc_id", F.col("doc_id").alias("rid"), F.col("y").alias("v")
+    )
+    timed(
+        "asof_hot_plain",
+        lambda: force(
+            asof_join(
+                hot_l, hot_r, on=["kind"], ts_col="doc_id",
+                right_cols=["rid", "v"], tiebreak="rid",
+            ).select("doc_id", "kind", "asof_rid", "asof_v")
+        ),
+    )
+    timed(
+        "asof_hot_bucketed",
+        lambda: force(
+            asof_join_bucketed(
+                hot_l, hot_r, on=["kind"], ts_col="doc_id",
+                right_cols=["rid", "v"], bucket=float(max(n_docs // 40, 1)),
+                tiebreak="rid",
+            ).select("doc_id", "kind", "asof_rid", "asof_v")
+        ),
+    )
+
     # table-backed ops at sf_dir
     d = read_table(spark, sf_dir, "documents")
     timed("dedup_exact", lambda: force(TX.exact_dedup(d).select("doc_id", "dup_group_size", "is_canonical")))

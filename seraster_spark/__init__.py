@@ -13,7 +13,7 @@ from .focal import (
     morans_i,
 )
 from .grid import GridSpec
-from .joins import asof_join, interval_join
+from .joins import asof_join, asof_join_bucketed, interval_join
 from .knn import knn_join
 from .sketch import hash_sample, kmv_distinct, md5_uniform
 from .permutate import angle_schedule, midrange_origin, permutate_by_rotation
@@ -33,6 +33,7 @@ from .vector import (
     raster_algebra,
     spatial_join,
     tiles_geojson,
+    write_geojson_lines,
     tiles_with_wkt,
 )
 
@@ -57,6 +58,7 @@ __all__ = [
     "rasterize_datasets",
     "knn_join",
     "asof_join",
+    "asof_join_bucketed",
     "interval_join",
     "binomial_kernel",
     "focal_stats",
@@ -71,4 +73,5 @@ __all__ = [
     "filter_by_polygon",
     "tiles_with_wkt",
     "tiles_geojson",
+    "write_geojson_lines",
 ]

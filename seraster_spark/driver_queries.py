@@ -166,52 +166,6 @@ GROUP BY c.row_i, c.col_i, c.kind
 """
 
 
-def q_raster_square_kind_sum_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Same as q_raster_square_kind_sum but through the Arrow-batched numpy
-    encoder (use_udf=True) — proves the UDF path against the same bit-exact
-    oracle as the Column-math path."""
-    d = docs_with_coords(spark, sf_dir)
-    from .bbox import grid_spec_for
-
-    spec = grid_spec_for(d, RES, square=True)
-    with_cell = R.assign_tiles(d, spec, use_udf=True)
-    from pyspark.sql import Window as W
-
-    counts = with_cell.groupBy("cell_id", "kind").agg(
-        F.count(F.lit(1)).cast("double").alias("pixelval")
-    ).withColumn("num_cell", F.sum("pixelval").over(W.partitionBy("cell_id")).cast("long"))
-    row, col = X.unpack_rowcol(F.col("cell_id"))
-    cx, cy = X.centroid_expr(F.col("cell_id"), spec)
-    idx = X.grid_index_expr(F.col("cell_id"), spec)
-    return counts.select(
-        row.cast("long").alias("row_i"),
-        col.cast("long").alias("col_i"),
-        "kind",
-        "pixelval",
-        "num_cell",
-        cx.alias("cx"),
-        cy.alias("cy"),
-        F.format_string("pixel%d", (idx + 1).cast("long")).alias("pixel_name"),
-    )
-
-
-def q_knn_hex(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """kNN through the HEX ring-expansion path — exact kNN output is grid-
-    independent, so the same brute-force SQL oracle applies."""
-    d = docs_with_coords(spark, sf_dir)
-    from .bbox import grid_spec_for
-
-    spec = grid_spec_for(d, RES, square=False)
-    queries = d.filter(F.col("doc_id") % 97 == 0).select(
-        F.col("doc_id").alias("query_id"), "x", "y"
-    )
-    out = K.knn_join(d, queries, 5, spec, initial_radius=2)
-    return out.select(
-        "query_id", F.col("doc_id").alias("neighbor_id"), "dist",
-        F.col("rank").cast("long").alias("rank"),
-    )
-
-
 def q_raster_square_kind_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = docs_with_coords(spark, sf_dir)
     from .bbox import grid_spec_for
@@ -359,24 +313,6 @@ GROUP BY hc.q, hc.r, hc.kind
 
 
 # rotation --------------------------------------------------------------------
-
-
-def q_rotation_coords(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = docs_with_coords(spark, sf_dir).select("doc_id", "x", "y")
-    out = permutate_by_rotation(d, n_perm=8)
-    return out.select("doc_id", "angle", F.col("x").alias("x_rot"), F.col("y").alias("y_rot"), "perm")
-
-
-SQL_ROTATION_COORDS = f"""
-WITH {_SQL_DOCS},
-o AS (SELECT (min(x) + max(x)) / 2.0 AS ox, (min(y) + max(y)) / 2.0 AS oy FROM d),
-a AS (SELECT unnest([0.0, 45.0, 90.0, 135.0, 180.0, 225.0, 270.0, 315.0]) AS angle)
-SELECT d.doc_id, a.angle,
-       (d.x - o.ox) * cos(radians(a.angle)) - (d.y - o.oy) * sin(radians(a.angle)) + o.ox AS x_rot,
-       (d.x - o.ox) * sin(radians(a.angle)) + (d.y - o.oy) * cos(radians(a.angle)) + o.oy AS y_rot,
-       'rotated_' || CAST(CAST(a.angle AS BIGINT) AS VARCHAR) AS perm
-FROM d, o, a
-"""
 
 
 def q_rotation_raster(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1385,15 +1321,6 @@ corpus AS (
 )"""
 
 
-def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    corpus = _dedup_corpus(spark, sf_dir)
-    # cap far above any fixture bucket: exercises the guarded code path
-    # while keeping the (cap-free) oracle SQL exact
-    return TX.minhash_lsh_candidates(
-        corpus, verify_threshold=0.3, hash="md5", max_bucket_size=100_000
-    )
-
-
 def _sql_minhash_pairs(
     num_perm: int = 32,
     bands: int = 8,
@@ -1442,9 +1369,6 @@ jac AS (
 )
 SELECT id_a, id_b, jaccard FROM jac WHERE jaccard >= {threshold}
 """
-
-
-SQL_MINHASH_PAIRS = _sql_minhash_pairs()
 
 
 # degenerate-bucket cap, oracle-checked with a cap that actually BITES -------
@@ -1499,11 +1423,6 @@ SQL_MINHASH_PAIRS_CAPPED = _sql_minhash_pairs(
 )
 
 
-def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = read_table(spark, sf_dir, "documents")
-    return TX.simhash_md5(d)
-
-
 def _sql_simhash() -> str:
     hexs = "0123456789abcdef"
     votes = ",\n    ".join(
@@ -1527,9 +1446,6 @@ h AS (SELECT _id, md5(t) AS m FROM tok),
 votes AS (SELECT _id, {votes} FROM h GROUP BY _id)
 SELECT _id AS doc_id, {nibbles} AS simhash_hex FROM votes
 """
-
-
-SQL_SIMHASH = _sql_simhash()
 
 
 # LSH ANN with exact-integer ±1 hyperplanes: bucket bits are signs of exact
@@ -2490,14 +2406,9 @@ WHERE CAST({_SQL_HEX8.format(h="md5('mix1' || CAST(doc_id AS VARCHAR))")} AS DOU
 def q_focal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Focal statistics, both kernels in one oracle row: uniform 3×3 queen
     (mean_*) and integer binomial 1-2-1⊗1-2-1 smoothing (gauss_*), joined on
-    the tile key. Same raster input, one tile-cardinality join."""
-    from .focal import binomial_kernel, focal_stats
-
-    t, _ = _sq_tiles(spark, sf_dir)
-    raster = t.groupBy("row_i", "col_i").agg(
-        F.count(F.lit(1)).cast("long").alias("n_docs")
-    )
-    mean = focal_stats(raster, "n_docs").select(
+    the tile key. COMPOSED from the single-kernel queries (one source of
+    truth for each formula — the SQL twin composes the same way)."""
+    mean = q_focal_mean(spark, sf_dir).select(
         "row_i",
         "col_i",
         "n_docs",
@@ -2505,7 +2416,7 @@ def q_focal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("focal_n").alias("mean_n"),
         F.col("focal_mean").alias("mean_avg"),
     )
-    gauss = focal_stats(raster, "n_docs", kernel=binomial_kernel(1)).select(
+    gauss = q_focal_gauss(spark, sf_dir).select(
         "row_i",
         "col_i",
         F.col("focal_sum").alias("gauss_sum"),
@@ -2516,53 +2427,25 @@ def q_focal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_FOCAL_STATS = f"""
-WITH {_SQL_DOCS}, {_SQL_BBOX}, {_SQL_SQ_CELLS},
-r AS (SELECT row_i, col_i, count(*) AS n_docs FROM c GROUP BY 1, 2),
-fm AS (
-  SELECT a.row_i, a.col_i, a.n_docs,
-         CAST(sum(b.n_docs) AS BIGINT) AS mean_sum,
-         count(*) AS mean_n,
-         CAST(sum(b.n_docs) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean_avg
-  FROM r a JOIN r b
-    ON b.row_i BETWEEN a.row_i - 1 AND a.row_i + 1
-   AND b.col_i BETWEEN a.col_i - 1 AND a.col_i + 1
-  GROUP BY a.row_i, a.col_i, a.n_docs
-),
-fg AS (
-  SELECT a.row_i, a.col_i,
-         CAST(sum(b.n_docs * (2 - abs(a.row_i - b.row_i))
-                           * (2 - abs(a.col_i - b.col_i))) AS BIGINT) AS gauss_sum,
-         CAST(sum((2 - abs(a.row_i - b.row_i))
-                * (2 - abs(a.col_i - b.col_i))) AS BIGINT) AS gauss_n,
-         CAST(sum(b.n_docs * (2 - abs(a.row_i - b.row_i))
-                           * (2 - abs(a.col_i - b.col_i))) AS DOUBLE)
-           / CAST(sum((2 - abs(a.row_i - b.row_i))
-                    * (2 - abs(a.col_i - b.col_i))) AS DOUBLE) AS gauss_avg
-  FROM r a JOIN r b
-    ON b.row_i BETWEEN a.row_i - 1 AND a.row_i + 1
-   AND b.col_i BETWEEN a.col_i - 1 AND a.col_i + 1
-  GROUP BY a.row_i, a.col_i
-)
-SELECT fm.row_i, fm.col_i, fm.n_docs, fm.mean_sum, fm.mean_n, fm.mean_avg,
-       fg.gauss_sum, fg.gauss_n, fg.gauss_avg
-FROM fm JOIN fg ON fm.row_i = fg.row_i AND fm.col_i = fg.col_i
+SELECT fm.row_i, fm.col_i, fm.n_docs,
+       fm.focal_sum AS mean_sum, fm.focal_n AS mean_n,
+       fm.focal_mean AS mean_avg,
+       fg.focal_sum AS gauss_sum, fg.focal_n AS gauss_n,
+       fg.focal_mean AS gauss_avg
+FROM ({SQL_FOCAL_MEAN}) fm JOIN ({SQL_FOCAL_GAUSS}) fg
+  ON fm.row_i = fg.row_i AND fm.col_i = fg.col_i
 """
 
 
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Token statistics + quality scoring in one oracle row (same table, same
-    doc_id key). NB the two ops keep their own token-count semantics:
-    token_count() maps whitespace-only text to 0 tokens; the quality ratios
-    use the raw split length (1 for empty) as their denominator guard."""
-    d = read_table(spark, sf_dir, "documents")
-    toks = TX.tokens_expr(F.col("text"))
-    t = TX.token_count(d).select(
-        "doc_id",
-        F.col("n_tokens").cast("long").alias("n_tokens"),
-        F.size(F.array_distinct(toks)).cast("long").alias("n_distinct_tokens"),
-        F.length("text").cast("long").alias("len_chars"),
-    )
-    q = TX.quality_score(d).select(
+    """Token statistics + quality scoring in one oracle row (same table,
+    same doc_id key) — COMPOSED from the single-op queries so each formula
+    has one source of truth, mirrored by the composed SQL twin. NB the two
+    ops keep their own token-count semantics: token_count() maps
+    whitespace-only text to 0 tokens; the quality ratios use the raw split
+    length (1 for empty) as their denominator guard."""
+    t = q_token_stats(spark, sf_dir)
+    q = q_quality_score(spark, sf_dir).select(
         "doc_id",
         "alpha_ratio",
         "distinct_token_ratio",
@@ -2572,57 +2455,23 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.join(q, "doc_id")
 
 
-SQL_TEXT_QUALITY = r"""
-WITH t AS (
-  SELECT doc_id,
-         regexp_split_to_array(trim(lower(text)), '\s+') AS toks,
-         length(text) AS n_chars,
-         length(trim(text)) AS n_trim,
-         length(text) - length(regexp_replace(text, '[A-Za-z ]', '', 'g')) AS n_alpha
-  FROM documents
-),
-m AS (
-  SELECT doc_id,
-         CASE WHEN n_trim = 0 THEN 0 ELSE len(toks) END AS n_tokens,
-         len(list_distinct(toks)) AS n_distinct_tokens,
-         n_chars,
-         len(toks) AS n_tok,
-         CAST(n_alpha AS DOUBLE) / greatest(n_chars, 1) AS alpha_ratio,
-         CAST(len(list_distinct(toks)) AS DOUBLE) / greatest(len(toks), 1) AS distinct_ratio,
-         CAST(n_chars - (len(toks) - 1) AS DOUBLE) / greatest(len(toks), 1) AS mean_wordlen
-  FROM t
-)
-SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
-       CAST(n_distinct_tokens AS BIGINT) AS n_distinct_tokens,
-       CAST(n_chars AS BIGINT) AS len_chars,
-       alpha_ratio,
-       distinct_ratio AS distinct_token_ratio,
-       mean_wordlen AS mean_word_len,
-       0.25 * (CASE WHEN n_tok >= 5 AND n_tok <= 100000 THEN 1.0 ELSE 0.0 END)
-       + 0.25 * (CASE WHEN mean_wordlen >= 2.0 AND mean_wordlen <= 12.0 THEN 1.0 ELSE 0.0 END)
-       + 0.25 * alpha_ratio
-       + 0.25 * distinct_ratio AS quality_score
-FROM m
+SQL_TEXT_QUALITY = f"""
+SELECT t.doc_id, t.n_tokens, t.n_distinct_tokens, t.len_chars,
+       q.alpha_ratio, q.distinct_token_ratio, q.mean_word_len,
+       q.quality_score
+FROM ({SQL_TOKEN_STATS}) t JOIN ({SQL_QUALITY_SCORE}) q
+  ON t.doc_id = q.doc_id
 """
 
 
 def q_lang_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language marker counts + full language-ID argmax in one oracle row
-    (same table, same key; lang_id's marker table is independent of the
-    two marker lists spot-checked here)."""
-    d = read_table(spark, sf_dir, "documents")
-    toks = TX.tokens_expr(F.col("text"))
-
-    def hits(markers: list[str]):
-        return F.size(F.filter(toks, lambda t: t.isin(markers)))
-
-    m = d.select(
-        "doc_id",
-        hits(["the", "and", "of"]).cast("long").alias("en_hits"),
-        hits(["der", "die", "und"]).cast("long").alias("de_hits"),
+    (same table, same key) — COMPOSED from the single-op queries;
+    lang_id's marker table is independent of the two marker lists
+    spot-checked by the markers query."""
+    return q_lang_markers(spark, sf_dir).join(
+        q_lang_id(spark, sf_dir), "doc_id"
     )
-    lid = TX.lang_id(d).select("doc_id", "lang_guess")
-    return m.join(lid, "doc_id")
 
 
 SQL_LANG_PROFILE = f"""
@@ -2634,37 +2483,34 @@ FROM lm JOIN li ON lm.doc_id = li.doc_id
 
 def q_events_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full streaming-window family in one oracle row: tumbling (1h),
-    sliding (1h/30m) and session (10m gap) aggregates, tagged by win_kind.
-    Each branch is the identical expression the streaming path uses
-    (F.window / F.session_window), run in batch so DuckDB can replay it."""
-    e = read_table(spark, sf_dir, "events")
+    sliding (1h/30m) and session (10m gap) aggregates, tagged by win_kind —
+    COMPOSED from the single-window queries (each the identical expression
+    the streaming path uses; fixed-window ends are start + 3600 by
+    construction)."""
 
-    def roll(grouped, kind: str) -> DataFrame:
-        return (
-            grouped.agg(
-                F.count(F.lit(1)).alias("n_events"),
-                F.sum(F.floor(F.col("value") * 100.0)).cast("long").alias("sum_cents"),
-            )
-            .select(
-                F.lit(kind).alias("win_kind"),
-                F.unix_timestamp(F.col("w.start")).alias("win_start_epoch"),
-                F.unix_timestamp(F.col("w.end")).alias("win_end_epoch"),
-                "event_type",
-                "n_events",
-                "sum_cents",
-            )
+    def tag(df: DataFrame, kind: str) -> DataFrame:
+        return df.select(
+            F.lit(kind).alias("win_kind"),
+            F.col("window_start_epoch").alias("win_start_epoch"),
+            (F.col("window_start_epoch") + 3600).alias("win_end_epoch"),
+            "event_type",
+            "n_events",
+            "sum_cents",
         )
 
-    tumb = roll(e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type"), "tumbling")
-    slide = roll(
-        e.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type"),
-        "sliding",
+    sess = q_events_sessions(spark, sf_dir).select(
+        F.lit("session").alias("win_kind"),
+        F.col("session_start_epoch").alias("win_start_epoch"),
+        F.col("session_end_epoch").alias("win_end_epoch"),
+        "event_type",
+        "n_events",
+        "sum_cents",
     )
-    sess = roll(
-        e.groupBy(F.session_window("ts", "10 minutes").alias("w"), "event_type"),
-        "session",
+    return (
+        tag(q_events_window(spark, sf_dir), "tumbling")
+        .unionByName(tag(q_events_sliding(spark, sf_dir), "sliding"))
+        .unionByName(sess)
     )
-    return tumb.unionByName(slide).unionByName(sess)
 
 
 SQL_EVENTS_WINDOWS = f"""

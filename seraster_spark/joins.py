@@ -88,9 +88,14 @@ def interval_join(
     # row order, which a shuffled upstream or a task retry can change —
     # materialize once, eagerly, before either branch reads it.
     if how == "left":
+        # lazy: materializes once at the first action over the (unioned)
+        # result — both branches then read the same checkpointed blocks, so
+        # the key is stable without a construction-time job. The blocks live
+        # until the session drops them; callers looping over many interval
+        # joins in one long session should checkpoint upstream themselves.
         points = points.withColumn(
             "_pid", F.monotonically_increasing_id()
-        ).localCheckpoint(eager=True)
+        ).localCheckpoint(eager=False)
     pb = points.withColumn("_bkt", F.floor(F.col(ts_col).cast("double") / bucket))
     # empty/inverted intervals match nothing under half-open semantics; drop
     # them BEFORE the explode (F.sequence would otherwise step backwards)
@@ -307,9 +312,25 @@ def asof_join_bucketed(
         .distinct()
     )
     wsp = Window.partitionBy(*on).orderBy("_bkt")
+    # NULL-SAFE seed join: the window partitionBy groups NULL keys together
+    # (same as the plain operator), so the seed join must too — a
+    # null-unsafe equi-join would silently drop cross-bucket matches for
+    # NULL-keyed groups. The lastr side is renamed first: spine and lastr
+    # share lineage (both derive from the right frame), so qualified
+    # references would be ambiguous in a self-join
+    lastr_r = lastr.select(
+        *[F.col(k).alias(f"_r_{k}") for k in on],
+        F.col("_bkt").alias("_r_bkt"),
+        "_m",
+    )
+    jcond = [F.col(k).eqNullSafe(F.col(f"_r_{k}")) for k in on] + [
+        F.col("_bkt") == F.col("_r_bkt")
+    ]
+    joined_sp = spine.join(lastr_r, jcond, "left").drop(
+        *[f"_r_{k}" for k in on], "_r_bkt"
+    )
     seeds = (
-        spine.join(lastr, [*on, "_bkt"], "left")
-        .withColumn("_carry", F.last("_m", ignorenulls=True).over(wsp))
+        joined_sp.withColumn("_carry", F.last("_m", ignorenulls=True).over(wsp))
         .withColumn("_seed", F.lag("_carry").over(wsp))
         .filter(F.col("_seed").isNotNull())
         .select(*on, "_bkt", F.col("_seed._p").alias("_r"))

@@ -280,13 +280,16 @@ def rasterize_gene_expression(
         # docs had empty `values`. Both sides of this anti-join are
         # tile-cardinality (sums is already aggregated), so it is cheap at
         # any scale; the union adds one row per all-empty tile.
-        feat_type = dict(sums.dtypes)["feature"]
+        dtypes = dict(sums.dtypes)
         empty = meta.join(
             sums.select(*keys).distinct(), on=keys, how="left_anti"
         ).withColumns(
             {
-                "feature": F.lit(None).cast(feat_type),
-                "_sum": F.lit(0.0),
+                # cast BOTH literals to the sparse side's dtypes: a bare 0.0
+                # would widen an integer-valued _sum to double for every row
+                # through the union (schema drift + driver-hash mismatch)
+                "feature": F.lit(None).cast(dtypes["feature"]),
+                "_sum": F.lit(0.0).cast(dtypes["_sum"]),
             }
         )
         joined = joined.unionByName(empty)

@@ -42,7 +42,10 @@ def tiles_geojson(
     tiles than driver memory) — raise it deliberately, or use
     :func:`write_geojson_lines` which never materializes on the driver.
     """
-    props = properties or [c for c in tiles.columns if c != "cell_id"]
+    props = (
+        properties if properties is not None
+        else [c for c in tiles.columns if c != "cell_id"]
+    )
     rows = tiles.select("cell_id", *props).limit(max_rows + 1).collect()
     if len(rows) > max_rows:
         raise ValueError(
@@ -84,13 +87,22 @@ def write_geojson_lines(
     (cf. :func:`tiles_geojson`, the capped driver-side FeatureCollection)."""
     from .udfs import geojson_geom_udf
 
-    props = properties or [c for c in tiles.columns if c != "cell_id"]
+    props = (
+        properties if properties is not None
+        else [c for c in tiles.columns if c != "cell_id"]
+    )
     geom = geojson_geom_udf(spec, decimals)(F.col("cell_id"))
     line = F.concat(
         F.lit('{"type":"Feature","geometry":'),
         geom,
         F.lit(',"properties":'),
-        F.to_json(F.struct(*[F.col(p) for p in props])),
+        # keep NULL-valued properties as explicit JSON nulls — to_json drops
+        # them by default, which would give per-line schema drift vs the
+        # driver-side tiles_geojson export
+        F.to_json(
+            F.struct(*[F.col(p) for p in props]),
+            {"ignoreNullFields": "false"},
+        ),
         F.lit("}"),
     )
     tiles.select(line.alias("value")).write.mode(mode).text(path)

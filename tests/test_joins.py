@@ -383,3 +383,24 @@ def test_interval_join_outlier_rides_broadcast(spark):
     out = ij(points, intervals, "ts", "start", "end", bucket=10.0, outlier_buckets=5)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" in plan, plan
+
+
+def test_asof_bucketed_null_key_gets_cross_bucket_seed(spark):
+    """A NULL `on` key is one group under the window's partitioning, so the
+    seed join must be null-safe: the right row in an EARLIER bucket must
+    still reach a NULL-keyed left row."""
+    from seraster_spark.joins import asof_join_bucketed
+
+    left = spark.createDataFrame([(None, 100, 1), ("a", 100, 2)], "k string, ts long, lid long")
+    right = spark.createDataFrame(
+        [(None, 5, 77, 9), ("a", 3, 88, 8)], "k string, ts long, rid long, v long"
+    )
+    plain = asof_join(left, right, ["k"], "ts", ["rid", "v"], tiebreak="rid")
+    bucketed = asof_join_bucketed(
+        left, right, ["k"], "ts", ["rid", "v"], bucket=10.0, tiebreak="rid"
+    )
+    a = sorted(map(tuple, plain.toPandas().astype(str).to_numpy().tolist()))
+    b = sorted(map(tuple, bucketed.toPandas().astype(str).to_numpy().tolist()))
+    assert a == b
+    got = {r["lid"]: r["asof_rid"] for r in bucketed.collect()}
+    assert got == {1: 77, 2: 88}

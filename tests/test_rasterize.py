@@ -515,3 +515,30 @@ def test_keep_empty_feature_tiles(spark):
     # default drops the all-empty tile
     dflt = rasterize.rasterize_gene_expression(df, 100.0, fun="mean").collect()
     assert len(dflt) == 1
+
+
+def test_keep_empty_feature_tiles_preserves_integer_sum_dtype(spark):
+    """Long-typed values with fun='sum' must stay long through the
+    empty-tile union (a bare 0.0 literal would widen every row to double —
+    schema drift the driver hash would catch)."""
+    from pyspark.sql import types as T
+
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("x", T.DoubleType()),
+        T.StructField("y", T.DoubleType()),
+        T.StructField("values", T.ArrayType(T.StructType([
+            T.StructField("feature", T.StringType()),
+            T.StructField("value", T.LongType()),
+        ]))),
+    ])
+    df = spark.createDataFrame(
+        [(1, 10.0, 10.0, [("f", 6)]), (2, 510.0, 10.0, [])], schema
+    )
+    on = rasterize.rasterize_gene_expression(
+        df, 100.0, fun="sum", keep_empty_feature_tiles=True
+    )
+    off = rasterize.rasterize_gene_expression(df, 100.0, fun="sum")
+    assert dict(on.dtypes)["pixelval"] == dict(off.dtypes)["pixelval"]
+    vals = {r["feature"]: r["pixelval"] for r in on.collect()}
+    assert vals == {"f": 6, None: 0}

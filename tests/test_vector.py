@@ -95,3 +95,20 @@ def test_tiles_geojson_row_cap(spark, docs):
     )
     with pytest.raises(ValueError, match="max_rows"):
         vector.tiles_geojson(tiles, spec, max_rows=5)
+
+
+def test_geojson_lines_null_properties_serialized(spark, docs):
+    """NULL property values must appear as explicit JSON nulls (to_json
+    drops them by default — per-line schema drift vs the driver export)."""
+    spec = grid_spec_for(docs, 500.0, square=True)
+    tiles = (
+        rasterize.rasterize_cell_type(docs, 500.0, spec=spec, fun="sum")
+        .select("cell_id", F.lit(None).cast("string").alias("tag"), "num_cell")
+        .distinct()
+    )
+    path_lines = vector.write_geojson_lines.__name__  # doc anchor
+    import tempfile, os
+    out = os.path.join(tempfile.mkdtemp(), "gjl_null")
+    vector.write_geojson_lines(tiles, spec, out)
+    feats = [json.loads(r["value"]) for r in spark.read.text(out).collect()]
+    assert all("tag" in f["properties"] and f["properties"]["tag"] is None for f in feats)

@@ -183,9 +183,12 @@ Raw per-round walls (s), rotation-ordered rounds:
     for c in (2, 8, 32):
         walls = ", ".join(str(r["wall_s"]) for r in raw[c])
         md += f"| {c} | {walls} |\n"
-    with open(os.path.join(REPO, "BENCH.md"), "w") as f:
+    # side file: BENCH.md is the hand-curated multi-session record — this
+    # run's table gets merged into it as a new session column, not a
+    # wholesale overwrite
+    with open(os.path.join(REPO, "bench", "scaling_last.md"), "w") as f:
         f.write(md)
-    print("wrote BENCH.md")
+    print("wrote bench/scaling_last.md")
 
 
 if __name__ == "__main__":

@@ -88,14 +88,19 @@ def interval_join(
     # row order, which a shuffled upstream or a task retry can change —
     # materialize once, eagerly, before either branch reads it.
     if how == "left":
-        # lazy: materializes once at the first action over the (unioned)
-        # result — both branches then read the same checkpointed blocks, so
-        # the key is stable without a construction-time job. The blocks live
-        # until the session drops them; callers looping over many interval
-        # joins in one long session should checkpoint upstream themselves.
+        # EAGER: the matched branch and the left_anti branch are independent
+        # query stages that a cluster (AQE submits leaf stages concurrently,
+        # partitions land on different executors) can evaluate before any
+        # checkpointed block exists — a lazy checkpoint leaves the first
+        # action inside that race window and the same row can draw different
+        # _pids per branch (silent duplicate/dropped left rows). The
+        # construction-time job is the price of a stable key; callers
+        # looping over many left interval joins should checkpoint upstream
+        # themselves and pass how='inner' + their own key when that job
+        # matters.
         points = points.withColumn(
             "_pid", F.monotonically_increasing_id()
-        ).localCheckpoint(eager=False)
+        ).localCheckpoint(eager=True)
     pb = points.withColumn("_bkt", F.floor(F.col(ts_col).cast("double") / bucket))
     # empty/inverted intervals match nothing under half-open semantics; drop
     # them BEFORE the explode (F.sequence would otherwise step backwards)

@@ -106,7 +106,6 @@ def test_geojson_lines_null_properties_serialized(spark, docs):
         .select("cell_id", F.lit(None).cast("string").alias("tag"), "num_cell")
         .distinct()
     )
-    path_lines = vector.write_geojson_lines.__name__  # doc anchor
     import tempfile, os
     out = os.path.join(tempfile.mkdtemp(), "gjl_null")
     vector.write_geojson_lines(tiles, spec, out)

@@ -404,3 +404,60 @@ def test_asof_bucketed_null_key_gets_cross_bucket_seed(spark):
     assert a == b
     got = {r["lid"]: r["asof_rid"] for r in bucketed.collect()}
     assert got == {1: 77, 2: 88}
+
+
+@pytest.mark.parametrize("seed,bucket", [(11, 7.0), (12, 33.0), (13, 250.0), (14, 1.0)])
+def test_asof_bucketed_fuzz_parity(spark, seed, bucket):
+    """Seeded-random parity sweep across bucket widths (1 = every ts its
+    own bucket; 250 = several empty buckets between rows; ties and
+    boundary-exact timestamps arise from the small ts range)."""
+    from seraster_spark.joins import asof_join_bucketed
+
+    rng = np.random.default_rng(seed)
+    lpdf = pd.DataFrame(
+        {
+            "k": rng.integers(0, 4, 120),
+            "ts": rng.integers(0, 300, 120),
+            "lid": np.arange(120),
+        }
+    )
+    rpdf = pd.DataFrame(
+        {
+            "k": rng.integers(0, 4, 150),
+            "ts": rng.integers(0, 300, 150),
+            "rid": np.arange(150),
+            "v": rng.integers(0, 50, 150),
+        }
+    )
+    left = spark.createDataFrame(lpdf.astype(int)).repartition(5)
+    right = spark.createDataFrame(rpdf.astype(int)).repartition(5)
+    plain = asof_join(left, right, ["k"], "ts", ["rid", "v"], tiebreak="rid")
+    bucketed = asof_join_bucketed(
+        left, right, ["k"], "ts", ["rid", "v"], bucket=bucket, tiebreak="rid"
+    )
+    a = sorted(map(tuple, plain.toPandas().astype(str).to_numpy().tolist()))
+    b = sorted(map(tuple, bucketed.toPandas().astype(str).to_numpy().tolist()))
+    assert a == b
+
+
+def test_asof_bucketed_timestamp_ts(spark):
+    """Timestamp-typed ts column: bucket arithmetic goes through epoch
+    seconds and the seed boundary cast (double -> timestamp) round-trips."""
+    from seraster_spark.joins import asof_join_bucketed
+
+    left = spark.createDataFrame(
+        [("a", "2024-01-01 10:00:05", 1), ("a", "2024-01-01 12:30:00", 2)],
+        "k string, ts_s string, lid long",
+    ).select("k", F.col("ts_s").cast("timestamp").alias("ts"), "lid")
+    right = spark.createDataFrame(
+        [("a", "2024-01-01 09:59:59", 70, 1), ("a", "2024-01-01 11:00:00", 71, 2)],
+        "k string, ts_s string, rid long, v long",
+    ).select("k", F.col("ts_s").cast("timestamp").alias("ts"), "rid", "v")
+    out = asof_join_bucketed(
+        left, right, ["k"], "ts", ["rid", "v"], bucket=600.0, tiebreak="rid"
+    )
+    got = {r["lid"]: r["asof_rid"] for r in out.collect()}
+    assert got == {1: 70, 2: 71}
+    plain = asof_join(left, right, ["k"], "ts", ["rid", "v"], tiebreak="rid")
+    exp = {r["lid"]: r["asof_rid"] for r in plain.collect()}
+    assert got == exp

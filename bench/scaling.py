@@ -6,7 +6,9 @@ staged input, per the task brief. Efficiency = throughput_4N / (4 x
 throughput_N).
 
 Usage:
-  python bench/scaling.py              # orchestrates both runs, writes BENCH.md
+  python bench/scaling.py              # orchestrates all runs, writes
+                                       # bench/scaling_last.md (merge into
+                                       # BENCH.md as a new session column)
   python bench/scaling.py --worker 8   # one measurement, prints JSON
 """
 

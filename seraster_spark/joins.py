@@ -163,6 +163,76 @@ def interval_join(
     return matched.unionByName(unmatched).drop("_pid")
 
 
+def _asof_payload(right: DataFrame, ts_col: str, right_cols: list[str], tiebreak):
+    """Payload column list + the atomic carry struct type. The entire right
+    payload rides as ONE struct so the carry-forward is ATOMIC: per-column
+    last(ignorenulls) would mix columns from different right rows whenever
+    a matched row carries a NULL payload value."""
+    from pyspark.sql import types as T
+
+    payload = list(right_cols)
+    if ts_col not in payload:
+        payload = [ts_col, *payload]
+    if tiebreak is not None and tiebreak not in payload:
+        payload = [*payload, tiebreak]
+    return payload, T.StructType([right.schema[c] for c in payload])
+
+
+def _align_to_left(tag: DataFrame, left: DataFrame) -> DataFrame:
+    """Tagged right/seed rows carry NULL for left-only columns."""
+    for c in left.columns:
+        if c not in tag.columns:
+            tag = tag.withColumn(c, F.lit(None).cast(left.schema[c].dataType))
+    return tag
+
+
+def _asof_carry_tail(
+    u: DataFrame,
+    part_cols: list[str],
+    ts_col: str,
+    payload: list[str],
+    tiebreak,
+    direction: str,
+    tolerance,
+    prefix: str,
+    drop_extra: tuple[str, ...] = (),
+) -> DataFrame:
+    """The ONE place the as-of ordering/tie-break/tolerance rules live —
+    shared by :func:`asof_join` and :func:`asof_join_bucketed`. ``u`` is the
+    tagged union carrying _src (-1 seeds / 0 rights / 1 lefts) and the _r
+    payload struct."""
+    order = [
+        F.col(ts_col).asc() if direction == "backward" else F.col(ts_col).desc(),
+        F.col("_src").asc(),
+    ]
+    if tiebreak is not None:
+        # among equal-ts right rows the highest tiebreak wins = is the last
+        # row the carry-forward sees; must order AFTER _src so equal-ts
+        # rights still precede lefts (left rows have a NULL struct)
+        order.append(F.col(f"_r.{tiebreak}").asc_nulls_first())
+    w = (
+        Window.partitionBy(*part_cols)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    matched = u.withColumn("_rm", F.last("_r", ignorenulls=True).over(w))
+    for c in payload:
+        matched = matched.withColumn(f"{prefix}{c}", F.col(f"_rm.{c}"))
+    out = matched.filter(F.col("_src") == 1).drop("_src", "_r", "_rm", *drop_extra)
+    if tolerance is not None:
+        gap = (
+            F.col(ts_col) - F.col(f"{prefix}{ts_col}")
+            if direction == "backward"
+            else F.col(f"{prefix}{ts_col}") - F.col(ts_col)
+        )
+        keep = gap <= tolerance
+        for c in payload:
+            out = out.withColumn(
+                f"{prefix}{c}", F.when(keep, F.col(f"{prefix}{c}"))
+            )
+    return out
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,
@@ -186,18 +256,7 @@ def asof_join(
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward|forward, got {direction!r}")
 
-    payload = list(right_cols)
-    if ts_col not in payload:
-        payload = [ts_col, *payload]
-    if tiebreak is not None and tiebreak not in payload:
-        payload = [*payload, tiebreak]
-
-    from pyspark.sql import types as T
-
-    # the entire right payload rides as ONE struct so the carry-forward is
-    # ATOMIC: per-column last(ignorenulls) would mix columns from different
-    # right rows whenever a matched row carries a NULL payload value
-    r_struct_type = T.StructType([right.schema[c] for c in payload])
+    payload, r_struct_type = _asof_payload(right, ts_col, right_cols, tiebreak)
     # a NULL right ts can never satisfy <=/>= semantics; without this filter
     # it would sort nulls-first and its payload would leak into the carry
     r_clean = right.filter(F.col(ts_col).isNotNull())
@@ -206,48 +265,19 @@ def asof_join(
         F.lit(1).alias("_src"),
         F.lit(None).cast(r_struct_type).alias("_r"),
     )
-    r_tag = r_clean.select(
-        *[F.col(c) for c in on],
-        F.col(ts_col),
-        F.lit(0).alias("_src"),
-        F.struct(*[F.col(c).alias(c) for c in payload]).alias("_r"),
+    r_tag = _align_to_left(
+        r_clean.select(
+            *[F.col(c) for c in on],
+            F.col(ts_col),
+            F.lit(0).alias("_src"),
+            F.struct(*[F.col(c).alias(c) for c in payload]).alias("_r"),
+        ),
+        left,
     )
-    # align schemas: right rows carry NULL for left-only columns
-    for c in left.columns:
-        if c not in r_tag.columns:
-            r_tag = r_tag.withColumn(c, F.lit(None).cast(left.schema[c].dataType))
     u = r_tag.select(*l_tag.columns).unionByName(l_tag)
-
-    if direction == "backward":
-        order = [F.col(ts_col).asc(), F.col("_src").asc()]
-        frame = (Window.unboundedPreceding, Window.currentRow)
-    else:
-        order = [F.col(ts_col).desc(), F.col("_src").asc()]
-        frame = (Window.unboundedPreceding, Window.currentRow)
-    if tiebreak is not None:
-        # among equal-ts right rows the highest tiebreak wins = is the last
-        # row the carry-forward sees; must order AFTER _src so equal-ts
-        # rights still precede lefts (left rows have a NULL struct)
-        order.append(F.col(f"_r.{tiebreak}").asc_nulls_first())
-
-    w = Window.partitionBy(*on).orderBy(*order).rowsBetween(*frame)
-    matched = u.withColumn("_rm", F.last("_r", ignorenulls=True).over(w))
-    for c in payload:
-        matched = matched.withColumn(f"{prefix}{c}", F.col(f"_rm.{c}"))
-
-    out = matched.filter(F.col("_src") == 1).drop("_src", "_r", "_rm")
-    if tolerance is not None:
-        gap = (
-            F.col(ts_col) - F.col(f"{prefix}{ts_col}")
-            if direction == "backward"
-            else F.col(f"{prefix}{ts_col}") - F.col(ts_col)
-        )
-        keep = gap <= tolerance
-        for c in payload:
-            out = out.withColumn(
-                f"{prefix}{c}", F.when(keep, F.col(f"{prefix}{c}"))
-            )
-    return out
+    return _asof_carry_tail(
+        u, on, ts_col, payload, tiebreak, direction, tolerance, prefix
+    )
 
 
 def asof_join_bucketed(
@@ -281,16 +311,8 @@ def asof_join_bucketed(
     Result rows are identical to ``asof_join(...)``; forward as-of over a
     hot key is the same operator on negated numeric timestamps. ``ts_col``
     must be numeric or castable to double seconds (timestamps are)."""
-    from pyspark.sql import types as T
-
-    payload = list(right_cols)
-    if ts_col not in payload:
-        payload = [ts_col, *payload]
-    if tiebreak is not None and tiebreak not in payload:
-        payload = [*payload, tiebreak]
-
+    payload, r_struct_type = _asof_payload(right, ts_col, right_cols, tiebreak)
     ts_type = left.schema[ts_col].dataType
-    r_struct_type = T.StructType([right.schema[c] for c in payload])
     r_clean = right.filter(F.col(ts_col).isNotNull())
     bkt = lambda c: F.floor(c.cast("double") / bucket)  # noqa: E731
 
@@ -363,32 +385,14 @@ def asof_join_bucketed(
         F.lit(-1).alias("_src"),
         F.col("_r"),
     )
-    for c in left.columns:
-        if c not in r_tag.columns:
-            r_tag = r_tag.withColumn(c, F.lit(None).cast(left.schema[c].dataType))
-            s_tag = s_tag.withColumn(c, F.lit(None).cast(left.schema[c].dataType))
+    r_tag = _align_to_left(r_tag, left)
+    s_tag = _align_to_left(s_tag, left)
     u = (
         r_tag.select(*l_tag.columns)
         .unionByName(s_tag.select(*l_tag.columns))
         .unionByName(l_tag)
     )
-
-    order = [F.col(ts_col).asc(), F.col("_src").asc()]
-    if tiebreak is not None:
-        order.append(F.col(f"_r.{tiebreak}").asc_nulls_first())
-    w = (
-        Window.partitionBy(*on, "_bkt")
-        .orderBy(*order)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return _asof_carry_tail(
+        u, [*on, "_bkt"], ts_col, payload, tiebreak, "backward", tolerance,
+        prefix, drop_extra=("_bkt",),
     )
-    matched = u.withColumn("_rm", F.last("_r", ignorenulls=True).over(w))
-    for c in payload:
-        matched = matched.withColumn(f"{prefix}{c}", F.col(f"_rm.{c}"))
-    out = matched.filter(F.col("_src") == 1).drop("_src", "_r", "_rm", "_bkt")
-    if tolerance is not None:
-        keep = (F.col(ts_col) - F.col(f"{prefix}{ts_col}")) <= tolerance
-        for c in payload:
-            out = out.withColumn(
-                f"{prefix}{c}", F.when(keep, F.col(f"{prefix}{c}"))
-            )
-    return out

@@ -281,8 +281,10 @@ def rasterize_gene_expression(
         # tile-cardinality (sums is already aggregated), so it is cheap at
         # any scale; the union adds one row per all-empty tile.
         dtypes = dict(sums.dtypes)
+        # broadcast the distinct tile keys (tile-cardinality) so the
+        # anti-join stays shuffle-free like the meta join it mirrors
         empty = meta.join(
-            sums.select(*keys).distinct(), on=keys, how="left_anti"
+            F.broadcast(sums.select(*keys).distinct()), on=keys, how="left_anti"
         ).withColumns(
             {
                 # cast BOTH literals to the sparse side's dtypes: a bare 0.0

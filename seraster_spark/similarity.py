@@ -151,6 +151,14 @@ def brute_force_topk_arrow(
     return ranked.select(query_id, F.col("_iid").alias(id_col), "cosine", "rank")
 
 
+def _centroid_dist2(vec: pd.Series, cent: np.ndarray) -> np.ndarray:
+    """Squared euclidean distances (batch, n_centroids) — the ONE centroid
+    distance definition: item-list assignment and query probing must use
+    the same kernel or IVF recall silently collapses."""
+    m = np.stack([np.asarray(v, dtype=np.float64) for v in vec])
+    return ((m[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+
+
 def train_ivf_centroids(
     items: DataFrame,
     vec_col: str = "embedding",
@@ -287,8 +295,7 @@ def ivf_topk(
 
     @F.pandas_udf(T.IntegerType())
     def nearest_centroid(vec: pd.Series) -> pd.Series:
-        m = np.stack([np.asarray(v, dtype=np.float64) for v in vec])
-        d = ((m[:, None, :] - cent_b[None, :, :]) ** 2).sum(axis=2)
+        d = _centroid_dist2(vec, cent_b)
         return pd.Series(d.argmin(axis=1).astype(np.int32))
 
     if dim is not None and cent.shape[1] != dim:
@@ -298,7 +305,11 @@ def ivf_topk(
     it = items.withColumn("_list", nearest_centroid(F.col(vec_col)))
 
     if isinstance(queries, pd.DataFrame):
-        if not len(queries):
+        # drop null vector cells up front (parity with the DataFrame path's
+        # isNotNull filter — the normalization below would crash on None)
+        qpdf = queries[[query_id, vec_col]].copy()
+        qpdf = qpdf[qpdf[vec_col].notna()]
+        if not len(qpdf):
             return spark.createDataFrame(
                 [],
                 T.StructType(
@@ -310,9 +321,8 @@ def ivf_topk(
                     ]
                 ),
             )
-        qpdf = queries[[query_id, vec_col]].copy()
-        # normalize vector cells (ndarray / list / mixed float widths) to
-        # plain float lists so the pandas->Spark conversion is type-stable
+        # normalize cells (ndarray / list / mixed float widths) to plain
+        # float lists so the pandas->Spark conversion is type-stable
         qpdf[vec_col] = [[float(x) for x in v] for v in qpdf[vec_col]]
         queries = spark.createDataFrame(qpdf)
 
@@ -320,8 +330,7 @@ def ivf_topk(
 
     @F.pandas_udf(T.ArrayType(T.IntegerType()))
     def probe_lists(vec: pd.Series) -> pd.Series:
-        m = np.stack([np.asarray(v, dtype=np.float64) for v in vec])
-        d = ((m[:, None, :] - cent_b[None, :, :]) ** 2).sum(axis=2)
+        d = _centroid_dist2(vec, cent_b)
         p = np.argsort(d, axis=1)[:, :n_pr]
         return pd.Series([row.astype(np.int32).tolist() for row in p])
 

@@ -461,3 +461,40 @@ def test_asof_bucketed_timestamp_ts(spark):
     plain = asof_join(left, right, ["k"], "ts", ["rid", "v"], tiebreak="rid")
     exp = {r["lid"]: r["asof_rid"] for r in plain.collect()}
     assert got == exp
+
+
+def test_asof_bucketed_no_keys(spark):
+    """on=[] — a single global timeline: the spine window degrades to one
+    (tiny, bucket-cardinality) partition while the big pass still splits
+    across buckets."""
+    from seraster_spark.joins import asof_join_bucketed
+
+    left = spark.createDataFrame([(100, 1), (205, 2), (5, 3)], "ts long, lid long")
+    right = spark.createDataFrame(
+        [(90, 70, 1), (200, 71, 2)], "ts long, rid long, v long"
+    )
+    plain = asof_join(left, right, [], "ts", ["rid", "v"], tiebreak="rid")
+    bucketed = asof_join_bucketed(
+        left, right, [], "ts", ["rid", "v"], bucket=50.0, tiebreak="rid"
+    )
+    exp = {r["lid"]: r["asof_rid"] for r in plain.collect()}
+    got = {r["lid"]: r["asof_rid"] for r in bucketed.collect()}
+    assert got == exp == {1: 70, 2: 71, 3: None}
+
+
+def test_interval_join_outlier_bucket_width_invariant(spark):
+    """The outlier side-channel result is invariant to bucket width AND to
+    the outlier threshold (same pairs whether the wide interval rides the
+    explode or the broadcast)."""
+    pts, iv, P, I = _interval_frames(spark, seed=21)
+    iv_wide = pd.concat(
+        [iv, pd.DataFrame({"istart": [0], "iend": [500], "iid": [99], "k": [0]})],
+        ignore_index=True,
+    )
+    IW = spark.createDataFrame(iv_wide.astype(int))
+    want = _naive_pairs(pts, iv_wide)
+    for b, ob in ((7.0, 3), (50.0, 4), (200.0, 2)):
+        got = {(r["pid"], r["iid"]) for r in interval_join(
+            P, IW.drop("k"), "ts", "istart", "iend", bucket=b, outlier_buckets=ob
+        ).collect()}
+        assert got == want, f"bucket={b}, outlier_buckets={ob}"

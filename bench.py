@@ -292,10 +292,45 @@ def bench_queries(spark, sf_dir: str, n_docs: int):
     return qs, extra
 
 
+def _throttle_probe(max_wait_s: float = 240.0) -> dict:
+    """The shared host throttles CPU in bursts (same job measured 15x apart
+    minutes apart). Before opening the measurement window, time a fixed
+    single-core numpy kernel against its known clean-host cost; if the box
+    is in a burst, wait and re-probe (bounded) so the window of record is
+    less likely to land inside one. Returns probe telemetry for the JSON
+    line — the window still runs regardless, the probe only delays it."""
+    import numpy as np
+
+    def probe() -> float:
+        a = np.arange(4_000_000, dtype=np.float64)
+        t0 = time.time()
+        for _ in range(6):
+            a = np.sqrt(a * 1.0001 + 1.0)
+        return time.time() - t0
+
+    clean_s = 0.10  # measured on this host when un-throttled
+    probe()  # warmup: first call pays allocation/page-fault cost (~20x)
+    waited = 0.0
+    p = probe()
+    while p > 2.0 * clean_s and waited < max_wait_s:
+        time.sleep(30.0)
+        waited += 30.0
+        p = probe()
+    return {
+        "throttle_probe_s": round(p, 4),
+        "throttle_probe_clean_s": clean_s,
+        "throttle_wait_s": round(waited, 1),
+        "throttled_at_start": bool(p > 2.0 * clean_s),
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     n_docs = int(os.environ.get("BENCH_DOCS", "2000000"))
+    probe_info = (
+        _throttle_probe() if os.environ.get("BENCH_NO_PROBE") != "1" else {}
+    )
     spark = get_spark(
         "bench", master=f"local[{cpus}]", shuffle_partitions=max(cpus, 16)
     )
@@ -312,6 +347,7 @@ def main() -> None:
         "total_sec": total,
         "bench_docs": n_docs,
         "cpus": cpus,
+        **probe_info,
         **extra,
     }
     spark.stop()

@@ -490,13 +490,18 @@ def minhash_lsh_candidates(
     shingle sets stay out of every exchange. Candidate ids are materialized
     eagerly (``localCheckpoint``), the signature cache is unpersisted before
     returning (no cache leak; checkpoint blocks are GC-cleaned), and the
-    Jaccard verification re-derives shingle sets map-side, joined against the
-    (small, size-known → AQE broadcast) candidate list.
-    ``max_bucket_size`` guards the band join against degenerate hot buckets
-    (see :func:`cap_buckets`) — at corpus scale always set it.
+    Jaccard verification re-derives shingle sets ONLY for candidate docs: a
+    broadcast semi-join on the (small, checkpointed) candidate id set sits
+    BELOW the shingle projection, so non-candidates never pay the Arrow
+    shingle pass a second time — verify cost is candidate-cardinality, not
+    another corpus scan. ``max_bucket_size`` guards the band join against
+    degenerate hot buckets (see :func:`cap_buckets`) — at corpus scale
+    always set it.
     """
     if impl not in ("arrow", "expr"):
         raise ValueError("impl must be 'arrow' or 'expr'")
+    if hash not in ("xxhash64", "md5"):
+        raise ValueError("hash must be 'xxhash64' or 'md5'")
     if bands < 1 or bands > num_perm or num_perm % bands != 0:
         # bands > num_perm would give EMPTY bands (a constant band hash puts
         # every doc in ONE bucket -> quadratic); a non-divisor silently
@@ -507,21 +512,31 @@ def minhash_lsh_candidates(
     rows = num_perm // bands
     # shingling + signatures are compute-dense per byte — ensure parallelism
     slim = _fan_out(df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_text")))
-    if hash == "xxhash64" and impl == "arrow":
-        # lower() JVM-side: exact case-fold parity with the expr path
-        raw = slim.select(
-            "_id", _shingles_pandas_udf(n)(F.lower(F.col("_text"))).alias("_s")
-        ).filter(F.size("_s") > 0)
-    else:
-        raw = slim.select(
-            "_id", shingles_expr(F.col("_text"), n).alias("_s")
-        ).filter(F.size("_s") > 0)
+
+    def shingle_sets(sl: DataFrame) -> DataFrame:
+        """(_id, _sh) distinct shingle sets for ``sl`` — the one shingling
+        definition shared by the signature pass and the (candidate-pruned)
+        verification pass."""
+        if hash == "xxhash64" and impl == "arrow":
+            # lower() JVM-side: exact case-fold parity with the expr path
+            rw = sl.select(
+                "_id", _shingles_pandas_udf(n)(F.lower(F.col("_text"))).alias("_s")
+            ).filter(F.size("_s") > 0)
+        else:
+            rw = sl.select(
+                "_id", shingles_expr(F.col("_text"), n).alias("_s")
+            ).filter(F.size("_s") > 0)
+        if hash == "xxhash64":
+            # pre-hash shingles ONCE (xxhash64 per shingle); signature perms
+            # and Jaccard verification both run on the hashed array
+            return rw.select(
+                "_id",
+                F.array_distinct(F.transform("_s", lambda s: F.xxhash64(s))).alias("_sh"),
+            )
+        return rw.select("_id", F.col("_s").alias("_sh"))
+
+    base = shingle_sets(slim)
     if hash == "xxhash64":
-        # pre-hash shingles ONCE (xxhash64 per shingle); signature perms and
-        # Jaccard verification both run on the hashed array
-        base = raw.select(
-            "_id", F.array_distinct(F.transform("_s", lambda s: F.xxhash64(s))).alias("_sh")
-        )
         if impl == "arrow":
             sig_expr = _minhash_sig_pandas_udf(num_perm)(F.col("_sh"))
         else:
@@ -529,14 +544,11 @@ def minhash_lsh_candidates(
 
         def band_hash(elems):
             return F.xxhash64(F.concat_ws(",", *elems))
-    elif hash == "md5":
-        base = raw.select("_id", F.col("_s").alias("_sh"))
+    else:
         sig_expr = _md5_minhash_signature(F.col("_sh"), num_perm)
 
         def band_hash(elems):
             return F.md5(F.concat_ws(",", *elems))
-    else:
-        raise ValueError("hash must be 'xxhash64' or 'md5'")
     sig = base.withColumn("_sig", sig_expr).persist()
     banded = sig.select(
         "_id",
@@ -571,7 +583,17 @@ def minhash_lsh_candidates(
         )
     finally:
         sig.unpersist()
-    sh = base  # recomputed map-side only (shingling is a projection, no shuffle)
+    # verification shingles ONLY candidate docs: the checkpointed pair list
+    # is small, so its id set broadcasts; the semi-join sits below the
+    # shingle projection (plain scan + broadcast filter, then the Arrow
+    # kernel runs on the survivors) — never a second full-corpus shingle
+    # pass
+    cand_ids = (
+        pairs.select(F.col("id_a").alias("_id"))
+        .unionByName(pairs.select(F.col("id_b").alias("_id")))
+        .distinct()
+    )
+    sh = shingle_sets(slim.join(F.broadcast(cand_ids), "_id", "left_semi"))
     j = (
         pairs.join(sh.select(F.col("_id").alias("id_a"), F.col("_sh").alias("sh_a")), "id_a")
         .join(sh.select(F.col("_id").alias("id_b"), F.col("_sh").alias("sh_b")), "id_b")

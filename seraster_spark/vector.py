@@ -33,6 +33,7 @@ def tiles_geojson(
     spec: GridSpec,
     properties: list[str] | None = None,
     max_rows: int = 1_000_000,
+    decimals: int = 6,
 ) -> str:
     """Driver-side GeoJSON FeatureCollection export of a (small) tiles result.
 
@@ -62,7 +63,12 @@ def tiles_geojson(
                 "type": "Feature",
                 "geometry": {
                     "type": "Polygon",
-                    "coordinates": [[[float(vx), float(vy)] for vx, vy in ring]],
+                    # rounded like the WKT path and write_geojson_lines, so
+                    # the three export surfaces agree byte-for-byte
+                    "coordinates": [
+                        [[round(float(vx), decimals), round(float(vy), decimals)]
+                         for vx, vy in ring]
+                    ],
                 },
                 "properties": {p: r[p] for p in props},
             }

@@ -62,17 +62,22 @@ def test_coarse_filter_superset(spark, docs):
     assert exact.join(coarse, "doc_id", "left_anti").count() == 0
 
 
-def test_geojson_lines_writer_matches_driver_export(spark, docs, tmp_path):
+import pytest as _pytest
+
+
+@_pytest.mark.parametrize("square", [True, False])
+def test_geojson_lines_writer_matches_driver_export(spark, docs, tmp_path, square):
     """Distributed GeoJSONL sink: same features (geometry + properties) as
     the driver-side FeatureCollection export, one JSON Feature per line,
-    written without any driver collect."""
-    spec = grid_spec_for(docs, 200.0, square=True)
+    written without any driver collect — square (5-point rings) and hex
+    (7-point rings)."""
+    spec = grid_spec_for(docs, 200.0, square=square)
     tiles = (
         rasterize.rasterize_cell_type(docs, 200.0, spec=spec, fun="sum")
         .select("cell_id", "num_cell")
         .distinct()
     )
-    path = str(tmp_path / "gjl")
+    path = str(tmp_path / f"gjl_{square}")
     vector.write_geojson_lines(tiles, spec, path)
     lines = [json.loads(r["value"]) for r in spark.read.text(path).collect()]
     gj = json.loads(vector.tiles_geojson(tiles, spec))

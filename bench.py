@@ -292,7 +292,7 @@ def bench_queries(spark, sf_dir: str, n_docs: int):
     return qs, extra
 
 
-def _throttle_probe(max_wait_s: float = 240.0) -> dict:
+def _throttle_probe(max_wait_s: float = 150.0) -> dict:
     """The shared host throttles CPU in bursts (same job measured 15x apart
     minutes apart). Before opening the measurement window, time a fixed
     single-core numpy kernel against its known clean-host cost; if the box

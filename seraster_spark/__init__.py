@@ -34,6 +34,7 @@ from .vector import (
     spatial_join,
     tiles_geojson,
     write_geojson_lines,
+    zonal_weighted,
     tiles_with_wkt,
 )
 
@@ -74,4 +75,5 @@ __all__ = [
     "tiles_with_wkt",
     "tiles_geojson",
     "write_geojson_lines",
+    "zonal_weighted",
 ]

@@ -781,40 +781,105 @@ SELECT doc_id, 'B' AS poly_id, x, y FROM d WHERE {_sql_pip(_POLY_B)}
 """
 
 
+_RECT_R1 = (400.5, 300.5, 1200.5, 900.5)
+_RECT_R2 = (1800.5, 1000.5, 2900.5, 1900.5)
+
+
+def _rect_ring(r: tuple[float, float, float, float]) -> list[tuple[float, float]]:
+    x0, y0, x1, y1 = r
+    return [(x0, y0), (x1, y0), (x1, y1), (x0, y1)]
+
+
 def q_zonal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Zonal statistics — the aggregate form of the spatial join: per
     polygon, doc count, value sum (integer-valued doubles ⇒ exact), kind
     cardinality, and the per-zone centroid-of-points. One covering-cell
     equi-join + one groupBy; the polygons table never exceeds broadcast
     size. Overlapping zones count shared docs in BOTH (multi-membership,
-    same as q_spatial_join)."""
+    same as q_spatial_join).
+
+    r4: the row also carries AREA-WEIGHTED zonal stats (polygon overlay /
+    areal interpolation, vector.zonal_weighted) for two rectangle zones —
+    covered_area + area-apportioned doc count and value mass over the tile
+    raster. Rect bounds sit on .5 offsets so no integer-coordinate doc
+    lies on an edge (PIP vs open-inequality parity) and every S-H
+    intersection is exact, making the weighted sums bit-reproducible (the
+    op sums exact AREA·value products and divides by tile_area once)."""
     from .bbox import grid_spec_for
-    from .vector import spatial_join
+    from .vector import spatial_join, zonal_weighted
 
     d = docs_with_coords(spark, sf_dir)
     spec = grid_spec_for(d, RES, square=True)
     wc = R.assign_tiles(d, spec)
-    j = spatial_join(wc, {"A": _POLY_A, "B": _POLY_B}, spec)
-    return j.groupBy("poly_id").agg(
+    zones = {
+        "A": _POLY_A,
+        "B": _POLY_B,
+        "R1": _rect_ring(_RECT_R1),
+        "R2": _rect_ring(_RECT_R2),
+    }
+    j = spatial_join(wc, zones, spec)
+    ds = j.groupBy("poly_id").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("val").alias("sum_val"),
         F.countDistinct("kind").alias("n_kinds"),
         F.avg("x").alias("mean_x"),
         F.avg("y").alias("mean_y"),
     )
+    raster = wc.groupBy("cell_id").agg(
+        F.count(F.lit(1)).cast("double").alias("n"), F.sum("val").alias("sv")
+    )
+    wz = zonal_weighted(
+        raster,
+        {"R1": _rect_ring(_RECT_R1), "R2": _rect_ring(_RECT_R2)},
+        spec,
+        ("n", "sv"),
+    ).withColumnRenamed("zone_id", "poly_id")
+    return ds.join(wz, "poly_id", "left")
+
+
+def _sql_rect_weighted(tag: str, r: tuple[float, float, float, float]) -> str:
+    x0, y0, x1, y1 = r
+    ov = (
+        f"GREATEST(0.0, LEAST(tx0 + 100.0, {x1}) - GREATEST(tx0, {x0}))"
+        f" * GREATEST(0.0, LEAST(ty0 + 100.0, {y1}) - GREATEST(ty0, {y0}))"
+    )
+    return f"""
+  SELECT '{tag}' AS poly_id, sum(ov) AS covered_area,
+         sum(ov * n) / 10000.0 AS w_n, sum(ov * sv) / 10000.0 AS w_sv
+  FROM (SELECT {ov} AS ov, n, sv FROM t) q WHERE ov > 0"""
 
 
 SQL_ZONAL_STATS = f"""
-WITH {_SQL_DOCS},
+WITH {_SQL_DOCS}, {_SQL_BBOX}, {_SQL_SQ_CELLS},
 m AS (
   SELECT doc_id, 'A' AS poly_id, x, y, val, kind FROM d WHERE {_sql_pip(_POLY_A)}
   UNION ALL
   SELECT doc_id, 'B' AS poly_id, x, y, val, kind FROM d WHERE {_sql_pip(_POLY_B)}
+  UNION ALL
+  SELECT doc_id, 'R1' AS poly_id, x, y, val, kind FROM d
+  WHERE x > {_RECT_R1[0]} AND x < {_RECT_R1[2]} AND y > {_RECT_R1[1]} AND y < {_RECT_R1[3]}
+  UNION ALL
+  SELECT doc_id, 'R2' AS poly_id, x, y, val, kind FROM d
+  WHERE x > {_RECT_R2[0]} AND x < {_RECT_R2[2]} AND y > {_RECT_R2[1]} AND y < {_RECT_R2[3]}
+),
+ds AS (
+  SELECT poly_id, count(*) AS n_docs, sum(val) AS sum_val,
+         CAST(count(DISTINCT kind) AS BIGINT) AS n_kinds,
+         avg(x) AS mean_x, avg(y) AS mean_y
+  FROM m GROUP BY poly_id
+),
+r2 AS (
+  SELECT row_i, col_i, CAST(count(*) AS DOUBLE) AS n, sum(val) AS sv,
+         any_value(xmin) AS xmin, any_value(ymin) AS ymin
+  FROM c GROUP BY row_i, col_i
+),
+t AS (SELECT n, sv, xmin + col_i * 100.0 AS tx0, ymin + row_i * 100.0 AS ty0 FROM r2),
+wz AS ({_sql_rect_weighted("R1", _RECT_R1)}
+  UNION ALL{_sql_rect_weighted("R2", _RECT_R2)}
 )
-SELECT poly_id, count(*) AS n_docs, sum(val) AS sum_val,
-       CAST(count(DISTINCT kind) AS BIGINT) AS n_kinds,
-       avg(x) AS mean_x, avg(y) AS mean_y
-FROM m GROUP BY poly_id
+SELECT ds.poly_id, ds.n_docs, ds.sum_val, ds.n_kinds, ds.mean_x, ds.mean_y,
+       wz.covered_area, wz.w_n, wz.w_sv
+FROM ds LEFT JOIN wz ON ds.poly_id = wz.poly_id
 """
 
 

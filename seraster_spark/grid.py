@@ -294,6 +294,63 @@ def polygon_vertices(cell_id: np.ndarray, spec: GridSpec) -> np.ndarray:
     return np.stack([vx, vy], axis=2)
 
 
+def ring_area(ring: np.ndarray) -> float:
+    """Shoelace area of a simple ring (open or closed)."""
+    p = np.asarray(ring, dtype=np.float64)
+    if len(p) >= 2 and (p[0] == p[-1]).all():
+        p = p[:-1]
+    if len(p) < 3:
+        return 0.0
+    x, y = p[:, 0], p[:, 1]
+    return 0.5 * abs(float(np.dot(x, np.roll(y, -1)) - np.dot(y, np.roll(x, -1))))
+
+
+def clip_polygon_convex(subject: np.ndarray, clip: np.ndarray) -> np.ndarray:
+    """Sutherland–Hodgman: clip a simple polygon ``subject`` against a
+    CONVEX CCW window ``clip`` (rings may be open or closed). Returns the
+    clipped ring (possibly empty). For rectilinear inputs on
+    representable coordinates every intersection parameter and point is
+    computed exactly (see zonal_weighted's oracle notes)."""
+    out = np.asarray(subject, dtype=np.float64)
+    if len(out) >= 2 and (out[0] == out[-1]).all():
+        out = out[:-1]
+    cl = np.asarray(clip, dtype=np.float64)
+    if len(cl) >= 2 and (cl[0] == cl[-1]).all():
+        cl = cl[:-1]
+    for i in range(len(cl)):
+        if len(out) == 0:
+            break
+        a, b = cl[i], cl[(i + 1) % len(cl)]
+        # signed area: >= 0 means on/left of a->b = inside the CCW window
+        d = (b[0] - a[0]) * (out[:, 1] - a[1]) - (b[1] - a[1]) * (out[:, 0] - a[0])
+        res: list[np.ndarray] = []
+        n = len(out)
+        for j in range(n):
+            k = (j + 1) % n
+            dc, dn = d[j], d[k]
+            cur, nxt = out[j], out[k]
+            if dc >= 0.0:
+                res.append(cur)
+                if dn < 0.0:
+                    t = dc / (dc - dn)
+                    res.append(cur + t * (nxt - cur))
+            elif dn >= 0.0:
+                t = dc / (dc - dn)
+                res.append(cur + t * (nxt - cur))
+        out = np.asarray(res, dtype=np.float64) if res else np.zeros((0, 2))
+    return out
+
+
+def tile_clip_areas(cell_id: np.ndarray, ring: np.ndarray, spec: GridSpec) -> np.ndarray:
+    """area(tile ∩ ring) per tile: the zone ring clipped against each
+    (convex) tile polygon — square and hex grids alike — then shoelace."""
+    verts = polygon_vertices(np.asarray(cell_id, dtype=np.int64), spec)
+    out = np.empty(len(verts), dtype=np.float64)
+    for i in range(len(verts)):
+        out[i] = ring_area(clip_polygon_convex(ring, verts[i]))
+    return out
+
+
 def polygon_wkt(cell_id: np.ndarray, spec: GridSpec, decimals: int = 6) -> list[str]:
     """WKT POLYGON string per tile (closed ring, fixed decimal formatting so
     output is byte-deterministic)."""

@@ -116,3 +116,85 @@ def test_geojson_lines_null_properties_serialized(spark, docs):
     vector.write_geojson_lines(tiles, spec, out)
     feats = [json.loads(r["value"]) for r in spark.read.text(out).collect()]
     assert all("tag" in f["properties"] and f["properties"]["tag"] is None for f in feats)
+
+
+# --- area-weighted zonal statistics (polygon overlay) ----------------------
+
+
+def test_clip_areas_rect_closed_form(spark, docs):
+    """S-H clip of an axis-aligned rect against square tiles equals the
+    min/max closed form bit-for-bit (the property the oracle relies on)."""
+    from seraster_spark.grid import tile_clip_areas
+
+    spec = grid_spec_for(docs, 100.0, square=True)
+    wc = rasterize.assign_tiles(docs, spec)
+    cells = np.array([r["cell_id"] for r in wc.select("cell_id").distinct().collect()])
+    rx0, ry0, rx1, ry1 = 400.5, 300.5, 1200.5, 900.5
+    ring = np.array([(rx0, ry0), (rx1, ry0), (rx1, ry1), (rx0, ry1), (rx0, ry0)])
+    got = tile_clip_areas(cells, ring, spec)
+    from seraster_spark.grid import polygon_vertices
+
+    verts = polygon_vertices(cells, spec)
+    tx0, ty0 = verts[:, 0, 0], verts[:, 0, 1]
+    tx1, ty1 = tx0 + 100.0, ty0 + 100.0
+    exp = np.maximum(0.0, np.minimum(tx1, rx1) - np.maximum(tx0, rx0)) * np.maximum(
+        0.0, np.minimum(ty1, ry1) - np.maximum(ty0, ry0)
+    )
+    assert (got == exp).all()  # bitwise, not approx
+
+
+def test_clip_areas_mass_conservation_triangle(spark, docs):
+    """Clipped areas over all covering tiles sum to the polygon's own
+    shoelace area (no double counting, no gaps) — square and hex grids."""
+    from seraster_spark.grid import covering_cells, ring_area, tile_clip_areas
+
+    tri = np.array([(333.3, 250.1), (1777.7, 421.9), (901.5, 1666.4), (333.3, 250.1)])
+    for square in (True, False):
+        spec = grid_spec_for(docs, 100.0, square=square)
+        cells = covering_cells(tri, spec)
+        areas = tile_clip_areas(np.asarray(cells, dtype=np.int64), tri, spec)
+        assert abs(areas.sum() - ring_area(tri)) < 1e-6, square
+
+
+def test_zonal_weighted_operator(spark, docs):
+    """Operator end-to-end: covered_area matches the rect area; a zone
+    covering the whole raster weights every tile fully (w_n = total)."""
+    spec = grid_spec_for(docs, 100.0, square=True)
+    raster = (
+        rasterize.assign_tiles(docs, spec)
+        .groupBy("cell_id")
+        .agg(F.count(F.lit(1)).cast("double").alias("n"))
+    )
+    rect = [(400.5, 300.5), (1200.5, 300.5), (1200.5, 900.5), (400.5, 900.5)]
+    big = [(-10000.0, -10000.0), (10000.0, -10000.0), (10000.0, 10000.0), (-10000.0, 10000.0)]
+    out = {
+        r["zone_id"]: r
+        for r in vector.zonal_weighted(raster, {"R": rect, "ALL": big}, spec, ("n",)).collect()
+    }
+    # the rect lies inside the raster's occupied bbox-extent: its covered
+    # area can't exceed the rect's own area, and equals it when every
+    # covering tile is occupied (not guaranteed) — assert the bound + a
+    # positive weighted mass
+    assert 0 < out["R"]["covered_area"] <= 800.0 * 600.0 + 1e-6
+    assert 0 < out["R"]["w_n"] <= out["ALL"]["w_n"]
+    # the huge zone fully covers every occupied tile: w_n == total docs
+    total = raster.agg(F.sum("n")).collect()[0][0]
+    assert abs(out["ALL"]["w_n"] - total) < 1e-9
+    n_tiles = raster.count()
+    assert abs(out["ALL"]["covered_area"] - n_tiles * 100.0 * 100.0) < 1e-6
+
+
+def test_zonal_weighted_empty_and_outside(spark, docs):
+    spec = grid_spec_for(docs, 100.0, square=True)
+    raster = (
+        rasterize.assign_tiles(docs, spec)
+        .groupBy("cell_id")
+        .agg(F.count(F.lit(1)).cast("double").alias("n"))
+    )
+    assert vector.zonal_weighted(raster, {}, spec, ("n",)).count() == 0
+    far = [(90000.0, 90000.0), (90100.0, 90000.0), (90100.0, 90100.0), (90000.0, 90100.0)]
+    try:
+        got = vector.zonal_weighted(raster, {"F": far}, spec, ("n",)).count()
+        assert got == 0
+    except Exception:
+        pass  # out-of-grid covering cells may legitimately refuse to pack

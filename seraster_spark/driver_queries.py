@@ -2121,18 +2121,27 @@ def q_gi_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Getis-Ord Gi* hot-spot z-score per tile of the count raster (queen
     window incl. self). Integer-scaled numerator A = n·Σ_w x − S·m and
     variance core D = (n·S2 − S²)·m·(n−m) are exact BIGINTs; the z-score
-    is two divisions + one sqrt in the same order both engines."""
-    from .focal import getis_ord_gi_star
+    is two divisions + one sqrt in the same order both engines.
+
+    r4: the per-tile row also carries ``grid_dist`` — multi-source BFS hop
+    distance (focal.grid_distance, rook adjacency through occupied tiles)
+    from a deterministic source set; integer hop counts are exact, and the
+    DuckDB twin replays the BFS as a bounded recursive CTE. Tiles whose
+    region holds no source read NULL (unreachable) in both engines."""
+    from .focal import getis_ord_gi_star, grid_distance
 
     t, _ = _sq_tiles(spark, sf_dir)
     raster = t.groupBy("row_i", "col_i").agg(
         F.count(F.lit(1)).cast("long").alias("n_docs")
     )
-    return getis_ord_gi_star(raster, "n_docs")
+    gi = getis_ord_gi_star(raster, "n_docs")
+    sources = raster.filter((F.col("row_i") * 31 + F.col("col_i") * 17) % 11 == 0)
+    gd = grid_distance(raster, sources)
+    return gi.join(gd, ["row_i", "col_i"], "left")
 
 
 SQL_GI_STAR = f"""
-WITH {_SQL_DOCS}, {_SQL_BBOX}, {_SQL_SQ_CELLS},
+WITH RECURSIVE {_SQL_DOCS}, {_SQL_BBOX}, {_SQL_SQ_CELLS},
 r AS (SELECT row_i, col_i, CAST(count(*) AS BIGINT) AS n_docs FROM c GROUP BY 1, 2),
 st AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(n_docs) AS BIGINT) AS s,
               CAST(sum(n_docs * n_docs) AS BIGINT) AS s2 FROM r),
@@ -2144,15 +2153,28 @@ w AS (
     ON b.row_i BETWEEN a.row_i - 1 AND a.row_i + 1
    AND b.col_i BETWEEN a.col_i - 1 AND a.col_i + 1
   GROUP BY a.row_i, a.col_i, a.n_docs
-)
+),
+src AS (SELECT row_i, col_i FROM r WHERE (row_i * 31 + col_i * 17) % 11 = 0),
+reach(row_i, col_i, d) AS (
+  SELECT row_i, col_i, 0 FROM src
+  UNION
+  SELECT nb.row_i, nb.col_i, reach.d + 1
+  FROM reach JOIN r nb
+    ON abs(nb.row_i - reach.row_i) + abs(nb.col_i - reach.col_i) = 1
+  WHERE reach.d < 512
+),
+gd AS (SELECT row_i, col_i, CAST(min(d) AS BIGINT) AS grid_dist
+       FROM reach GROUP BY 1, 2)
 SELECT w.row_i, w.col_i, w.n_docs, w.window_n,
        st.n * w.wsum - st.s * w.window_n AS a_scaled,
        (st.n * st.s2 - st.s * st.s) * w.window_n * (st.n - w.window_n) AS d_scaled,
        CAST(st.n * w.wsum - st.s * w.window_n AS DOUBLE)
          / sqrt(CAST((st.n * st.s2 - st.s * st.s) * w.window_n * (st.n - w.window_n)
                      AS DOUBLE)
-                / CAST(st.n - 1 AS DOUBLE)) AS gi_star
-FROM w, st
+                / CAST(st.n - 1 AS DOUBLE)) AS gi_star,
+       gd.grid_dist
+FROM w CROSS JOIN st
+LEFT JOIN gd ON gd.row_i = w.row_i AND gd.col_i = w.col_i
 """
 
 

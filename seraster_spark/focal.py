@@ -367,3 +367,68 @@ def morans_i(
             / (F.col("w_sum") * F.col("den_scaled")).cast("double")
         ).alias("moran_i"),
     )
+
+
+def grid_distance(
+    tiles: DataFrame,
+    sources: DataFrame,
+    queen: bool = False,
+    offsets: list[tuple[int, int]] | None = None,
+    max_rounds: int = 4096,
+    row_col: str = "row_i",
+    col_col: str = "col_i",
+) -> DataFrame:
+    """Multi-source BFS hop distance over the OCCUPIED tiles — the
+    ``terra::gridDist`` (cost-distance with unit costs) analog: per tile,
+    the minimum number of rook- (default) or queen-adjacency steps through
+    existing tiles to reach any source tile. Absent tiles are barriers;
+    tiles in regions containing no source are simply absent from the
+    output (callers LEFT JOIN and read NULL as unreachable).
+
+    Distributed shape (Pregel-style frontier expansion): each round
+    explodes the CURRENT FRONTIER by the constant offset set, equi-joins
+    against the occupied-tile set, and anti-joins against everything
+    already labeled — three tile-cardinality (or smaller) slim shuffles
+    per round, no doc-level work, rounds = the true distance diameter.
+    The frontier is eagerly checkpointed each round (it is small by
+    definition) so lineage stays flat however many rounds run; hop counts
+    are integers, so results are exact and partitioning-independent.
+    Hex rasters: pass ``offsets=hex_offsets()`` over axial (r, q).
+    """
+    offs = offsets if offsets is not None else neighbor_offsets(1, queen=queen)
+    keys = [row_col, col_col]
+    occ = tiles.select(*keys).distinct()
+    dist = (
+        sources.select(*keys)
+        .distinct()
+        .join(occ, keys, "inner")  # sources must be occupied tiles
+        .withColumn("grid_dist", F.lit(0).cast("long"))
+        .localCheckpoint(eager=True)
+    )
+    frontier = dist
+    off_arr = F.array(
+        *[
+            F.struct(F.lit(dr).alias("dr"), F.lit(dc).alias("dc"))
+            for dr, dc in offs
+        ]
+    )
+    for r in range(1, max_rounds + 1):
+        neigh = (
+            frontier.withColumn("_o", F.explode(off_arr))
+            .select(
+                (F.col(row_col) + F.col("_o.dr")).alias(row_col),
+                (F.col(col_col) + F.col("_o.dc")).alias(col_col),
+            )
+            .distinct()
+            .join(occ, keys, "inner")
+        )
+        new = (
+            neigh.join(dist.select(*keys), keys, "left_anti")
+            .withColumn("grid_dist", F.lit(r).cast("long"))
+            .localCheckpoint(eager=True)
+        )
+        if new.isEmpty():
+            break
+        dist = dist.unionByName(new).localCheckpoint(eager=True)
+        frontier = new
+    return dist

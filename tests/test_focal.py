@@ -268,3 +268,65 @@ def test_gi_star_overflow_is_loud_never_silent(spark):
         Exception, match="int64|variance core|ARITHMETIC_OVERFLOW|overflow"
     ):
         getis_ord_gi_star(_raster(spark, cells), "n").collect()
+
+
+# --- multi-source BFS grid distance ----------------------------------------
+
+
+def _naive_bfs(tiles, sources, offs):
+    from collections import deque
+
+    occ = set(tiles)
+    dist = {s: 0 for s in sources if s in occ}
+    q = deque(dist)
+    while q:
+        r, c = q.popleft()
+        for dr, dc in offs:
+            n = (r + dr, c + dc)
+            if n in occ and n not in dist:
+                dist[n] = dist[(r, c)] + 1
+                q.append(n)
+    return dist
+
+
+@pytest.mark.parametrize("queen", [False, True])
+def test_grid_distance_matches_naive(spark, queen):
+    """Random occupied raster with gaps + an isolated island without a
+    source (must stay absent), rook and queen adjacency."""
+    from seraster_spark.focal import grid_distance, neighbor_offsets
+
+    rng = np.random.default_rng(5)
+    tiles = {(int(r), int(c)) for r, c in rng.integers(0, 14, (120, 2))}
+    tiles |= {(30, 30), (30, 31), (31, 30)}  # far island, no source
+    sources = [t for t in sorted(tiles) if (t[0] + t[1]) % 7 == 0 and t[0] < 20][:5]
+    tdf = spark.createDataFrame(sorted(tiles), "row_i long, col_i long").repartition(5)
+    sdf = spark.createDataFrame(sources, "row_i long, col_i long")
+    got = {
+        (r["row_i"], r["col_i"]): r["grid_dist"]
+        for r in grid_distance(tdf, sdf, queen=queen).collect()
+    }
+    want = _naive_bfs(tiles, sources, neighbor_offsets(1, queen=queen))
+    assert got == want
+    assert (30, 30) not in got  # unreachable island absent
+
+
+def test_grid_distance_hex_offsets(spark):
+    """Hex adjacency: a straight axial line is reachable step by step."""
+    from seraster_spark.focal import grid_distance, hex_offsets
+
+    line = [(0, q) for q in range(6)]
+    tdf = spark.createDataFrame(line, "row_i long, col_i long")
+    sdf = spark.createDataFrame([(0, 0)], "row_i long, col_i long")
+    got = {
+        (r["row_i"], r["col_i"]): r["grid_dist"]
+        for r in grid_distance(tdf, sdf, offsets=hex_offsets()).collect()
+    }
+    assert got == {(0, q): q for q in range(6)}
+
+
+def test_grid_distance_sources_must_be_occupied(spark):
+    from seraster_spark.focal import grid_distance
+
+    tdf = spark.createDataFrame([(0, 0), (0, 1)], "row_i long, col_i long")
+    sdf = spark.createDataFrame([(9, 9)], "row_i long, col_i long")  # not a tile
+    assert grid_distance(tdf, sdf).count() == 0

@@ -15,7 +15,7 @@ from .focal import (
 from .grid import GridSpec
 from .joins import asof_join, asof_join_bucketed, interval_join
 from .knn import knn_join
-from .sketch import hash_sample, kmv_distinct, md5_uniform
+from .sketch import hash_sample, heavy_hitters, kmv_distinct, md5_uniform
 from .permutate import angle_schedule, midrange_origin, permutate_by_rotation
 from .rasterize import (
     RasterizedMatrix,
@@ -66,6 +66,7 @@ __all__ = [
     "getis_ord_gi_star",
     "label_regions",
     "morans_i",
+    "heavy_hitters",
     "kmv_distinct",
     "md5_uniform",
     "hash_sample",

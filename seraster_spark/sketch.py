@@ -131,3 +131,84 @@ def kmv_distinct(
         )
         .alias(alias),
     )
+
+
+def heavy_hitters(
+    df: DataFrame,
+    key: Column,
+    k: int = 20,
+    capacity: int = 1024,
+) -> DataFrame:
+    """Misra-Gries heavy-hitters sketch: approximate top-k keys by count
+    over an UNBOUNDED key space in O(capacity) state per partition — the
+    regime where the exact groupBy (vocabulary-style, map-side combine)
+    stops being viable because the distinct-key set itself no longer fits
+    an aggregate hash table.
+
+    Per partition (one Arrow pass): batch value_counts merge into a
+    counter dict; on overflow the (size − capacity)-th smallest count m̂
+    is subtracted from EVERY counter (classic MG uniform decrement,
+    vectorized with np.partition), zeros dropped, and m̂ accumulates into
+    the partition's decrement total d_p. Only ≤ capacity counters + one
+    scalar leave each partition. Merge = groupBy key + sum (est) and
+    D = Σ d_p.
+
+    Guarantees (the MG invariant, partitioning-independent):
+      * est ≤ true ≤ est + D for every reported key;
+      * every key with true count > D is present in the merged summary —
+        so with capacity ≫ N/true(k-th), the top-k is exact membership.
+    Counts (not the guarantee) depend on arrival order, so this op is
+    pytest-verified by its invariants rather than a bit-exact SQL twin
+    (same class as the streaming-proper ops).
+
+    Output: (key, est_count, err_bound) — top-k by (est_count DESC, key)
+    with the global error bound attached to every row.
+    """
+    from pyspark.sql import types as T
+
+    slim = df.select(key.cast("string").alias("_k"))
+
+    out_schema = T.StructType(
+        [
+            T.StructField("_k", T.StringType()),
+            T.StructField("est", T.LongType()),
+            T.StructField("dec", T.LongType()),
+        ]
+    )
+
+    def mg(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        counters: dict[str, int] = {}
+        dec_total = 0
+        for pdf in batches:
+            vc = pdf["_k"].value_counts()
+            for kk, cc in zip(vc.index.to_numpy(), vc.to_numpy()):
+                counters[kk] = counters.get(kk, 0) + int(cc)
+            if len(counters) > capacity:
+                counts = np.fromiter(counters.values(), dtype=np.int64)
+                # (size - capacity)-th smallest count: subtracting it from
+                # every counter leaves <= capacity positive counters
+                m_hat = int(np.partition(counts, len(counts) - capacity - 1)[
+                    len(counts) - capacity - 1
+                ])
+                dec_total += m_hat
+                counters = {
+                    kk: cc - m_hat for kk, cc in counters.items() if cc > m_hat
+                }
+        rows = [(kk, int(cc), 0) for kk, cc in counters.items()]
+        rows.append((None, 0, dec_total))
+        yield pd.DataFrame(rows, columns=["_k", "est", "dec"])
+
+    partials = slim.mapInPandas(mg, out_schema)
+    merged = partials.filter(F.col("_k").isNotNull()).groupBy("_k").agg(
+        F.sum("est").alias("est_count")
+    )
+    d_total = partials.agg(F.sum("dec").alias("err_bound"))
+    # global top-k via orderBy+limit: Spark plans TakeOrderedAndProject
+    # (per-partition top-k, k·partitions rows to the final merge) — never
+    # an empty-partitionBy window over the whole summary
+    ranked = (
+        merged.crossJoin(F.broadcast(d_total))
+        .orderBy(F.col("est_count").desc(), F.col("_k").asc())
+        .limit(k)
+    )
+    return ranked.select(F.col("_k").alias("key"), "est_count", "err_bound")

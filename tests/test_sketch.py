@@ -108,3 +108,91 @@ def test_hash_sample_null_keys_not_silently_dropped(spark):
     df = spark.createDataFrame([(1,), (None,), (3,)], "id long")
     kept = hash_sample(df, F.col("id"), rate=1.0, salt="s").count()
     assert kept == 3  # rate 1.0 keeps everything, NULL keys included
+
+
+# --- Misra-Gries heavy hitters ---------------------------------------------
+
+
+def _hh_fixture(spark, n_parts=8):
+    """Zipf-ish corpus: token t_i appears ~N/i times; plus a hapax tail."""
+    from pyspark.sql import functions as F
+
+    base = spark.range(0, 30_000).select(
+        F.concat(
+            F.lit("t"),
+            F.floor(
+                F.pow(F.lit(2.0), F.floor(F.log2(F.col("id") % 8192 + 1)))
+            ).cast("long").cast("string"),
+        ).alias("tok")
+    )
+    tail = spark.range(0, 5_000).select(
+        F.concat(F.lit("rare"), F.col("id").cast("string")).alias("tok")
+    )
+    return base.unionByName(tail).repartition(n_parts)
+
+
+def test_heavy_hitters_invariants(spark):
+    """est <= true <= est + err_bound for every reported key, and every key
+    with true count > err_bound is present in a big-enough summary."""
+    from pyspark.sql import functions as F
+
+    from seraster_spark.sketch import heavy_hitters
+
+    df = _hh_fixture(spark)
+    exact = {
+        r["tok"]: r["n"]
+        for r in df.groupBy("tok").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    got = heavy_hitters(df, F.col("tok"), k=15, capacity=64).collect()
+    assert 0 < len(got) <= 15
+    d = got[0]["err_bound"]
+    for r in got:
+        true = exact[r["key"]]
+        assert r["est_count"] <= true <= r["est_count"] + d, (r, true)
+    # membership guarantee, checked through a full summary (top-k may
+    # legitimately crowd out a > D key with other > D keys)
+    full = {
+        r["key"]
+        for r in heavy_hitters(df, F.col("tok"), k=10**9, capacity=64).collect()
+    }
+    for tok, true in exact.items():
+        if true > d:
+            assert tok in full, (tok, true, d)
+
+
+def test_heavy_hitters_exact_when_capacity_suffices(spark):
+    """capacity >= per-partition distinct keys => no decrements: est ==
+    exact counts and err_bound == 0 (the deterministic regime)."""
+    from pyspark.sql import functions as F
+
+    from seraster_spark.sketch import heavy_hitters
+
+    df = spark.range(0, 10_000).select(
+        F.concat(F.lit("k"), (F.col("id") % 37).cast("string")).alias("tok")
+    ).repartition(4)
+    got = {r["key"]: (r["est_count"], r["err_bound"]) for r in
+           heavy_hitters(df, F.col("tok"), k=50, capacity=1000).collect()}
+    exact = {
+        "k" + str(i): sum(1 for x in range(10_000) if x % 37 == i) for i in range(37)
+    }
+    assert all(e == 0 for _, e in got.values())
+    assert {k: c for k, (c, _) in got.items()} == exact
+
+
+def test_heavy_hitters_partition_invariant_guarantee(spark):
+    """The invariants hold under different partitionings (counts may vary,
+    the bounds may not)."""
+    from pyspark.sql import functions as F
+
+    from seraster_spark.sketch import heavy_hitters
+
+    for n_parts in (2, 16):
+        df = _hh_fixture(spark, n_parts)
+        exact = {
+            r["tok"]: r["n"]
+            for r in df.groupBy("tok").agg(F.count(F.lit(1)).alias("n")).collect()
+        }
+        got = heavy_hitters(df, F.col("tok"), k=10, capacity=128).collect()
+        d = got[0]["err_bound"]
+        for r in got:
+            assert r["est_count"] <= exact[r["key"]] <= r["est_count"] + d

@@ -2136,7 +2136,10 @@ def q_gi_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     gi = getis_ord_gi_star(raster, "n_docs")
     sources = raster.filter((F.col("row_i") * 31 + F.col("col_i") * 17) % 11 == 0)
-    gd = grid_distance(raster, sources)
+    # max_rounds MATCHES the oracle CTE's recursion bound (d < 128): the
+    # engine raises loudly if the diameter ever exceeds it, so the two
+    # sides can never silently diverge on truncated-vs-unreachable
+    gd = grid_distance(raster, sources, max_rounds=128)
     return gi.join(gd, ["row_i", "col_i"], "left")
 
 
@@ -2161,7 +2164,7 @@ reach(row_i, col_i, d) AS (
   SELECT nb.row_i, nb.col_i, reach.d + 1
   FROM reach JOIN r nb
     ON abs(nb.row_i - reach.row_i) + abs(nb.col_i - reach.col_i) = 1
-  WHERE reach.d < 512
+  WHERE reach.d < 128
 ),
 gd AS (SELECT row_i, col_i, CAST(min(d) AS BIGINT) AS grid_dist
        FROM reach GROUP BY 1, 2)

@@ -397,7 +397,11 @@ def grid_distance(
     """
     offs = offsets if offsets is not None else neighbor_offsets(1, queen=queen)
     keys = [row_col, col_col]
-    occ = tiles.select(*keys).distinct()
+    # materialize the occupied set ONCE: it is joined in every round, and
+    # without the checkpoint each round's job would re-execute the raster's
+    # full upstream lineage (at corpus scale: one doc-table aggregation per
+    # BFS hop instead of one total)
+    occ = tiles.select(*keys).distinct().localCheckpoint(eager=True)
     dist = (
         sources.select(*keys)
         .distinct()
@@ -412,6 +416,7 @@ def grid_distance(
             for dr, dc in offs
         ]
     )
+    exhausted = True
     for r in range(1, max_rounds + 1):
         neigh = (
             frontier.withColumn("_o", F.explode(off_arr))
@@ -428,7 +433,17 @@ def grid_distance(
             .localCheckpoint(eager=True)
         )
         if new.isEmpty():
+            exhausted = False
             break
-        dist = dist.unionByName(new).localCheckpoint(eager=True)
+        # both sides are already checkpointed — a lazy union keeps lineage
+        # flat without re-materializing all labeled tiles every round
+        dist = dist.unionByName(new)
         frontier = new
+    if exhausted:
+        # truncated distances would be indistinguishable from the
+        # documented unreachable-NULL semantics — fail loudly instead
+        raise ValueError(
+            f"grid_distance: frontier still non-empty after max_rounds="
+            f"{max_rounds}; raise max_rounds (hop diameter exceeds it)"
+        )
     return dist

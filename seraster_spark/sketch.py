@@ -166,7 +166,14 @@ def heavy_hitters(
     """
     from pyspark.sql import types as T
 
-    slim = df.select(key.cast("string").alias("_k"))
+    # NULL keys COUNT (a mostly-absent optional field may be the heaviest
+    # "key"): they ride as a reserved sentinel token through the sketch —
+    # the NULL slot itself is the per-partition decrement channel — and map
+    # back to NULL on output. Mirrors hash_sample's NULL-sentinel rule.
+    null_tok = "\x00__null_key__"
+    slim = df.select(
+        F.coalesce(key.cast("string"), F.lit(null_tok)).alias("_k")
+    )
 
     out_schema = T.StructType(
         [
@@ -198,7 +205,12 @@ def heavy_hitters(
         rows.append((None, 0, dec_total))
         yield pd.DataFrame(rows, columns=["_k", "est", "dec"])
 
-    partials = slim.mapInPandas(mg, out_schema)
+    # EAGER materialization: `partials` feeds two independent subtrees
+    # (merged counts + the decrement total); without it the arrival-order-
+    # dependent MG pass would execute twice with potentially DIFFERENT
+    # decrements, breaking the est <= true <= est + D invariant that is
+    # the op's whole contract (and doubling the scan)
+    partials = slim.mapInPandas(mg, out_schema).localCheckpoint(eager=True)
     merged = partials.filter(F.col("_k").isNotNull()).groupBy("_k").agg(
         F.sum("est").alias("est_count")
     )
@@ -211,4 +223,8 @@ def heavy_hitters(
         .orderBy(F.col("est_count").desc(), F.col("_k").asc())
         .limit(k)
     )
-    return ranked.select(F.col("_k").alias("key"), "est_count", "err_bound")
+    return ranked.select(
+        F.when(F.col("_k") == null_tok, F.lit(None)).otherwise(F.col("_k")).alias("key"),
+        "est_count",
+        "err_bound",
+    )

@@ -196,3 +196,19 @@ def test_heavy_hitters_partition_invariant_guarantee(spark):
         d = got[0]["err_bound"]
         for r in got:
             assert r["est_count"] <= exact[r["key"]] <= r["est_count"] + d
+
+
+def test_heavy_hitters_null_keys_counted(spark):
+    """NULL is a legitimate (often heaviest) key — it must be sketched and
+    reported as a NULL key, not silently dropped (hash_sample convention)."""
+    from pyspark.sql import functions as F
+
+    from seraster_spark.sketch import heavy_hitters
+
+    df = spark.range(0, 1000).select(
+        F.when(F.col("id") % 2 == 0, None)
+        .otherwise(F.concat(F.lit("k"), (F.col("id") % 7).cast("string")))
+        .alias("tok")
+    ).repartition(4)
+    got = heavy_hitters(df, F.col("tok"), k=3, capacity=100).collect()
+    assert got[0]["key"] is None and got[0]["est_count"] == 500

@@ -193,8 +193,4 @@ def test_zonal_weighted_empty_and_outside(spark, docs):
     )
     assert vector.zonal_weighted(raster, {}, spec, ("n",)).count() == 0
     far = [(90000.0, 90000.0), (90100.0, 90000.0), (90100.0, 90100.0), (90000.0, 90100.0)]
-    try:
-        got = vector.zonal_weighted(raster, {"F": far}, spec, ("n",)).count()
-        assert got == 0
-    except Exception:
-        pass  # out-of-grid covering cells may legitimately refuse to pack
+    assert vector.zonal_weighted(raster, {"F": far}, spec, ("n",)).count() == 0

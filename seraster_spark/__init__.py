@@ -9,6 +9,7 @@ from .focal import (
     binomial_kernel,
     focal_stats,
     getis_ord_gi_star,
+    grid_distance,
     label_regions,
     morans_i,
 )
@@ -64,6 +65,7 @@ __all__ = [
     "binomial_kernel",
     "focal_stats",
     "getis_ord_gi_star",
+    "grid_distance",
     "label_regions",
     "morans_i",
     "heavy_hitters",

@@ -16,7 +16,13 @@ from .focal import (
 from .grid import GridSpec
 from .joins import asof_join, asof_join_bucketed, interval_join
 from .knn import knn_join
-from .sketch import hash_sample, heavy_hitters, kmv_distinct, md5_uniform
+from .sketch import (
+    hash_sample,
+    heavy_hitters,
+    histogram_quantiles,
+    kmv_distinct,
+    md5_uniform,
+)
 from .permutate import angle_schedule, midrange_origin, permutate_by_rotation
 from .rasterize import (
     RasterizedMatrix,
@@ -69,6 +75,7 @@ __all__ = [
     "label_regions",
     "morans_i",
     "heavy_hitters",
+    "histogram_quantiles",
     "kmv_distinct",
     "md5_uniform",
     "hash_sample",

@@ -1066,31 +1066,82 @@ FROM s GROUP BY event_type, sid
 """
 
 
+_HQ_EDGES = [0.0, 50.0, 100.0, 200.0, 400.0, 800.0, 1600.0, 3200.0, 6400.0, 12800.0]
+
+
 def q_token_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT percentile aggregates per source (statistical-aggregate
     category): median and p90 of document length. Exact percentiles are
     sort-based with linear interpolation at rank p·(n−1) — identical
     definition in Spark `percentile` and DuckDB `quantile_cont`, and exact
     on integer-valued doubles (no order-dependent float summation, unlike
-    stddev/corr which are NOT bit-reproducible across partitionings)."""
+    stddev/corr which are NOT bit-reproducible across partitionings).
+
+    r4: the row also carries hq50/hq90 from the MERGEABLE histogram-
+    quantile sketch (sketch.histogram_quantiles — O(bins) state, one
+    map-side-combinable agg; the 100 TB path where a full sort is off the
+    table). Fixed boundaries + integer counts + fixed-order interpolation
+    make the approximate estimates bit-deterministic, so the sketch itself
+    oracle-checks (the KMV-over-HLL argument again)."""
+    from .sketch import histogram_quantiles
+
     d = read_table(spark, sf_dir, "documents")
     nc = F.col("n_chars").cast("double")
-    return d.groupBy("source").agg(
+    exact = d.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.percentile(nc, F.lit(0.5)).alias("p50_chars"),
         F.percentile(nc, F.lit(0.9)).alias("p90_chars"),
         F.min(nc).alias("min_chars"),
         F.max(nc).alias("max_chars"),
     )
+    hq = histogram_quantiles(
+        d, F.col("n_chars"), [0.5, 0.9], _HQ_EDGES, group_cols=["source"]
+    ).select(
+        "source",
+        F.col("q_50").alias("hq50_chars"),
+        F.col("q_90").alias("hq90_chars"),
+    )
+    return exact.join(hq, "source")
 
 
-SQL_TOKEN_QUANTILES = """
-SELECT source, count(*) AS n_docs,
-       quantile_cont(CAST(n_chars AS DOUBLE), 0.5) AS p50_chars,
-       quantile_cont(CAST(n_chars AS DOUBLE), 0.9) AS p90_chars,
-       min(CAST(n_chars AS DOUBLE)) AS min_chars,
-       max(CAST(n_chars AS DOUBLE)) AS max_chars
-FROM documents GROUP BY source
+def _sql_hq() -> str:
+    interior = _HQ_EDGES[1:-1]
+    bin_expr = " + ".join(
+        f"CASE WHEN CAST(n_chars AS DOUBLE) >= {e} THEN 1 ELSE 0 END"
+        for e in interior
+    )
+    lows = ", ".join(str(b) for b in _HQ_EDGES[:-1])
+    highs = ", ".join(str(b) for b in _HQ_EDGES[1:])
+
+    def est(p: float) -> str:
+        t = f"{p} * _tot"
+        return (
+            f"max(CASE WHEN _cum >= {t} AND _cum - _n < {t} THEN "
+            f"[{lows}][_b + 1] + ([{highs}][_b + 1] - [{lows}][_b + 1])"
+            f" * ({t} - (_cum - _n)) / _n END)"
+        )
+
+    return f"""
+hb AS (SELECT source, ({bin_expr}) AS _b FROM documents),
+hc AS (SELECT source, _b, count(*) AS _n FROM hb GROUP BY 1, 2),
+hcc AS (SELECT *, sum(_n) OVER (PARTITION BY source ORDER BY _b) AS _cum,
+               sum(_n) OVER (PARTITION BY source) AS _tot FROM hc),
+hq AS (SELECT source, {est(0.5)} AS hq50_chars, {est(0.9)} AS hq90_chars
+       FROM hcc GROUP BY source)"""
+
+
+SQL_TOKEN_QUANTILES = f"""
+WITH {_sql_hq()}
+SELECT q.source, q.n_docs, q.p50_chars, q.p90_chars, q.min_chars, q.max_chars,
+       hq.hq50_chars, hq.hq90_chars
+FROM (
+  SELECT source, count(*) AS n_docs,
+         quantile_cont(CAST(n_chars AS DOUBLE), 0.5) AS p50_chars,
+         quantile_cont(CAST(n_chars AS DOUBLE), 0.9) AS p90_chars,
+         min(CAST(n_chars AS DOUBLE)) AS min_chars,
+         max(CAST(n_chars AS DOUBLE)) AS max_chars
+  FROM documents GROUP BY source
+) q JOIN hq ON q.source = hq.source
 """
 
 

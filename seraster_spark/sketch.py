@@ -228,3 +228,59 @@ def heavy_hitters(
         "est_count",
         "err_bound",
     )
+
+
+def histogram_quantiles(
+    df: DataFrame,
+    value: Column,
+    probs: list[float],
+    boundaries: list[float],
+    group_cols: list[str] | tuple[str, ...] = (),
+) -> DataFrame:
+    """Deterministic mergeable histogram-quantile sketch: O(bins) state per
+    group through ONE map-side-combinable aggregate — the 100 TB
+    alternative to exact percentiles, whose sort-based evaluation must see
+    every value. Unlike t-digest/GK (whose state depends on arrival order),
+    fixed bin boundaries + integer counts + a fixed-order interpolation
+    make the APPROXIMATE estimates themselves bit-deterministic, so they
+    oracle-check like the rest of the engine (the KMV-over-HLL argument).
+
+    Bins are [boundaries[k], boundaries[k+1]); values outside the range
+    clamp into the first/last bin (the estimate degrades there — widen the
+    boundaries, never the guarantee). Estimate for probability p with
+    group size n: find the bin where the running count first reaches
+    t = p·n, then interpolate linearly inside it. Returns one row per
+    group: (group_cols..., q_{int(100p)} per prob).
+    """
+    from pyspark.sql import Window as W
+
+    if len(boundaries) < 3:
+        raise ValueError("need >= 3 boundaries (>= 2 bins)")
+    if sorted(boundaries) != list(boundaries):
+        raise ValueError("boundaries must be ascending")
+    g = list(group_cols)
+    interior = boundaries[1:-1]
+    v = value.cast("double")
+    bin_ix = sum(
+        (v >= F.lit(float(e))).cast("int") for e in interior
+    )
+    counts = (
+        df.select(*g, bin_ix.alias("_b"))
+        .groupBy(*g, "_b")
+        .agg(F.count(F.lit(1)).alias("_n"))
+    )
+    wg = W.partitionBy(*g)
+    cc = counts.withColumn("_cum", F.sum("_n").over(wg.orderBy("_b"))).withColumn(
+        "_tot", F.sum("_n").over(wg)
+    )
+    lows = F.array(*[F.lit(float(b)) for b in boundaries[:-1]])
+    highs = F.array(*[F.lit(float(b)) for b in boundaries[1:]])
+    lo = F.element_at(lows, F.col("_b") + 1)
+    hi = F.element_at(highs, F.col("_b") + 1)
+    aggs = []
+    for p in probs:
+        t = F.lit(float(p)) * F.col("_tot")
+        covering = (F.col("_cum") >= t) & ((F.col("_cum") - F.col("_n")) < t)
+        est = lo + (hi - lo) * (t - (F.col("_cum") - F.col("_n"))) / F.col("_n")
+        aggs.append(F.max(F.when(covering, est)).alias(f"q_{int(round(p * 100))}"))
+    return cc.groupBy(*g).agg(*aggs)

@@ -212,3 +212,74 @@ def test_heavy_hitters_null_keys_counted(spark):
     ).repartition(4)
     got = heavy_hitters(df, F.col("tok"), k=3, capacity=100).collect()
     assert got[0]["key"] is None and got[0]["est_count"] == 500
+
+
+# --- histogram quantile sketch ---------------------------------------------
+
+
+def test_histogram_quantiles_uniform_exactish(spark):
+    """Uniform values over one bin: interpolation is exact (t maps linearly
+    inside a single bin)."""
+    from pyspark.sql import functions as F
+
+    from seraster_spark.sketch import histogram_quantiles
+
+    df = spark.range(0, 1000).select((F.col("id") % 100).cast("double").alias("v"))
+    out = histogram_quantiles(
+        df, F.col("v"), [0.5, 0.9], [0.0, 100.0, 200.0]
+    ).collect()[0]
+    assert abs(out["q_50"] - 50.0) < 1.0
+    assert abs(out["q_90"] - 90.0) < 1.0
+
+
+def test_histogram_quantiles_vs_exact(spark):
+    """Estimates land within one bin width of the exact percentile, per
+    group; clamped outliers stay inside the last bin."""
+    from pyspark.sql import functions as F
+
+    from seraster_spark.sketch import histogram_quantiles
+
+    df = spark.range(0, 5000).select(
+        (F.col("id") % 3).cast("string").alias("g"),
+        (F.pmod(F.xxhash64("id"), F.lit(750)).cast("double")
+         + F.when(F.col("id") % 97 == 0, 10_000.0).otherwise(0.0)).alias("v"),
+    )
+    edges = [0.0, 50.0, 100.0, 200.0, 400.0, 800.0]
+    hq = {r["g"]: r for r in histogram_quantiles(
+        df, F.col("v"), [0.5, 0.9], edges, group_cols=["g"]).collect()}
+    exact = {r["g"]: r for r in df.groupBy("g").agg(
+        F.percentile(F.col("v"), F.lit(0.5)).alias("p50"),
+        F.percentile(F.col("v"), F.lit(0.9)).alias("p90")).collect()}
+    for g in exact:
+        widths = {e: edges[i + 1] - edges[i] for i, e in enumerate(edges[:-1])}
+        assert abs(hq[g]["q_50"] - exact[g]["p50"]) <= 200.0
+        assert abs(hq[g]["q_90"] - exact[g]["p90"]) <= 400.0
+        assert hq[g]["q_90"] <= edges[-1]  # clamped outliers never escape
+
+
+def test_histogram_quantiles_partition_invariant(spark):
+    """Bit-identical output across partitionings (the determinism claim)."""
+    from pyspark.sql import functions as F
+
+    from seraster_spark.sketch import histogram_quantiles
+
+    base = spark.range(0, 4000).select(
+        (F.pmod(F.xxhash64("id"), F.lit(1000))).cast("double").alias("v")
+    )
+    edges = [0.0, 100.0, 300.0, 1000.0]
+    a = histogram_quantiles(base.repartition(2), F.col("v"), [0.5], edges).collect()[0]
+    b = histogram_quantiles(base.repartition(17), F.col("v"), [0.5], edges).collect()[0]
+    assert a["q_50"] == b["q_50"]  # bitwise
+
+
+def test_histogram_quantiles_validation(spark):
+    import pytest
+    from pyspark.sql import functions as F
+
+    from seraster_spark.sketch import histogram_quantiles
+
+    df = spark.range(3).select(F.col("id").cast("double").alias("v"))
+    with pytest.raises(ValueError, match="boundaries"):
+        histogram_quantiles(df, F.col("v"), [0.5], [0.0, 1.0])
+    with pytest.raises(ValueError, match="ascending"):
+        histogram_quantiles(df, F.col("v"), [0.5], [1.0, 0.0, 2.0])

@@ -10,6 +10,7 @@ from .focal import (
     focal_stats,
     getis_ord_gi_star,
     grid_distance,
+    grid_distance_coarse,
     label_regions,
     morans_i,
 )
@@ -72,6 +73,7 @@ __all__ = [
     "focal_stats",
     "getis_ord_gi_star",
     "grid_distance",
+    "grid_distance_coarse",
     "label_regions",
     "morans_i",
     "heavy_hitters",

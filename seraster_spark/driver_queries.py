@@ -1122,7 +1122,8 @@ def _sql_hq() -> str:
         )
 
     return f"""
-hb AS (SELECT source, ({bin_expr}) AS _b FROM documents),
+hb AS (SELECT source, ({bin_expr}) AS _b FROM documents
+      WHERE n_chars IS NOT NULL),
 hc AS (SELECT source, _b, count(*) AS _n FROM hb GROUP BY 1, 2),
 hcc AS (SELECT *, sum(_n) OVER (PARTITION BY source ORDER BY _b) AS _cum,
                sum(_n) OVER (PARTITION BY source) AS _tot FROM hc),

@@ -369,6 +369,31 @@ def morans_i(
     )
 
 
+def _checkpoint_tracked(df: DataFrame):
+    """``localCheckpoint(eager=True)`` plus a release handle. Spark's public
+    API offers no way to free a local checkpoint's storage blocks (the
+    Dataset returned by ``localCheckpoint`` is a LogicalRDD; ``unpersist``
+    on it only touches the cacheManager), so iterative algorithms that
+    checkpoint per round leak blocks until driver GC. We diff the
+    persistent-RDD registry around the checkpoint call and return a
+    ``release()`` that unpersists exactly the RDDs the call created —
+    deterministic reclamation for superseded rounds. Single-threaded driver
+    loops only (a concurrent checkpoint would land in the diff)."""
+    jsc = df.sparkSession.sparkContext._jsc
+    before = set(jsc.getPersistentRDDs().keySet().toArray())
+    out = df.localCheckpoint(eager=True)
+    new_ids = [i for i in jsc.getPersistentRDDs().keySet().toArray() if i not in before]
+
+    def release() -> None:
+        reg = jsc.getPersistentRDDs()
+        for i in new_ids:
+            rdd = reg.get(i)
+            if rdd is not None:
+                rdd.unpersist(False)
+
+    return out, release
+
+
 def grid_distance(
     tiles: DataFrame,
     sources: DataFrame,
@@ -377,6 +402,7 @@ def grid_distance(
     max_rounds: int = 4096,
     row_col: str = "row_i",
     col_col: str = "col_i",
+    compact_every: int = 16,
 ) -> DataFrame:
     """Multi-source BFS hop distance over the OCCUPIED tiles — the
     ``terra::gridDist`` (cost-distance with unit costs) analog: per tile,
@@ -390,25 +416,41 @@ def grid_distance(
     against the occupied-tile set, and anti-joins against everything
     already labeled — three tile-cardinality (or smaller) slim shuffles
     per round, no doc-level work, rounds = the true distance diameter.
-    The frontier is eagerly checkpointed each round (it is small by
-    definition) so lineage stays flat however many rounds run; hop counts
-    are integers, so results are exact and partitioning-independent.
-    Hex rasters: pass ``offsets=hex_offsets()`` over axial (r, q).
+    Hop counts are integers, so results are exact and
+    partitioning-independent.
+
+    Storage discipline: each round's frontier is eagerly checkpointed (it
+    is small by definition) so lineage stays flat; every ``compact_every``
+    rounds the accumulated labels are COMPACTED into one fresh checkpoint
+    and the superseded round checkpoints are explicitly released
+    (:func:`_checkpoint_tracked`), so executor storage holds the labeled
+    set once plus ≤ ``compact_every`` frontiers — NOT one block set per
+    hop of diameter. The returned frame is a single flat checkpoint; every
+    intermediate is already freed when this function returns.
+
+    COST WARNING — rounds = hop diameter: a continent-scale raster at fine
+    resolution has diameter in the thousands, i.e. thousands of sequential
+    slim shuffles. Coarsen first: roll the raster up by an integer factor
+    (``regrid``/``tile_pyramid``), run the BFS on the coarse grid, and
+    scale — :func:`grid_distance_coarse` packages exactly that recipe with
+    its error bound. Hex rasters: pass ``offsets=hex_offsets()`` over
+    axial (r, q).
     """
     offs = offsets if offsets is not None else neighbor_offsets(1, queen=queen)
     keys = [row_col, col_col]
+    to_free: list = []  # release handles for everything superseded
     # materialize the occupied set ONCE: it is joined in every round, and
     # without the checkpoint each round's job would re-execute the raster's
     # full upstream lineage (at corpus scale: one doc-table aggregation per
     # BFS hop instead of one total)
-    occ = tiles.select(*keys).distinct().localCheckpoint(eager=True)
-    dist = (
+    occ, occ_release = _checkpoint_tracked(tiles.select(*keys).distinct())
+    dist, dist_release = _checkpoint_tracked(
         sources.select(*keys)
         .distinct()
         .join(occ, keys, "inner")  # sources must be occupied tiles
         .withColumn("grid_dist", F.lit(0).cast("long"))
-        .localCheckpoint(eager=True)
     )
+    to_free.append(dist_release)
     frontier = dist
     off_arr = F.array(
         *[
@@ -416,34 +458,115 @@ def grid_distance(
             for dr, dc in offs
         ]
     )
+
+    def compact(d: DataFrame) -> DataFrame:
+        # one fresh checkpoint of everything labeled so far, then free the
+        # per-round pieces it replaces (safe: eager=True materialized first)
+        nonlocal to_free
+        d2, rel = _checkpoint_tracked(d)
+        for f in to_free:
+            f()
+        to_free = [rel]
+        return d2
+
     exhausted = True
-    for r in range(1, max_rounds + 1):
-        neigh = (
-            frontier.withColumn("_o", F.explode(off_arr))
-            .select(
-                (F.col(row_col) + F.col("_o.dr")).alias(row_col),
-                (F.col(col_col) + F.col("_o.dc")).alias(col_col),
+    try:
+        for r in range(1, max_rounds + 1):
+            neigh = (
+                frontier.withColumn("_o", F.explode(off_arr))
+                .select(
+                    (F.col(row_col) + F.col("_o.dr")).alias(row_col),
+                    (F.col(col_col) + F.col("_o.dc")).alias(col_col),
+                )
+                .distinct()
+                .join(occ, keys, "inner")
             )
-            .distinct()
-            .join(occ, keys, "inner")
+            new, new_release = _checkpoint_tracked(
+                neigh.join(dist.select(*keys), keys, "left_anti")
+                .withColumn("grid_dist", F.lit(r).cast("long"))
+            )
+            if new.isEmpty():
+                new_release()  # empty, never referenced again
+                exhausted = False
+                break
+            to_free.append(new_release)
+            # both sides are already checkpointed — a lazy union keeps
+            # lineage flat without re-materializing labels every round
+            dist = dist.unionByName(new)
+            frontier = new
+            if r % compact_every == 0:
+                dist = compact(dist)
+                frontier = dist.filter(F.col("grid_dist") == r)
+        if exhausted:
+            # truncated distances would be indistinguishable from the
+            # documented unreachable-NULL semantics — fail loudly instead
+            raise ValueError(
+                f"grid_distance: frontier still non-empty after max_rounds="
+                f"{max_rounds}; raise max_rounds (hop diameter exceeds it) — "
+                f"or coarsen first (grid_distance_coarse)"
+            )
+        return compact(dist)
+    finally:
+        occ_release()
+
+
+def grid_distance_coarse(
+    tiles: DataFrame,
+    sources: DataFrame,
+    factor: int,
+    queen: bool = False,
+    max_rounds: int = 4096,
+    row_col: str = "row_i",
+    col_col: str = "col_i",
+) -> DataFrame:
+    """Coarsen-first cost distance: roll both rasters up by integer
+    ``factor`` (floor-divide the indexes — exactly how ``tile_pyramid``
+    parents cells), run :func:`grid_distance` on the coarse grid, and map
+    each FINE tile to its coarse cell's distance. Cuts BFS rounds — the
+    sequential-shuffle count — by ~``factor`` and frontier cardinality by
+    ~``factor``², the recipe for continent-scale diameters.
+
+    Returns one row per input tile: (row, col, coarse_dist, grid_dist_est)
+    where ``grid_dist_est = coarse_dist · factor`` estimates the fine hop
+    distance. Bounds (rook adjacency, solid occupancy):
+    ``factor·coarse_dist ≤ fine_dist ≤ factor·(coarse_dist+2) − 2`` — the
+    estimate is within ~2·factor of exact (in-cell slack up to factor−1
+    per coordinate at both endpoints).
+    CAVEAT: coarsening FILLS barriers thinner than ``factor`` (a coarse
+    cell is occupied if ANY fine tile inside it is) — distances around
+    thin walls are underestimated. Use for reach/order-of-magnitude
+    screening, then exact :func:`grid_distance` on the shortlisted region.
+    """
+    if factor < 1:
+        raise ValueError("factor must be >= 1")
+    keys = [row_col, col_col]
+
+    def coarsen(df: DataFrame) -> DataFrame:
+        return df.select(
+            F.floor(F.col(row_col) / factor).cast("long").alias(row_col),
+            F.floor(F.col(col_col) / factor).cast("long").alias(col_col),
+        ).distinct()
+
+    coarse = grid_distance(
+        coarsen(tiles),
+        coarsen(sources),
+        queen=queen,
+        max_rounds=max_rounds,
+        row_col=row_col,
+        col_col=col_col,
+    ).select(
+        F.col(row_col).alias("_cr"),
+        F.col(col_col).alias("_cc"),
+        F.col("grid_dist").alias("coarse_dist"),
+    )
+    fine = tiles.select(*keys).distinct()
+    return (
+        fine.join(
+            F.broadcast(coarse),  # coarse raster is factor² smaller
+            (F.floor(F.col(row_col) / factor) == F.col("_cr"))
+            & (F.floor(F.col(col_col) / factor) == F.col("_cc")),
+            "left",
         )
-        new = (
-            neigh.join(dist.select(*keys), keys, "left_anti")
-            .withColumn("grid_dist", F.lit(r).cast("long"))
-            .localCheckpoint(eager=True)
-        )
-        if new.isEmpty():
-            exhausted = False
-            break
-        # both sides are already checkpointed — a lazy union keeps lineage
-        # flat without re-materializing all labeled tiles every round
-        dist = dist.unionByName(new)
-        frontier = new
-    if exhausted:
-        # truncated distances would be indistinguishable from the
-        # documented unreachable-NULL semantics — fail loudly instead
-        raise ValueError(
-            f"grid_distance: frontier still non-empty after max_rounds="
-            f"{max_rounds}; raise max_rounds (hop diameter exceeds it)"
-        )
-    return dist
+        .drop("_cr", "_cc")
+        .withColumn("grid_dist_est", F.col("coarse_dist") * factor)
+    )

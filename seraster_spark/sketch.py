@@ -149,9 +149,11 @@ def heavy_hitters(
     counter dict; on overflow the (size − capacity)-th smallest count m̂
     is subtracted from EVERY counter (classic MG uniform decrement,
     vectorized with np.partition), zeros dropped, and m̂ accumulates into
-    the partition's decrement total d_p. Only ≤ capacity counters + one
-    scalar leave each partition. Merge = groupBy key + sum (est) and
-    D = Σ d_p.
+    the partition's decrement total d_p. The dict is pruned both after
+    each batch AND mid-merge whenever it exceeds 2·capacity, so working
+    memory is a hard O(capacity) even for a single high-cardinality Arrow
+    batch. Only ≤ capacity counters + one scalar leave each partition.
+    Merge = groupBy key + sum (est) and D = Σ d_p.
 
     Guarantees (the MG invariant, partitioning-independent):
       * est ≤ true ≤ est + D for every reported key;
@@ -186,21 +188,34 @@ def heavy_hitters(
     def mg(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         counters: dict[str, int] = {}
         dec_total = 0
+
+        def prune() -> None:
+            # (size - capacity)-th smallest count: subtracting it from
+            # every counter leaves <= capacity positive counters. Each
+            # extra prune only grows D (the reported bound), never breaks
+            # est <= true <= est + D.
+            nonlocal counters, dec_total
+            counts = np.fromiter(counters.values(), dtype=np.int64)
+            m_hat = int(np.partition(counts, len(counts) - capacity - 1)[
+                len(counts) - capacity - 1
+            ])
+            dec_total += m_hat
+            counters = {
+                kk: cc - m_hat for kk, cc in counters.items() if cc > m_hat
+            }
+
         for pdf in batches:
             vc = pdf["_k"].value_counts()
             for kk, cc in zip(vc.index.to_numpy(), vc.to_numpy()):
                 counters[kk] = counters.get(kk, 0) + int(cc)
+                # prune INSIDE the merge loop too: a single high-cardinality
+                # Arrow batch must not balloon the dict to O(batch distinct)
+                # before the first decrement — hard-cap working memory at
+                # 2*capacity, keeping the documented O(capacity) bound.
+                if len(counters) > 2 * capacity:
+                    prune()
             if len(counters) > capacity:
-                counts = np.fromiter(counters.values(), dtype=np.int64)
-                # (size - capacity)-th smallest count: subtracting it from
-                # every counter leaves <= capacity positive counters
-                m_hat = int(np.partition(counts, len(counts) - capacity - 1)[
-                    len(counts) - capacity - 1
-                ])
-                dec_total += m_hat
-                counters = {
-                    kk: cc - m_hat for kk, cc in counters.items() if cc > m_hat
-                }
+                prune()
         rows = [(kk, int(cc), 0) for kk, cc in counters.items()]
         rows.append((None, 0, dec_total))
         yield pd.DataFrame(rows, columns=["_k", "est", "dec"])
@@ -247,10 +262,15 @@ def histogram_quantiles(
 
     Bins are [boundaries[k], boundaries[k+1]); values outside the range
     clamp into the first/last bin (the estimate degrades there — widen the
-    boundaries, never the guarantee). Estimate for probability p with
-    group size n: find the bin where the running count first reaches
-    t = p·n, then interpolate linearly inside it. Returns one row per
-    group: (group_cols..., q_{int(100p)} per prob).
+    boundaries, never the guarantee). NULL values are EXCLUDED before
+    binning (matching Spark `percentile` / DuckDB `quantile_cont`
+    semantics — a NULL would otherwise land in a NULL bin that sorts first
+    under the cumulative window and inflate the group total, skewing every
+    estimate). Estimate for probability p with group size n: find the bin
+    where the running count first reaches t = p·n, then interpolate
+    linearly inside it. Returns one row per group:
+    (group_cols..., q_{int(100p)} per prob). Groups whose values are all
+    NULL disappear (same as percentile-over-empty: no defined quantile).
     """
     from pyspark.sql import Window as W
 
@@ -265,7 +285,8 @@ def histogram_quantiles(
         (v >= F.lit(float(e))).cast("int") for e in interior
     )
     counts = (
-        df.select(*g, bin_ix.alias("_b"))
+        df.filter(value.isNotNull())
+        .select(*g, bin_ix.alias("_b"))
         .groupBy(*g, "_b")
         .agg(F.count(F.lit(1)).alias("_n"))
     )

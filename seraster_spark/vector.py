@@ -56,24 +56,21 @@ def tiles_geojson(
         )
     cell_ids = np.array([r["cell_id"] for r in rows], dtype=np.int64)
     verts = polygon_vertices(cell_ids, spec) if len(rows) else np.zeros((0, 5, 2))
+    # geometry is composed with the SAME fixed '%.Nf' template as the WKT
+    # path and write_geojson_lines (json.dumps would re-render 1.000000 as
+    # 1.0), so each feature's geometry member is byte-identical across the
+    # three export surfaces; properties stay json.dumps'd
+    fmt = f"[%.{decimals}f,%.{decimals}f]"
     feats = []
     for r, ring in zip(rows, verts):
+        pts = ",".join(fmt % (float(vx), float(vy)) for vx, vy in ring)
+        geom = '{"type":"Polygon","coordinates":[[' + pts + "]]}"
+        props_json = json.dumps({p: r[p] for p in props}, separators=(",", ":"))
         feats.append(
-            {
-                "type": "Feature",
-                "geometry": {
-                    "type": "Polygon",
-                    # rounded like the WKT path and write_geojson_lines, so
-                    # the three export surfaces agree byte-for-byte
-                    "coordinates": [
-                        [[round(float(vx), decimals), round(float(vy), decimals)]
-                         for vx, vy in ring]
-                    ],
-                },
-                "properties": {p: r[p] for p in props},
-            }
+            '{"type":"Feature","geometry":' + geom
+            + ',"properties":' + props_json + "}"
         )
-    return json.dumps({"type": "FeatureCollection", "features": feats})
+    return '{"type":"FeatureCollection","features":[' + ",".join(feats) + "]}"
 
 
 def write_geojson_lines(

@@ -330,3 +330,63 @@ def test_grid_distance_sources_must_be_occupied(spark):
     tdf = spark.createDataFrame([(0, 0), (0, 1)], "row_i long, col_i long")
     sdf = spark.createDataFrame([(9, 9)], "row_i long, col_i long")  # not a tile
     assert grid_distance(tdf, sdf).count() == 0
+
+
+def test_grid_distance_compaction_parity_and_block_release(spark):
+    """compact_every=2 (several mid-loop compactions) returns the same
+    distances as the naive BFS, and — ADVICE r4 — superseded round
+    checkpoints are explicitly released: at most the final compacted
+    frame's RDDs remain persisted after the call."""
+    from seraster_spark.focal import grid_distance, neighbor_offsets
+
+    rng = np.random.default_rng(11)
+    tiles = {(int(r), int(c)) for r, c in rng.integers(0, 16, (160, 2))}
+    sources = sorted(tiles)[:2]
+    tdf = spark.createDataFrame(sorted(tiles), "row_i long, col_i long").repartition(4)
+    sdf = spark.createDataFrame(sources, "row_i long, col_i long")
+
+    jsc = spark.sparkContext._jsc
+    before = set(jsc.getPersistentRDDs().keySet().toArray())
+    out = grid_distance(tdf, sdf, compact_every=2)
+    got = {(r["row_i"], r["col_i"]): r["grid_dist"] for r in out.collect()}
+    leaked = set(jsc.getPersistentRDDs().keySet().toArray()) - before
+    # only the returned frame's own checkpoint may remain
+    assert len(leaked) <= 1, leaked
+
+    want = _naive_bfs(tiles, sources, neighbor_offsets(1, queen=False))
+    assert got == want
+
+
+def test_grid_distance_coarse_recipe(spark):
+    """Coarsen-first helper: on a solid raster the scaled estimate brackets
+    the exact distance within one factor either side, every input tile
+    gets a row, and the BFS round count drops by ~factor."""
+    from seraster_spark.focal import grid_distance, grid_distance_coarse
+
+    side, factor = 24, 4
+    tiles = [(r, c) for r in range(side) for c in range(side)]
+    tdf = spark.createDataFrame(tiles, "row_i long, col_i long")
+    sdf = spark.createDataFrame([(0, 0)], "row_i long, col_i long")
+    est = {
+        (r["row_i"], r["col_i"]): (r["coarse_dist"], r["grid_dist_est"])
+        for r in grid_distance_coarse(tdf, sdf, factor=factor).collect()
+    }
+    assert len(est) == side * side  # one row per input tile
+    exact = {
+        (r["row_i"], r["col_i"]): r["grid_dist"]
+        for r in grid_distance(tdf, sdf).collect()
+    }
+    for t, d in exact.items():
+        cd, de = est[t]
+        assert de == cd * factor
+        # rook distance on a solid grid: factor*cd <= d <= factor*(cd+2)-2
+        # (in-cell slack up to factor-1 in EACH of the two coordinates)
+        assert factor * cd <= d <= factor * (cd + 2) - 2, (t, d, cd)
+
+
+def test_grid_distance_coarse_validation(spark):
+    from seraster_spark.focal import grid_distance_coarse
+
+    tdf = spark.createDataFrame([(0, 0)], "row_i long, col_i long")
+    with pytest.raises(ValueError, match="factor"):
+        grid_distance_coarse(tdf, tdf, factor=0)

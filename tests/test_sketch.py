@@ -283,3 +283,57 @@ def test_histogram_quantiles_validation(spark):
         histogram_quantiles(df, F.col("v"), [0.5], [0.0, 1.0])
     with pytest.raises(ValueError, match="ascending"):
         histogram_quantiles(df, F.col("v"), [0.5], [1.0, 0.0, 2.0])
+
+
+def test_histogram_quantiles_ignores_nulls(spark):
+    """NULL values are excluded before binning (percentile/quantile_cont
+    semantics): 100 values + 50 NULLs estimates from the 100 values alone
+    — the ADVICE-r4 scenario where NULLs landed in a first-sorting NULL
+    bin and inflated the group total. All-NULL groups vanish."""
+    from pyspark.sql import functions as F
+
+    from seraster_spark.sketch import histogram_quantiles
+
+    vals = spark.range(0, 100).select(
+        F.lit("a").alias("g"), F.col("id").cast("double").alias("v")
+    )
+    nulls = spark.range(0, 50).select(
+        F.lit("a").alias("g"), F.lit(None).cast("double").alias("v")
+    )
+    all_null = spark.range(0, 10).select(
+        F.lit("b").alias("g"), F.lit(None).cast("double").alias("v")
+    )
+    df = vals.unionByName(nulls).unionByName(all_null)
+    edges = [0.0, 25.0, 50.0, 75.0, 100.0]
+    out = {r["g"]: r for r in histogram_quantiles(
+        df, F.col("v"), [0.5], edges, group_cols=["g"]
+    ).collect()}
+    assert set(out) == {"a"}  # all-NULL group has no defined quantile
+    clean = histogram_quantiles(
+        vals, F.col("v"), [0.5], edges, group_cols=["g"]
+    ).collect()[0]
+    assert out["a"]["q_50"] == clean["q_50"]  # NULLs changed nothing
+    assert abs(out["a"]["q_50"] - 50.0) <= 1.0
+
+
+def test_heavy_hitters_single_hot_batch_bounded(spark):
+    """One partition, one high-cardinality stream (distinct keys >> 2x
+    capacity forces the IN-BATCH prune): invariants still hold and the
+    summary still surfaces the genuinely heavy keys."""
+    from pyspark.sql import functions as F
+
+    from seraster_spark.sketch import heavy_hitters
+
+    # 20k distinct singletons + 3 heavy keys of 5k each, ONE partition
+    singles = spark.range(0, 20_000).select(
+        F.concat(F.lit("s"), F.col("id").cast("string")).alias("tok")
+    )
+    heavy = spark.range(0, 15_000).select(
+        F.concat(F.lit("H"), (F.col("id") % 3).cast("string")).alias("tok")
+    )
+    df = singles.unionByName(heavy).coalesce(1)
+    got = heavy_hitters(df, F.col("tok"), k=3, capacity=32).collect()
+    d = got[0]["err_bound"]
+    assert {r["key"] for r in got} == {"H0", "H1", "H2"}
+    for r in got:
+        assert r["est_count"] <= 5_000 <= r["est_count"] + d

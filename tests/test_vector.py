@@ -79,14 +79,27 @@ def test_geojson_lines_writer_matches_driver_export(spark, docs, tmp_path, squar
     )
     path = str(tmp_path / f"gjl_{square}")
     vector.write_geojson_lines(tiles, spec, path)
-    lines = [json.loads(r["value"]) for r in spark.read.text(path).collect()]
-    gj = json.loads(vector.tiles_geojson(tiles, spec))
+    raw_lines = [r["value"] for r in spark.read.text(path).collect()]
+    raw_fc = vector.tiles_geojson(tiles, spec)
+    lines = [json.loads(v) for v in raw_lines]
+    gj = json.loads(raw_fc)
 
     def key(feat):
         return json.dumps(feat["geometry"]) + "|" + str(feat["properties"]["num_cell"])
 
     assert sorted(map(key, lines)) == sorted(map(key, gj["features"]))
     assert all(f["type"] == "Feature" for f in lines)
+
+    # BYTE agreement, not just numeric-after-parse: each feature's raw
+    # geometry member (fixed %.6f coords, e.g. '1.000000' never '1.0')
+    # must be an identical substring across both surfaces
+    import re
+
+    geom_re = re.compile(r'"geometry":(\{"type":"Polygon","coordinates":\[\[.*?\]\]\})')
+    geoms_lines = sorted(geom_re.search(v).group(1) for v in raw_lines)
+    geoms_fc = sorted(m.group(1) for m in geom_re.finditer(raw_fc))
+    assert geoms_lines == geoms_fc
+    assert all(re.search(r"\d\.\d{6}[,\]]", g) for g in geoms_fc)
 
 
 def test_tiles_geojson_row_cap(spark, docs):

@@ -1,10 +1,20 @@
 """Similarity search over embedding columns (array<float>).
 
-Baseline: exact brute-force cosine top-k — dot products via ``zip_with`` +
-``aggregate`` (JVM-side sequential fold, deterministic order) with a window
+Baseline: exact brute-force cosine top-k — broadcast crossJoin + window
 top-k. Scale path: random-hyperplane LSH bucketing — signatures via one
 Arrow-batched numpy matmul, candidates from an equi-join on bucket id, exact
 re-rank only within buckets; multi-probe via Hamming-adjacent buckets.
+
+Exact-cosine evaluation (the verify/re-rank hot path) runs as an
+Arrow-batched numpy kernel by default (``exact_impl="arrow"``): the repo's
+own measurements put the interpreted ``zip_with``/``aggregate`` HOF fold at
+~46 µs/element — ~8× slower than the vectorized kernel — and at corpus
+scale the re-rank touches ~10⁸ candidate pairs × 768-dim vectors. The HOF
+fold remains available as ``exact_impl="hof"`` for its strictly-sequential
+summation order; for INTEGER-VALUED vectors (every driver oracle row) all
+partial sums are exact, so both impls — and any engine — produce
+bit-identical cosines, which is what keeps the oracle rows green on the
+fast path.
 
 Embedding-cosine near-duplicate detection reuses the same machinery with a
 threshold instead of top-k.
@@ -30,6 +40,44 @@ def norm_expr(vec) -> "F.Column":
     return F.sqrt(_dot(vec, vec))
 
 
+@F.pandas_udf(T.DoubleType())
+def _cosine_arrow(a: pd.Series, b: pd.Series) -> pd.Series:
+    """Row-wise cosine(a, b), one numpy pass per Arrow batch. NULL parity
+    with the HOF fold (which uses try_divide): a NULL on either side — or a
+    zero norm — returns NULL, never NaN (NaN sorts ABOVE every real value
+    in Spark's double ordering and would poison a descending top-k)."""
+    n = len(a)
+    out = np.full(n, np.nan, dtype=np.float64)
+    mask = a.notna().to_numpy() & b.notna().to_numpy()
+    if mask.any():
+        ma = np.stack([np.asarray(v, dtype=np.float64) for v in a[mask]])
+        mb = np.stack([np.asarray(v, dtype=np.float64) for v in b[mask]])
+        num = np.einsum("ij,ij->i", ma, mb)
+        den = np.sqrt(np.einsum("ij,ij->i", ma, ma)) * np.sqrt(
+            np.einsum("ij,ij->i", mb, mb)
+        )
+        good = den > 0
+        sub = np.full(mask.sum(), np.nan, dtype=np.float64)
+        sub[good] = num[good] / den[good]
+        out[mask] = sub
+    res = pd.array(out, dtype="Float64")
+    res[np.isnan(out)] = pd.NA
+    return pd.Series(res, dtype="Float64")
+
+
+def cosine_expr(a, b, exact_impl: str = "arrow"):
+    """cosine(a, b) as a Column: ``"arrow"`` = vectorized numpy kernel (the
+    default — the 100 TB verify path), ``"hof"`` = interpreted
+    zip_with/aggregate fold (strictly sequential summation order)."""
+    if exact_impl == "arrow":
+        return _cosine_arrow(a, b)
+    if exact_impl == "hof":
+        # try_divide: NULL (not an ANSI DIVIDE_BY_ZERO error) on zero-norm
+        # vectors, matching the Arrow kernel's NULL-never-NaN contract
+        return F.try_divide(_dot(a, b), norm_expr(a) * norm_expr(b))
+    raise ValueError(f"exact_impl must be 'arrow' or 'hof', got {exact_impl!r}")
+
+
 def brute_force_topk(
     items: DataFrame,
     queries: DataFrame,
@@ -37,18 +85,20 @@ def brute_force_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id: str = "query_id",
+    exact_impl: str = "arrow",
 ) -> DataFrame:
     """Exact cosine top-k: broadcast the (small) query set, crossJoin against
     the items table (embarrassingly parallel scan — no shuffle of the big
-    side), window top-k per query. Ties broken by item id."""
+    side), window top-k per query. Ties broken by item id. Cosines run on
+    the Arrow kernel by default (see :func:`cosine_expr`); the rank<=k
+    filter is a WindowGroupLimit, so each task forwards only its local
+    top-k per query into the single exchange."""
     q = queries.select(
         F.col(query_id).alias("_qid"), F.col(vec_col).alias("_qvec")
     )
     it = items.select(F.col(id_col).alias("_iid"), F.col(vec_col).alias("_ivec"))
     joined = it.crossJoin(F.broadcast(q))
-    cos = _dot(F.col("_ivec"), F.col("_qvec")) / (
-        norm_expr(F.col("_ivec")) * norm_expr(F.col("_qvec"))
-    )
+    cos = cosine_expr(F.col("_ivec"), F.col("_qvec"), exact_impl)
     ranked = (
         joined.withColumn("cosine", cos)
         .withColumn(
@@ -254,6 +304,7 @@ def ivf_topk(
     kmeans_iters: int = 8,
     centroids: np.ndarray | None = None,
     broadcast_queries: bool = True,
+    exact_impl: str = "arrow",
 ) -> DataFrame:
     """IVF approximate top-k: coarse k-means centroids trained CLUSTER-SIDE
     (seeded uniform sample + mapInPandas partial-sum iterations — see
@@ -343,9 +394,7 @@ def ivf_topk(
         .withColumn("_list", F.explode(probe_lists(F.col("_qvec"))))
     )
     joined = it.join(F.broadcast(q) if broadcast_queries else q, "_list")
-    cos = _dot(F.col(vec_col), F.col("_qvec")) / (
-        norm_expr(F.col(vec_col)) * norm_expr(F.col("_qvec"))
-    )
+    cos = cosine_expr(F.col(vec_col), F.col("_qvec"), exact_impl)
     ranked = (
         joined.withColumn("cosine", cos)
         .dropDuplicates(["_qid", id_col])
@@ -403,6 +452,7 @@ def lsh_topk(
     seed: int = 7,
     planes: np.ndarray | None = None,
     broadcast_queries: bool = True,
+    exact_impl: str = "arrow",
 ) -> DataFrame:
     """Approximate cosine top-k: bucket both sides by hyperplane signature,
     multi-probe queries into Hamming-1 neighbor buckets (probe list built as
@@ -428,9 +478,7 @@ def lsh_topk(
     ]
     qp = q.withColumn("bucket", F.explode(F.array(*probes))).drop("bucket0")
     joined = it.join(F.broadcast(qp) if broadcast_queries else qp, "bucket")
-    cos = _dot(F.col("_ivec"), F.col("_qvec")) / (
-        norm_expr(F.col("_ivec")) * norm_expr(F.col("_qvec"))
-    )
+    cos = cosine_expr(F.col("_ivec"), F.col("_qvec"), exact_impl)
     ranked = (
         joined.withColumn("cosine", cos)
         .dropDuplicates(["_qid", "_iid"])
@@ -457,6 +505,7 @@ def cosine_near_duplicates(
     seed: int = 7,
     planes: np.ndarray | None = None,
     max_bucket_size: int | None = None,
+    exact_impl: str = "arrow",
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs: LSH self-bucket-join + exact cosine
     filter. Returns (id_a, id_b, cosine) with id_a < id_b.
@@ -490,7 +539,7 @@ def cosine_near_duplicates(
         pairs.join(it.select(F.col("_id").alias("id_a"), F.col("_vec").alias("_va")), "id_a")
         .join(it.select(F.col("_id").alias("id_b"), F.col("_vec").alias("_vb")), "id_b")
     )
-    cos = _dot(F.col("_va"), F.col("_vb")) / (norm_expr(F.col("_va")) * norm_expr(F.col("_vb")))
+    cos = cosine_expr(F.col("_va"), F.col("_vb"), exact_impl)
     return (
         j.withColumn("cosine", cos)
         .filter(F.col("cosine") >= threshold)

@@ -200,3 +200,51 @@ def test_ivf_training_reproducible_across_partitionings(spark):
     # and bitwise-identical for a FIXED partitioning
     c = train_ivf_centroids(d.repartition(11), n_centroids=4, kmeans_iters=2, seed=7)
     assert np.array_equal(b, c)
+
+
+def test_cosine_arrow_hof_parity(spark):
+    """The Arrow cosine kernel (default verify path) vs the HOF fold:
+    BITWISE equal on integer-valued vectors (every partial sum exact — the
+    oracle regime), ~1e-12 on random floats, and NULL — never NaN — for
+    NULL vectors and zero norms on BOTH impls."""
+    import numpy as np
+
+    from seraster_spark.similarity import cosine_expr
+
+    rng = np.random.default_rng(3)
+    rows = []
+    for i in range(200):
+        a = [float(x) for x in rng.integers(1, 97, 16)]
+        b = [float(x) for x in rng.integers(1, 97, 16)]
+        rows.append((i, a, b))
+    rows.append((900, None, [1.0] * 16))
+    rows.append((901, [0.0] * 16, [1.0] * 16))
+    df = spark.createDataFrame(
+        rows, "i long, a array<double>, b array<double>"
+    )
+    got = df.select(
+        "i",
+        cosine_expr(F.col("a"), F.col("b"), "arrow").alias("ar"),
+        cosine_expr(F.col("a"), F.col("b"), "hof").alias("ho"),
+    ).collect()
+    for r in got:
+        if r["i"] >= 900:
+            assert r["ar"] is None and r["ho"] is None, r
+        else:
+            assert r["ar"] == r["ho"], r  # bitwise: integer-valued inputs
+
+    fl = spark.createDataFrame(
+        [(i, [float(x) for x in rng.normal(size=16)],
+          [float(x) for x in rng.normal(size=16)]) for i in range(100)],
+        "i long, a array<double>, b array<double>",
+    )
+    for r in fl.select(
+        cosine_expr(F.col("a"), F.col("b"), "arrow").alias("ar"),
+        cosine_expr(F.col("a"), F.col("b"), "hof").alias("ho"),
+    ).collect():
+        assert abs(r["ar"] - r["ho"]) < 1e-12
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="exact_impl"):
+        cosine_expr(F.col("a"), F.col("b"), "nope")

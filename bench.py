@@ -289,6 +289,54 @@ def bench_queries(spark, sf_dir: str, n_docs: int):
         F.col("vec_id").alias("query_id"), "embedding"
     )
     timed("ann_bruteforce", lambda: force(S.brute_force_topk(e, eq, 10)))
+
+    # q8: ANN at corpus scale — 200k×64 synthetic vectors (staged untimed,
+    # like the doc corpus; ~1% exact-duplicate pairs seeded so near-dup has
+    # real hits). Three entries, same item cardinality:
+    #   ann_lsh_bcast    broadcast probe join (query set fits the driver)
+    #   ann_lsh_shuffle  bucket co-partitioned shuffle join — the doc↔doc
+    #                    100 TB shape added in r4, recorded here so it has
+    #                    a measured cost, not just a pytest
+    #   cosine_neardup   LSH self-join + Arrow exact-cosine verify
+    n_vec, dim = 200_000, 64
+    vstage = os.path.join(tempfile.gettempdir(), f"bench_vecs_{n_vec}_{dim}")
+    if not os.path.exists(os.path.join(vstage, "_SUCCESS")):
+        seed_id = F.when(
+            (F.pmod(F.col("id"), F.lit(97)) == 0) & (F.col("id") > 0),
+            F.col("id") - 1,
+        ).otherwise(F.col("id"))
+        vec = F.transform(
+            F.sequence(F.lit(0), F.lit(dim - 1)),
+            lambda j: (F.pmod(F.xxhash64(seed_id, j), F.lit(2001)) - 1000.0)
+            / 1000.0,
+        )
+        spark.range(0, n_vec).select(
+            F.col("id").alias("vec_id"), vec.alias("embedding")
+        ).write.mode("overwrite").parquet(vstage)
+    vecs = spark.read.parquet(vstage)
+    vq = vecs.filter(F.pmod(F.col("vec_id"), F.lit(200)) == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    timed("ann_lsh_bcast", lambda: force(S.lsh_topk(vecs, vq, 10, dim)))
+    timed(
+        "ann_lsh_shuffle",
+        lambda: force(S.lsh_topk(vecs, vq, 10, dim, broadcast_queries=False)),
+    )
+    timed(
+        "cosine_neardup",
+        lambda: force(
+            S.cosine_near_duplicates(
+                vecs,
+                threshold=0.95,
+                dim=dim,
+                # planes scale with the corpus: 16 planes = 65k buckets keeps
+                # candidate pairs ~linear (~300k) at 200k vectors; the
+                # default 12 would make 4.8M pairs here
+                n_planes=16,
+                max_bucket_size=100_000,
+            )
+        ),
+    )
     return qs, extra
 
 
@@ -324,6 +372,44 @@ def _throttle_probe(max_wait_s: float = 150.0) -> dict:
     }
 
 
+_CONTROL_CLEAN_S = 7.0  # measured clean-host wall for the pinned control
+_CONTROL_BAND_X = 1.5  # within 1.5x clean = healthy window
+
+
+def _mc_control(nproc: int = 32, iters: int = 400) -> float:
+    """Pinned MULTI-core host control: wall seconds for `nproc` OS processes
+    to each finish a fixed numpy kernel (sin·cos+sqrt over a private 200k
+    array, `iters` loops). The r4 lesson: a single-core probe read clean
+    (0.094s) while the driver's 32-core window ran ~2x slow — this host's
+    throttle (cgroup burst credit) bites only under SUSTAINED all-core
+    load, so the control must BE sustained all-core load. Engine-free by
+    design: its band never moves when the engine changes. Clean band
+    measured 5.9–8.5s at 32 procs on this box."""
+    import multiprocessing as mp
+
+    import numpy as np
+
+    nproc = min(nproc, len(os.sched_getaffinity(0)))
+
+    def _burn(q) -> None:
+        a = np.random.default_rng(1).uniform(size=200_000)
+        for _ in range(iters):
+            _ = np.sin(a) * np.cos(a) + np.sqrt(a)
+        q.put(1)
+
+    q = mp.Queue()
+    ps = [mp.Process(target=_burn, args=(q,)) for _ in range(nproc)]
+    t0 = time.time()
+    for p in ps:
+        p.start()
+    for _ in range(nproc):
+        q.get(timeout=600)
+    wall = time.time() - t0
+    for p in ps:
+        p.join(timeout=10)
+    return wall
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -331,12 +417,37 @@ def main() -> None:
     probe_info = (
         _throttle_probe() if os.environ.get("BENCH_NO_PROBE") != "1" else {}
     )
+    # multi-core control at window START: if the box is in a burst, delay
+    # (bounded) rather than record a poisoned window as the round's artifact
+    ctl: dict = {}
+    if os.environ.get("BENCH_NO_PROBE") != "1":
+        waited = 0.0
+        c0 = _mc_control()
+        while c0 > _CONTROL_BAND_X * _CONTROL_CLEAN_S and waited < 150.0:
+            time.sleep(30.0)
+            waited += 30.0
+            c0 = _mc_control()
+        ctl = {
+            "control_start_s": round(c0, 3),
+            "control_wait_s": round(waited, 1),
+            "control_clean_s": _CONTROL_CLEAN_S,
+            "control_band_x": _CONTROL_BAND_X,
+        }
     spark = get_spark(
         "bench", master=f"local[{cpus}]", shuffle_partitions=max(cpus, 16)
     )
     t0 = time.time()
     qs, extra = bench_queries(spark, sf_dir, n_docs)
     total = round(time.time() - t0, 3)
+    # control at window END: a burst that started mid-window shows up here;
+    # window_healthy = both controls in band, self-evident in the artifact
+    if ctl:
+        c1 = _mc_control()
+        ctl["control_end_s"] = round(c1, 3)
+        ctl["window_healthy"] = bool(
+            ctl["control_start_s"] <= _CONTROL_BAND_X * _CONTROL_CLEAN_S
+            and c1 <= _CONTROL_BAND_X * _CONTROL_CLEAN_S
+        )
     sf = sf_dir.rstrip("/").split("sf")[-1]
     out = {
         "metric": "rasterization_docs_per_sec",
@@ -348,6 +459,7 @@ def main() -> None:
         "bench_docs": n_docs,
         "cpus": cpus,
         **probe_info,
+        **ctl,
         **extra,
     }
     spark.stop()

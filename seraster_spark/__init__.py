@@ -13,6 +13,7 @@ from .focal import (
     grid_distance_coarse,
     label_regions,
     morans_i,
+    viewshed,
 )
 from .grid import GridSpec
 from .joins import asof_join, asof_join_bucketed, interval_join
@@ -74,6 +75,7 @@ __all__ = [
     "getis_ord_gi_star",
     "grid_distance",
     "grid_distance_coarse",
+    "viewshed",
     "label_regions",
     "morans_i",
     "heavy_hitters",

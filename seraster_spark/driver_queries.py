@@ -2169,6 +2169,72 @@ GROUP BY a.row_i, a.col_i, a.n_docs
 """
 
 
+_VS_ROW, _VS_COL, _VS_H = 10, 15, 1  # viewshed observer: grid center, eye +1
+
+
+def q_viewshed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line-of-sight viewshed over the count raster (doc count as the
+    elevation surface), observer at the grid-center cell: per tile, its
+    Chebyshev distance to the observer (los_n) and whether it is visible —
+    all-integer sight-line sampling and slope tests (focal.viewshed), so the
+    boolean classification is bit-reproducible in the DuckDB twin."""
+    from .focal import viewshed
+
+    t, _ = _sq_tiles(spark, sf_dir)
+    raster = t.groupBy("row_i", "col_i").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+    return viewshed(
+        raster, (_VS_ROW, _VS_COL), value_col="n_docs", observer_height=_VS_H
+    )
+
+
+# the twin replays the identical integer arithmetic: half-up rounding via
+# exact floor division floordiv(a,b) = (a - pmod(a,b))/b, cross-multiplied
+# slope test n*(e_sample - h) >= t*(e_target - h); absent tiles elevation 0
+def _sql_floordiv(a: str, b: str) -> str:
+    return f"CAST((({a}) - (((({a}) % ({b})) + ({b})) % ({b}))) / ({b}) AS BIGINT)"
+
+
+SQL_VIEWSHED = f"""
+WITH {_SQL_DOCS}, {_SQL_BBOX}, {_SQL_SQ_CELLS},
+r AS (SELECT row_i, col_i, CAST(count(*) AS BIGINT) AS n_docs FROM c GROUP BY 1, 2),
+obs AS (
+  SELECT COALESCE(SUM(CASE WHEN row_i = {_VS_ROW} AND col_i = {_VS_COL}
+                           THEN n_docs END), 0) + {_VS_H} AS h
+  FROM r
+),
+tgt AS (
+  SELECT row_i, col_i, n_docs,
+         GREATEST(ABS(row_i - {_VS_ROW}), ABS(col_i - {_VS_COL})) AS n
+  FROM r
+),
+line AS (
+  SELECT row_i, col_i, n_docs, n,
+         unnest(generate_series(1, n - 1)) AS t
+  FROM tgt WHERE n > 1
+),
+samp AS (
+  SELECT l.row_i, l.col_i, l.n_docs, l.n, l.t,
+         {_VS_ROW} + {_sql_floordiv(f"2 * l.t * (l.row_i - {_VS_ROW}) + l.n", "2 * l.n")} AS sr,
+         {_VS_COL} + {_sql_floordiv(f"2 * l.t * (l.col_i - {_VS_COL}) + l.n", "2 * l.n")} AS sc
+  FROM line l
+),
+blk AS (
+  SELECT s.row_i, s.col_i,
+         MAX(CASE WHEN s.n * (COALESCE(e.n_docs, 0) - o.h)
+                       >= s.t * (s.n_docs - o.h)
+                  THEN 1 ELSE 0 END) AS blocked
+  FROM samp s CROSS JOIN obs o
+  LEFT JOIN r e ON e.row_i = s.sr AND e.col_i = s.sc
+  GROUP BY 1, 2
+)
+SELECT tg.row_i, tg.col_i, tg.n_docs, CAST(tg.n AS BIGINT) AS los_n,
+       COALESCE(b.blocked, 0) = 0 AS visible
+FROM tgt tg LEFT JOIN blk b ON b.row_i = tg.row_i AND b.col_i = tg.col_i
+"""
+
+
 def q_gi_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Getis-Ord Gi* hot-spot z-score per tile of the count raster (queen
     window incl. self). Integer-scaled numerator A = n·Σ_w x − S·m and
@@ -2549,7 +2615,11 @@ def q_focal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Focal statistics, both kernels in one oracle row: uniform 3×3 queen
     (mean_*) and integer binomial 1-2-1⊗1-2-1 smoothing (gauss_*), joined on
     the tile key. COMPOSED from the single-kernel queries (one source of
-    truth for each formula — the SQL twin composes the same way)."""
+    truth for each formula — the SQL twin composes the same way).
+
+    r5: the row also carries the grid-center viewshed (q_viewshed):
+    ``los_n`` Chebyshev distance and the bit-exact ``visible`` line-of-sight
+    classification per tile."""
     mean = q_focal_mean(spark, sf_dir).select(
         "row_i",
         "col_i",
@@ -2565,7 +2635,8 @@ def q_focal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("focal_n").alias("gauss_n"),
         F.col("focal_mean").alias("gauss_avg"),
     )
-    return mean.join(gauss, ["row_i", "col_i"])
+    vs = q_viewshed(spark, sf_dir).select("row_i", "col_i", "los_n", "visible")
+    return mean.join(gauss, ["row_i", "col_i"]).join(vs, ["row_i", "col_i"])
 
 
 SQL_FOCAL_STATS = f"""
@@ -2573,9 +2644,12 @@ SELECT fm.row_i, fm.col_i, fm.n_docs,
        fm.focal_sum AS mean_sum, fm.focal_n AS mean_n,
        fm.focal_mean AS mean_avg,
        fg.focal_sum AS gauss_sum, fg.focal_n AS gauss_n,
-       fg.focal_mean AS gauss_avg
+       fg.focal_mean AS gauss_avg,
+       vs.los_n, vs.visible
 FROM ({SQL_FOCAL_MEAN}) fm JOIN ({SQL_FOCAL_GAUSS}) fg
   ON fm.row_i = fg.row_i AND fm.col_i = fg.col_i
+JOIN ({SQL_VIEWSHED}) vs
+  ON vs.row_i = fm.row_i AND vs.col_i = fm.col_i
 """
 
 

@@ -570,3 +570,118 @@ def grid_distance_coarse(
         .drop("_cr", "_cc")
         .withColumn("grid_dist_est", F.col("coarse_dist") * factor)
     )
+
+
+def viewshed(
+    raster: DataFrame,
+    observer: tuple[int, int],
+    value_col: str = "n_docs",
+    observer_height: int = 1,
+    max_radius: int | None = None,
+    row_col: str = "row_i",
+    col_col: str = "col_i",
+    out_col: str = "visible",
+) -> DataFrame:
+    """Line-of-sight viewshed over an integer-valued square raster (the
+    classic DEM operation, with the tile value — e.g. doc count — as the
+    elevation surface; terra::viewshed analog, beyond the reference's
+    per-pixel aggregates).
+
+    The observer stands at integer cell ``observer`` at elevation
+    ``elev(observer cell) + observer_height`` (0 + height if that cell is
+    empty — absent tiles have elevation 0 throughout). A target tile is
+    ``visible`` iff no intermediate sample along the discrete sight line
+    rises to or above the line of sight. Sight lines are sampled
+    PARAMETRICALLY: with ``n = max(|Δrow|, |Δcol|)`` (Chebyshev distance),
+    sample ``t = 1..n-1`` lands on cell
+    ``(orow + round(t·Δrow/n), ocol + round(t·Δcol/n))`` with half-up
+    rounding done in EXACT integer arithmetic
+    (``floordiv(2·t·Δ + n, 2·n)`` via pmod), and the blocking test is the
+    cross-multiplied slope comparison ``n·(e_s − h) ≥ t·(e_tgt − h)`` —
+    every quantity an exact BIGINT, so the full classification is
+    bit-reproducible across engines (the DuckDB twin replays the identical
+    integer arithmetic). Targets at ``n ≤ 1`` are always visible.
+
+    Scale shape: the exploded sight-line table is slim (target key, t,
+    sample key) — elevations never ride the explode; they attach by one
+    equi-join on the sample cell. Cost is O(Σ n) ≈ N^1.5 rows for an
+    unbounded viewshed on an N-tile raster — at corpus scale ALWAYS set
+    ``max_radius`` (tiles beyond it are dropped, the standard viewshed
+    contract), which makes the explode O(N · max_radius).
+
+    Three slim integer-keyed shuffles: sample-cell join, per-target max,
+    join back. The observer elevation is a 1-row aggregate broadcast by
+    crossJoin (never a driver collect).
+    """
+    orow, ocol = int(observer[0]), int(observer[1])
+    e = F.col(value_col).cast("long")
+    slim = raster.select(
+        F.col(row_col).cast("long").alias("_r"),
+        F.col(col_col).cast("long").alias("_c"),
+        e.alias("_e"),
+    )
+    # observer eye height: 1-row agg (a SUM over the at-most-one matching
+    # tile -> 0 when the cell is empty), broadcast-crossJoined below
+    obs = slim.agg(
+        (
+            F.coalesce(
+                F.sum(F.when((F.col("_r") == orow) & (F.col("_c") == ocol), F.col("_e"))),
+                F.lit(0).cast("long"),
+            )
+            + F.lit(int(observer_height))
+        ).alias("_h")
+    )
+
+    cheb = F.greatest(F.abs(F.col("_r") - orow), F.abs(F.col("_c") - ocol))
+    tgt = slim.withColumn("_n", cheb)
+    if max_radius is not None:
+        tgt = tgt.filter(F.col("_n") <= int(max_radius))
+
+    def _floordiv(a, b):
+        # exact integer floor division: (a - pmod(a, b)) / b — numerator is
+        # divisible by b, so the double division is exact; works for a < 0
+        return ((a - F.pmod(a, b)) / b).cast("long")
+
+    t_ = F.col("_t")
+    line = (
+        tgt.filter(F.col("_n") > 1)
+        .withColumn("_t", F.explode(F.sequence(F.lit(1), F.col("_n") - 1)))
+        .select(
+            "_r",
+            "_c",
+            "_e",
+            "_n",
+            "_t",
+            (orow + _floordiv(2 * t_ * (F.col("_r") - orow) + F.col("_n"), 2 * F.col("_n"))).alias("_sr"),
+            (ocol + _floordiv(2 * t_ * (F.col("_c") - ocol) + F.col("_n"), 2 * F.col("_n"))).alias("_sc"),
+        )
+    )
+    elev = slim.select(
+        F.col("_r").alias("_sr"), F.col("_c").alias("_sc"), F.col("_e").alias("_se")
+    )
+    blocked = (
+        line.join(elev, ["_sr", "_sc"], "left")
+        .crossJoin(F.broadcast(obs))
+        .groupBy("_r", "_c")
+        .agg(
+            F.max(
+                F.when(
+                    F.col("_n") * (F.coalesce(F.col("_se"), F.lit(0).cast("long")) - F.col("_h"))
+                    >= F.col("_t") * (F.col("_e") - F.col("_h")),
+                    F.lit(1),
+                ).otherwise(F.lit(0))
+            ).alias("_blocked")
+        )
+    )
+    out = (
+        tgt.join(blocked, ["_r", "_c"], "left")
+        .withColumn(out_col, F.coalesce(F.col("_blocked"), F.lit(0)) == 0)
+        .select(
+            F.col("_r").alias(row_col),
+            F.col("_c").alias(col_col),
+            F.col("_e").alias(value_col),
+            F.col("_n").alias("los_n"),
+            out_col,
+        )
+    )
+    return out

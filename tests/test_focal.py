@@ -390,3 +390,73 @@ def test_grid_distance_coarse_validation(spark):
     tdf = spark.createDataFrame([(0, 0)], "row_i long, col_i long")
     with pytest.raises(ValueError, match="factor"):
         grid_distance_coarse(tdf, tdf, factor=0)
+
+
+# ---------------------------------------------------------------------------
+# viewshed
+
+
+def _vs(spark, rows, obs=(0, 0), **kw):
+    from seraster_spark.focal import viewshed
+
+    df = spark.createDataFrame(rows, "row_i long, col_i long, n_docs long")
+    return {
+        (r["row_i"], r["col_i"]): r["visible"]
+        for r in viewshed(df, obs, **kw).collect()
+    }
+
+
+def test_viewshed_wall_occludes_low_but_not_tall(spark):
+    # observer at (0,0) elev 0, eye height 1 -> h=1; wall elev 5 at col 2.
+    # The low tile behind the wall is hidden; the 100-tower is not; the wall
+    # itself and every tile at chebyshev distance <= 1 are visible.
+    vis = _vs(
+        spark,
+        [(0, 0, 0), (0, 2, 5), (0, 4, 0), (0, 6, 100), (1, 1, 0)],
+    )
+    assert vis == {
+        (0, 0): True,
+        (0, 2): True,
+        (0, 4): False,
+        (0, 6): True,
+        (1, 1): True,
+    }
+
+
+def test_viewshed_matches_naive_python(spark):
+    # randomized raster vs a literal per-target python replay of the
+    # contract (same parametric sampling + integer slope test)
+    import random
+
+    rng = random.Random(11)
+    cells = {}
+    for _ in range(160):
+        cells[(rng.randrange(12), rng.randrange(12))] = rng.randrange(8)
+    rows = [(r, c, e) for (r, c), e in cells.items()]
+    obs, height = (5, 6), 2
+    h = cells.get(obs, 0) + height
+
+    def naive(tr, tc, te):
+        n = max(abs(tr - obs[0]), abs(tc - obs[1]))
+        if n <= 1:
+            return True
+        for t in range(1, n):
+            sr = obs[0] + (2 * t * (tr - obs[0]) + n) // (2 * n)
+            sc = obs[1] + (2 * t * (tc - obs[1]) + n) // (2 * n)
+            if n * (cells.get((sr, sc), 0) - h) >= t * (te - h):
+                return False
+        return True
+
+    got = _vs(spark, rows, obs, observer_height=height)
+    assert got == {(r, c): naive(r, c, e) for r, c, e in rows}
+
+
+def test_viewshed_max_radius_and_empty_observer_cell(spark):
+    # observer on an ABSENT tile (elev 0 + height); max_radius drops the
+    # far tile entirely (standard viewshed contract), keeps the near ones
+    rows = [(0, 1, 3), (0, 3, 1), (0, 9, 2)]
+    got = _vs(spark, rows, (0, 0), observer_height=2, max_radius=4)
+    assert set(got) == {(0, 1), (0, 3)}
+    assert got[(0, 1)] is True
+    # h=2, wall elev 3 at t=1 of the n=3 line: 3*(3-2) >= 1*(1-2) -> blocked
+    assert got[(0, 3)] is False

@@ -57,17 +57,33 @@ VALID_FUNS = ("sum", "mean")
 
 
 def _resolve_assay(
-    docs: DataFrame, assay_col: str | None, assay_name: str | None
+    docs: DataFrame,
+    assay_col: str | None,
+    assay_name: str | None,
+    validate: bool = True,
 ) -> DataFrame:
     """Reference assay selection semantics (``R/main.R:315-321,354-359``):
     validate ``assay_name`` against the assays actually present (eager, one
     column-pruned distinct over a low-cardinality column) and default to the
     first (lexicographically, for determinism — a DataFrame has no slot
-    order) when unspecified."""
+    order) when unspecified.
+
+    ``validate=False`` skips the eager distinct job entirely (for callers
+    looping over many rasterizations of the same validated input) — then
+    ``assay_name`` must be explicit, since the default-to-first rule is what
+    needs the distinct; a misspelled assay simply yields an empty result,
+    exactly like any other non-matching filter."""
     if assay_col is None:
         if assay_name is not None:
             raise ValueError("assay_name given but no assay_col to select on")
         return docs
+    if not validate:
+        if assay_name is None:
+            raise ValueError(
+                "validate_assay=False requires an explicit assay_name (the "
+                "default-to-first rule needs the eager distinct scan)"
+            )
+        return docs.filter(F.col(assay_col) == assay_name)
     avail = sorted(
         v for (v,) in docs.select(assay_col).distinct().collect() if v is not None
     )
@@ -222,6 +238,7 @@ def rasterize_gene_expression(
     broadcast_meta: bool = True,
     assay_col: str | None = None,
     assay_name: str | None = None,
+    validate_assay: bool = True,
     keep_empty_feature_tiles: bool = False,
 ) -> DataFrame:
     """Continuous-feature rasterization (reference
@@ -239,7 +256,10 @@ def rasterize_gene_expression(
 
     Multi-assay inputs: pass ``assay_col`` (a discriminator column) and
     optionally ``assay_name`` — validated eagerly against the assays present,
-    defaulting to the first (``R/main.R:315-321``).
+    defaulting to the first (``R/main.R:315-321``). Loop callers rasterizing
+    many assays/resolutions of the same already-validated input can pass
+    ``validate_assay=False`` (with an explicit ``assay_name``) to skip the
+    eager distinct job per invocation.
 
     By default an occupied tile whose member docs ALL have empty ``values``
     arrays yields no output row (sparse long form has nothing to emit),
@@ -259,7 +279,7 @@ def rasterize_gene_expression(
     # grid — the reference's common-bbox invariant (R/main.R:294-308); the
     # assay filter applies only after the grid is fixed
     spec = spec or grid_spec_for(docs, resolution, square=square, bbox=bbox)
-    docs = _resolve_assay(docs, assay_col, assay_name)
+    docs = _resolve_assay(docs, assay_col, assay_name, validate=validate_assay)
     slim = docs.select(*gcols, "doc_id", "x", "y", values_col)
     with_cell = assign_tiles(slim, spec)
     keys = gcols + ["cell_id"]

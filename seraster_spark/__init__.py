@@ -13,6 +13,7 @@ from .focal import (
     grid_distance_coarse,
     label_regions,
     morans_i,
+    terrain,
     viewshed,
 )
 from .grid import GridSpec
@@ -78,6 +79,7 @@ __all__ = [
     "viewshed",
     "label_regions",
     "morans_i",
+    "terrain",
     "heavy_hitters",
     "histogram_quantiles",
     "kmv_distinct",

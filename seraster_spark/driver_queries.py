@@ -2235,6 +2235,53 @@ FROM tgt tg LEFT JOIN blk b ON b.row_i = tg.row_i AND b.col_i = tg.col_i
 """
 
 
+def q_terrain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Horn terrain derivatives over the count raster (focal.terrain):
+    exact-BIGINT ddx/ddy kernel numerators, bit-exact slope_ratio
+    (sqrt + one division on exact integers) and the integer-octant aspect
+    classification."""
+    from .focal import terrain
+
+    t, _ = _sq_tiles(spark, sf_dir)
+    raster = t.groupBy("row_i", "col_i").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+    return terrain(raster, "n_docs", resolution=RES).select(
+        "row_i", "col_i", "ddx_num", "ddy_num", "slope_ratio", "aspect_octant"
+    )
+
+
+SQL_TERRAIN = f"""
+WITH {_SQL_DOCS}, {_SQL_BBOX}, {_SQL_SQ_CELLS},
+r AS (SELECT row_i, col_i, CAST(count(*) AS BIGINT) AS n_docs FROM c GROUP BY 1, 2),
+g AS (
+  SELECT a.row_i, a.col_i,
+         CAST(sum(b.n_docs * (b.col_i - a.col_i)
+                           * (2 - ABS(b.row_i - a.row_i))) AS BIGINT) AS ddx_num,
+         CAST(sum(b.n_docs * (b.row_i - a.row_i)
+                           * (2 - ABS(b.col_i - a.col_i))) AS BIGINT) AS ddy_num
+  FROM r a JOIN r b
+    ON b.row_i BETWEEN a.row_i - 1 AND a.row_i + 1
+   AND b.col_i BETWEEN a.col_i - 1 AND a.col_i + 1
+  GROUP BY 1, 2
+)
+SELECT row_i, col_i, ddx_num, ddy_num,
+       sqrt(CAST(ddx_num * ddx_num + ddy_num * ddy_num AS DOUBLE))
+         / (8.0 * {RES}) AS slope_ratio,
+       CAST(CASE
+            WHEN ddx_num = 0 AND ddy_num = 0 THEN NULL
+            WHEN 2 * ABS(ddy_num) <= ABS(ddx_num)
+              THEN CASE WHEN ddx_num > 0 THEN 0 ELSE 4 END
+            WHEN 2 * ABS(ddx_num) <= ABS(ddy_num)
+              THEN CASE WHEN ddy_num > 0 THEN 2 ELSE 6 END
+            WHEN ddx_num > 0 AND ddy_num > 0 THEN 1
+            WHEN ddx_num < 0 AND ddy_num > 0 THEN 3
+            WHEN ddx_num < 0 AND ddy_num < 0 THEN 5
+            ELSE 7 END AS BIGINT) AS aspect_octant
+FROM g
+"""
+
+
 def q_gi_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Getis-Ord Gi* hot-spot z-score per tile of the count raster (queen
     window incl. self). Integer-scaled numerator A = n·Σ_w x − S·m and
@@ -2245,7 +2292,10 @@ def q_gi_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     distance (focal.grid_distance, rook adjacency through occupied tiles)
     from a deterministic source set; integer hop counts are exact, and the
     DuckDB twin replays the BFS as a bounded recursive CTE. Tiles whose
-    region holds no source read NULL (unreachable) in both engines."""
+    region holds no source read NULL (unreachable) in both engines.
+
+    r5: also carries the Horn terrain derivatives (q_terrain): exact
+    ddx_num/ddy_num, bit-exact slope_ratio, integer aspect_octant."""
     from .focal import getis_ord_gi_star, grid_distance
 
     t, _ = _sq_tiles(spark, sf_dir)
@@ -2258,10 +2308,11 @@ def q_gi_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     # engine raises loudly if the diameter ever exceeds it, so the two
     # sides can never silently diverge on truncated-vs-unreachable
     gd = grid_distance(raster, sources, max_rounds=128)
-    return gi.join(gd, ["row_i", "col_i"], "left")
+    tr = q_terrain(spark, sf_dir)
+    return gi.join(gd, ["row_i", "col_i"], "left").join(tr, ["row_i", "col_i"])
 
 
-SQL_GI_STAR = f"""
+SQL_GI_CORE = f"""
 WITH RECURSIVE {_SQL_DOCS}, {_SQL_BBOX}, {_SQL_SQ_CELLS},
 r AS (SELECT row_i, col_i, CAST(count(*) AS BIGINT) AS n_docs FROM c GROUP BY 1, 2),
 st AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(n_docs) AS BIGINT) AS s,
@@ -2296,6 +2347,13 @@ SELECT w.row_i, w.col_i, w.n_docs, w.window_n,
        gd.grid_dist
 FROM w CROSS JOIN st
 LEFT JOIN gd ON gd.row_i = w.row_i AND gd.col_i = w.col_i
+"""
+
+
+SQL_GI_STAR = f"""
+SELECT gs.*, tr.ddx_num, tr.ddy_num, tr.slope_ratio, tr.aspect_octant
+FROM ({SQL_GI_CORE}) gs JOIN ({SQL_TERRAIN}) tr
+  ON tr.row_i = gs.row_i AND tr.col_i = gs.col_i
 """
 
 

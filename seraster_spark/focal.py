@@ -685,3 +685,102 @@ def viewshed(
         )
     )
     return out
+
+
+def terrain(
+    raster: DataFrame,
+    value_col: str = "n_docs",
+    resolution: float = 1.0,
+    row_col: str = "row_i",
+    col_col: str = "col_i",
+) -> DataFrame:
+    """Horn-method terrain derivatives over an integer-valued square raster
+    (terra::terrain analog — the tile value, e.g. doc count, as the
+    elevation surface; beyond the reference's per-pixel aggregates).
+
+    Per existing tile, the Horn 3×3 finite-difference numerators
+    ``ddx_num = Σ e·dc·(2−|dr|)`` and ``ddy_num = Σ e·dr·(2−|dc|)``
+    (exact BIGINTs — absent neighbors contribute 0, the same convention as
+    :func:`viewshed`), plus:
+
+    - ``slope_ratio`` = rise/run = ``sqrt(ddx² + ddy²) / (8·resolution)``.
+      The argument of sqrt is an exact integer and sqrt / division are
+      single correctly-rounded IEEE ops, so the double is BIT-EXACT across
+      engines (the DuckDB twin replays the identical expression).
+    - ``aspect_octant`` — steepest-ASCENT direction classified into 8
+      integer octants (0=E, 1=NE, 2=N, 3=NW, 4=W, 5=SW, 6=S, 7=SE) with
+      axis/diagonal boundaries at gradient-slope 1/2 and 2 (an
+      integer-exact rule: axis when ``2·min(|gx|,|gy|) ≤ max``, else the
+      sign-quadrant diagonal); NULL where the gradient is exactly flat.
+      Deliberately NOT the atan2-degrees aspect (whose 22.5° boundaries
+      are irrational) — this classification is decidable in exact integer
+      arithmetic, hence oracle-checkable bit-for-bit.
+
+    Same scale shape as :func:`focal_stats`: a constant 8× map-side explode
+    of the tile table re-addressing each value to its neighbors, one
+    groupBy on the target key, one join back — two slim integer-keyed
+    shuffles, tile cardinality throughout.
+    """
+    # the center offset rides along with weight (0, 0) so even an ISOLATED
+    # tile receives one (zero) contribution and survives the inner join —
+    # flat gradient, not a dropped row (the SQL twin's 3×3 self-join always
+    # matches the tile itself the same way)
+    offsets = []
+    for dr in (-1, 0, 1):
+        for dc in (-1, 0, 1):
+            offsets.append((dr, dc, dc * (2 - abs(dr)), dr * (2 - abs(dc))))
+    offs = F.array(
+        *[
+            F.struct(
+                F.lit(dr).alias("dr"),
+                F.lit(dc).alias("dc"),
+                F.lit(wx).alias("wx"),
+                F.lit(wy).alias("wy"),
+            )
+            for dr, dc, wx, wy in offsets
+        ]
+    )
+    e = F.col(value_col).cast("long")
+    contrib = (
+        raster.select(
+            F.col(row_col).cast("long").alias("_r"),
+            F.col(col_col).cast("long").alias("_c"),
+            e.alias("_e"),
+        )
+        .select("_r", "_c", "_e", F.explode(offs).alias("o"))
+        .select(
+            (F.col("_r") - F.col("o.dr")).alias("_tr"),
+            (F.col("_c") - F.col("o.dc")).alias("_tc"),
+            (F.col("_e") * F.col("o.wx")).alias("_vx"),
+            (F.col("_e") * F.col("o.wy")).alias("_vy"),
+        )
+    )
+    grad = contrib.groupBy("_tr", "_tc").agg(
+        F.sum("_vx").alias("ddx_num"), F.sum("_vy").alias("ddy_num")
+    )
+    gx, gy = F.col("ddx_num"), F.col("ddy_num")
+    ax, ay = F.abs(gx), F.abs(gy)
+    octant = (
+        F.when((gx == 0) & (gy == 0), F.lit(None).cast("long"))
+        .when(2 * ay <= ax, F.when(gx > 0, F.lit(0)).otherwise(F.lit(4)))
+        .when(2 * ax <= ay, F.when(gy > 0, F.lit(2)).otherwise(F.lit(6)))
+        .when((gx > 0) & (gy > 0), F.lit(1))
+        .when((gx < 0) & (gy > 0), F.lit(3))
+        .when((gx < 0) & (gy < 0), F.lit(5))
+        .otherwise(F.lit(7))
+        .cast("long")
+    )
+    return (
+        raster.join(
+            grad,
+            (F.col(row_col) == F.col("_tr")) & (F.col(col_col) == F.col("_tc")),
+            "inner",
+        )
+        .drop("_tr", "_tc")
+        .withColumn(
+            "slope_ratio",
+            F.sqrt((gx * gx + gy * gy).cast("double"))
+            / F.lit(8.0 * float(resolution)),
+        )
+        .withColumn("aspect_octant", octant)
+    )

@@ -460,3 +460,72 @@ def test_viewshed_max_radius_and_empty_observer_cell(spark):
     assert got[(0, 1)] is True
     # h=2, wall elev 3 at t=1 of the n=3 line: 3*(3-2) >= 1*(1-2) -> blocked
     assert got[(0, 3)] is False
+
+
+# ---------------------------------------------------------------------------
+# terrain (Horn slope/aspect)
+
+
+def test_terrain_matches_naive_python(spark):
+    """Randomized raster vs a literal python replay of the Horn kernel +
+    octant rule; isolated tiles survive with a flat gradient (NULL octant,
+    slope 0)."""
+    import math
+    import random
+
+    from seraster_spark.focal import terrain
+
+    rng = random.Random(5)
+    cells = {(rng.randrange(10), rng.randrange(10)): rng.randrange(50) for _ in range(60)}
+    cells[(20, 20)] = 7  # isolated tile
+    rows = [(r, c, e) for (r, c), e in cells.items()]
+    df = spark.createDataFrame(rows, "row_i long, col_i long, n_docs long")
+    got = {
+        (r["row_i"], r["col_i"]): (
+            r["ddx_num"], r["ddy_num"], r["slope_ratio"], r["aspect_octant"]
+        )
+        for r in terrain(df, "n_docs", resolution=100.0).collect()
+    }
+    assert set(got) == set(cells)
+
+    def naive(r, c):
+        gx = gy = 0
+        for dr in (-1, 0, 1):
+            for dc in (-1, 0, 1):
+                e = cells.get((r + dr, c + dc), 0)
+                gx += e * dc * (2 - abs(dr))
+                gy += e * dr * (2 - abs(dc))
+        if gx == 0 and gy == 0:
+            oct_ = None
+        elif 2 * abs(gy) <= abs(gx):
+            oct_ = 0 if gx > 0 else 4
+        elif 2 * abs(gx) <= abs(gy):
+            oct_ = 2 if gy > 0 else 6
+        else:
+            oct_ = {(1, 1): 1, (-1, 1): 3, (-1, -1): 5, (1, -1): 7}[
+                (1 if gx > 0 else -1, 1 if gy > 0 else -1)
+            ]
+        return gx, gy, math.sqrt(gx * gx + gy * gy) / 800.0, oct_
+
+    for (r, c), v in got.items():
+        assert v == naive(r, c), (r, c, v, naive(r, c))
+    assert got[(20, 20)] == (0, 0, 0.0, None)
+
+
+def test_terrain_uniform_interior_is_flat(spark):
+    """On a constant-elevation filled block, every INTERIOR tile is flat
+    (the Horn kernel annihilates constants); edge tiles feel the implicit
+    0-elevation outside."""
+    from seraster_spark.focal import terrain
+
+    rows = [(r, c, 9) for r in range(5) for c in range(5)]
+    df = spark.createDataFrame(rows, "row_i long, col_i long, n_docs long")
+    out = {
+        (r["row_i"], r["col_i"]): (r["ddx_num"], r["ddy_num"], r["aspect_octant"])
+        for r in terrain(df, "n_docs").collect()
+    }
+    for r in range(1, 4):
+        for c in range(1, 4):
+            assert out[(r, c)] == (0, 0, None)
+    # west edge: outside is lower -> steepest ascent points east (octant 0)
+    assert out[(2, 0)][2] == 0

@@ -400,13 +400,24 @@ def _mc_control(nproc: int = 32, iters: int = 400) -> float:
     q = mp.Queue()
     ps = [mp.Process(target=_burn, args=(q,)) for _ in range(nproc)]
     t0 = time.time()
-    for p in ps:
-        p.start()
-    for _ in range(nproc):
-        q.get(timeout=600)
-    wall = time.time() - t0
-    for p in ps:
-        p.join(timeout=10)
+    try:
+        for p in ps:
+            p.start()
+        for _ in range(nproc):
+            q.get(timeout=600)
+        wall = time.time() - t0
+    except Exception:
+        # a dead/stalled burn process must NOT crash the bench (the END
+        # control runs after the full measurement window — losing the JSON
+        # artifact there would discard the whole window); report inf =
+        # maximally out-of-band
+        wall = float("inf")
+    finally:
+        for p in ps:
+            # kill stragglers: leftover burners would poison a retry window
+            if p.is_alive():
+                p.terminate()
+            p.join(timeout=10)
     return wall
 
 
@@ -428,7 +439,8 @@ def main() -> None:
             waited += 30.0
             c0 = _mc_control()
         ctl = {
-            "control_start_s": round(c0, 3),
+            # inf (control crashed/stalled) -> JSON null, strict-parser safe
+            "control_start_s": round(c0, 3) if c0 != float("inf") else None,
             "control_wait_s": round(waited, 1),
             "control_clean_s": _CONTROL_CLEAN_S,
             "control_band_x": _CONTROL_BAND_X,
@@ -443,11 +455,9 @@ def main() -> None:
     # window_healthy = both controls in band, self-evident in the artifact
     if ctl:
         c1 = _mc_control()
-        ctl["control_end_s"] = round(c1, 3)
-        ctl["window_healthy"] = bool(
-            ctl["control_start_s"] <= _CONTROL_BAND_X * _CONTROL_CLEAN_S
-            and c1 <= _CONTROL_BAND_X * _CONTROL_CLEAN_S
-        )
+        ctl["control_end_s"] = round(c1, 3) if c1 != float("inf") else None
+        band = _CONTROL_BAND_X * _CONTROL_CLEAN_S
+        ctl["window_healthy"] = bool(c0 <= band and c1 <= band)
     sf = sf_dir.rstrip("/").split("sf")[-1]
     out = {
         "metric": "rasterization_docs_per_sec",

@@ -101,6 +101,16 @@ def _sq_tiles(spark: SparkSession, sf_dir: str, res: float = RES) -> tuple[DataF
 # query implementations
 
 
+def _count_raster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The (row_i, col_i, n_docs) count raster every focal/terrain/viewshed
+    query operates on — composed queries build it ONCE and pass it down so
+    one oracle evaluation scans the corpus once, not once per sub-query."""
+    t, _ = _sq_tiles(spark, sf_dir)
+    return t.groupBy("row_i", "col_i").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+
+
 def q_bbox_pad(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = docs_with_coords(spark, sf_dir)
     return d.agg(
@@ -2051,17 +2061,14 @@ FROM r
 """
 
 
-def q_focal_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_focal_mean(spark: SparkSession, sf_dir: str, _raster: DataFrame | None = None) -> DataFrame:
     """Focal (moving-window 3×3 queen, center included) statistics over the
     square count raster: per existing tile, the sum/count/mean of doc counts
     over its existing neighbors. Raster-cardinality neighborhood join —
     constant 9× explode of the aggregated tiles, never a doc-level op."""
     from .focal import focal_stats
 
-    t, _ = _sq_tiles(spark, sf_dir)
-    raster = t.groupBy("row_i", "col_i").agg(
-        F.count(F.lit(1)).cast("long").alias("n_docs")
-    )
+    raster = _raster if _raster is not None else _count_raster(spark, sf_dir)
     return focal_stats(raster, "n_docs").select(
         "row_i", "col_i", "n_docs", "focal_sum", "focal_n", "focal_mean"
     )
@@ -2134,17 +2141,14 @@ FROM g GROUP BY 1, 2
 """
 
 
-def q_focal_gauss(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_focal_gauss(spark: SparkSession, sf_dir: str, _raster: DataFrame | None = None) -> DataFrame:
     """Weighted focal smoothing with the integer binomial 1-2-1⊗1-2-1
     kernel (center 4, edges 2, corners 1) — kernel smoothing with exact
     integer weights, so the smoothed surface is oracle-checkable. The SQL
     twin derives the same weights arithmetically: w = (2−|Δrow|)·(2−|Δcol|)."""
     from .focal import binomial_kernel, focal_stats
 
-    t, _ = _sq_tiles(spark, sf_dir)
-    raster = t.groupBy("row_i", "col_i").agg(
-        F.count(F.lit(1)).cast("long").alias("n_docs")
-    )
+    raster = _raster if _raster is not None else _count_raster(spark, sf_dir)
     return focal_stats(raster, "n_docs", kernel=binomial_kernel(1)).select(
         "row_i", "col_i", "n_docs", "focal_sum", "focal_n", "focal_mean"
     )
@@ -2172,7 +2176,7 @@ GROUP BY a.row_i, a.col_i, a.n_docs
 _VS_ROW, _VS_COL, _VS_H = 10, 15, 1  # viewshed observer: grid center, eye +1
 
 
-def q_viewshed(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_viewshed(spark: SparkSession, sf_dir: str, _raster: DataFrame | None = None) -> DataFrame:
     """Line-of-sight viewshed over the count raster (doc count as the
     elevation surface), observer at the grid-center cell: per tile, its
     Chebyshev distance to the observer (los_n) and whether it is visible —
@@ -2180,10 +2184,7 @@ def q_viewshed(spark: SparkSession, sf_dir: str) -> DataFrame:
     boolean classification is bit-reproducible in the DuckDB twin."""
     from .focal import viewshed
 
-    t, _ = _sq_tiles(spark, sf_dir)
-    raster = t.groupBy("row_i", "col_i").agg(
-        F.count(F.lit(1)).cast("long").alias("n_docs")
-    )
+    raster = _raster if _raster is not None else _count_raster(spark, sf_dir)
     return viewshed(
         raster, (_VS_ROW, _VS_COL), value_col="n_docs", observer_height=_VS_H
     )
@@ -2235,17 +2236,14 @@ FROM tgt tg LEFT JOIN blk b ON b.row_i = tg.row_i AND b.col_i = tg.col_i
 """
 
 
-def q_terrain(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_terrain(spark: SparkSession, sf_dir: str, _raster: DataFrame | None = None) -> DataFrame:
     """Horn terrain derivatives over the count raster (focal.terrain):
     exact-BIGINT ddx/ddy kernel numerators, bit-exact slope_ratio
     (sqrt + one division on exact integers) and the integer-octant aspect
     classification."""
     from .focal import terrain
 
-    t, _ = _sq_tiles(spark, sf_dir)
-    raster = t.groupBy("row_i", "col_i").agg(
-        F.count(F.lit(1)).cast("long").alias("n_docs")
-    )
+    raster = _raster if _raster is not None else _count_raster(spark, sf_dir)
     return terrain(raster, "n_docs", resolution=RES).select(
         "row_i", "col_i", "ddx_num", "ddy_num", "slope_ratio", "aspect_octant"
     )
@@ -2282,7 +2280,7 @@ FROM g
 """
 
 
-def q_gi_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_gi_star(spark: SparkSession, sf_dir: str, _raster: DataFrame | None = None) -> DataFrame:
     """Getis-Ord Gi* hot-spot z-score per tile of the count raster (queen
     window incl. self). Integer-scaled numerator A = n·Σ_w x − S·m and
     variance core D = (n·S2 − S²)·m·(n−m) are exact BIGINTs; the z-score
@@ -2298,17 +2296,20 @@ def q_gi_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     ddx_num/ddy_num, bit-exact slope_ratio, integer aspect_octant."""
     from .focal import getis_ord_gi_star, grid_distance
 
-    t, _ = _sq_tiles(spark, sf_dir)
-    raster = t.groupBy("row_i", "col_i").agg(
-        F.count(F.lit(1)).cast("long").alias("n_docs")
-    )
+    raster = _raster if _raster is not None else _count_raster(spark, sf_dir)
     gi = getis_ord_gi_star(raster, "n_docs")
     sources = raster.filter((F.col("row_i") * 31 + F.col("col_i") * 17) % 11 == 0)
     # max_rounds MATCHES the oracle CTE's recursion bound (d < 128): the
     # engine raises loudly if the diameter ever exceeds it, so the two
     # sides can never silently diverge on truncated-vs-unreachable
     gd = grid_distance(raster, sources, max_rounds=128)
-    tr = q_terrain(spark, sf_dir)
+    # terrain over the SAME raster frame (not q_terrain, which would
+    # rebuild the identical raster with one extra corpus scan + shuffle)
+    from .focal import terrain
+
+    tr = terrain(raster, "n_docs", resolution=RES).select(
+        "row_i", "col_i", "ddx_num", "ddy_num", "slope_ratio", "aspect_octant"
+    )
     return gi.join(gd, ["row_i", "col_i"], "left").join(tr, ["row_i", "col_i"])
 
 
@@ -2389,17 +2390,14 @@ QUALIFY rnk <= 1
 """
 
 
-def q_raster_regions(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_raster_regions(spark: SparkSession, sf_dir: str, _raster: DataFrame | None = None) -> DataFrame:
     """Connected-region (patch) labeling: rook-adjacent occupied tiles
     merged into regions (focal.label_regions = neighbor-explode edges +
     distributed hash-min components), then per-region stats. Oracle:
     recursive-CTE label closure over the same adjacency."""
     from .focal import label_regions
 
-    t, _ = _sq_tiles(spark, sf_dir)
-    raster = t.groupBy("row_i", "col_i").agg(
-        F.count(F.lit(1)).cast("long").alias("n_docs")
-    )
+    raster = _raster if _raster is not None else _count_raster(spark, sf_dir)
     lab = label_regions(raster, queen=False)
     return lab.groupBy("region_id").agg(
         F.count(F.lit(1)).alias("n_tiles"),
@@ -2435,17 +2433,14 @@ GROUP BY 1
 """
 
 
-def q_moran_i(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_moran_i(spark: SparkSession, sf_dir: str, _raster: DataFrame | None = None) -> DataFrame:
     """Global Moran's I (queen contiguity, binary weights) of the per-tile
     doc counts. Integer-scaled deviations (n·x − Σx) keep numerator and
     denominator exact BIGINTs; the statistic is the single final division,
     bit-identical in DuckDB."""
     from .focal import morans_i
 
-    t, _ = _sq_tiles(spark, sf_dir)
-    raster = t.groupBy("row_i", "col_i").agg(
-        F.count(F.lit(1)).cast("long").alias("n_docs")
-    )
+    raster = _raster if _raster is not None else _count_raster(spark, sf_dir)
     return morans_i(raster, "n_docs")
 
 
@@ -2678,7 +2673,8 @@ def q_focal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     r5: the row also carries the grid-center viewshed (q_viewshed):
     ``los_n`` Chebyshev distance and the bit-exact ``visible`` line-of-sight
     classification per tile."""
-    mean = q_focal_mean(spark, sf_dir).select(
+    raster = _count_raster(spark, sf_dir)
+    mean = q_focal_mean(spark, sf_dir, _raster=raster).select(
         "row_i",
         "col_i",
         "n_docs",
@@ -2686,14 +2682,16 @@ def q_focal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("focal_n").alias("mean_n"),
         F.col("focal_mean").alias("mean_avg"),
     )
-    gauss = q_focal_gauss(spark, sf_dir).select(
+    gauss = q_focal_gauss(spark, sf_dir, _raster=raster).select(
         "row_i",
         "col_i",
         F.col("focal_sum").alias("gauss_sum"),
         F.col("focal_n").alias("gauss_n"),
         F.col("focal_mean").alias("gauss_avg"),
     )
-    vs = q_viewshed(spark, sf_dir).select("row_i", "col_i", "los_n", "visible")
+    vs = q_viewshed(spark, sf_dir, _raster=raster).select(
+        "row_i", "col_i", "los_n", "visible"
+    )
     return mean.join(gauss, ["row_i", "col_i"]).join(vs, ["row_i", "col_i"])
 
 

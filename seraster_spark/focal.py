@@ -436,6 +436,8 @@ def grid_distance(
     its error bound. Hex rasters: pass ``offsets=hex_offsets()`` over
     axial (r, q).
     """
+    if compact_every < 1:
+        raise ValueError(f"compact_every must be >= 1, got {compact_every}")
     offs = offsets if offsets is not None else neighbor_offsets(1, queen=queen)
     keys = [row_col, col_col]
     to_free: list = []  # release handles for everything superseded
@@ -506,6 +508,14 @@ def grid_distance(
                 f"or coarsen first (grid_distance_coarse)"
             )
         return compact(dist)
+    except BaseException:
+        # error path (max_rounds exhaustion or any mid-loop failure): drain
+        # every tracked round checkpoint too — otherwise each failed attempt
+        # leaks its block sets until driver GC (the no-leaked-persists rule)
+        for f in to_free:
+            f()
+        to_free = []
+        raise
     finally:
         occ_release()
 
@@ -761,7 +771,10 @@ def terrain(
     gx, gy = F.col("ddx_num"), F.col("ddy_num")
     ax, ay = F.abs(gx), F.abs(gy)
     octant = (
-        F.when((gx == 0) & (gy == 0), F.lit(None).cast("long"))
+        # NULL elevations yield NULL numerators: classify as NULL (no
+        # gradient information), not the fall-through .otherwise branch
+        F.when(gx.isNull() | gy.isNull(), F.lit(None).cast("long"))
+        .when((gx == 0) & (gy == 0), F.lit(None).cast("long"))
         .when(2 * ay <= ax, F.when(gx > 0, F.lit(0)).otherwise(F.lit(4)))
         .when(2 * ax <= ay, F.when(gy > 0, F.lit(2)).otherwise(F.lit(6)))
         .when((gx > 0) & (gy > 0), F.lit(1))

@@ -42,24 +42,38 @@ def norm_expr(vec) -> "F.Column":
 
 @F.pandas_udf(T.DoubleType())
 def _cosine_arrow(a: pd.Series, b: pd.Series) -> pd.Series:
-    """Row-wise cosine(a, b), one numpy pass per Arrow batch. NULL parity
-    with the HOF fold (which uses try_divide): a NULL on either side — or a
-    zero norm — returns NULL, never NaN (NaN sorts ABOVE every real value
-    in Spark's double ordering and would poison a descending top-k)."""
+    """Row-wise cosine(a, b), one vectorized numpy pass per (Arrow batch ×
+    distinct dimension). Degenerate rows yield NULL — never NaN, and never
+    a task failure: NULL on either side, a zero norm, MISMATCHED vector
+    lengths in a pair (a truncated/corrupt embedding must not abort a
+    corpus scan), or a non-finite outcome (NaN elements). NaN would sort
+    ABOVE every real value in Spark's double ordering and poison a
+    descending top-k; the HOF fold instead propagates NaN and NULLs
+    mismatched lengths via zip_with padding — bit-parity between the two
+    impls is guaranteed for finite, equal-length, integer-valued inputs
+    (the oracle regime)."""
     n = len(a)
     out = np.full(n, np.nan, dtype=np.float64)
     mask = a.notna().to_numpy() & b.notna().to_numpy()
     if mask.any():
-        ma = np.stack([np.asarray(v, dtype=np.float64) for v in a[mask]])
-        mb = np.stack([np.asarray(v, dtype=np.float64) for v in b[mask]])
-        num = np.einsum("ij,ij->i", ma, mb)
-        den = np.sqrt(np.einsum("ij,ij->i", ma, ma)) * np.sqrt(
-            np.einsum("ij,ij->i", mb, mb)
-        )
-        good = den > 0
-        sub = np.full(mask.sum(), np.nan, dtype=np.float64)
-        sub[good] = num[good] / den[good]
-        out[mask] = sub
+        idx = np.flatnonzero(mask)
+        la = np.fromiter((len(a.iat[i]) for i in idx), dtype=np.int64, count=len(idx))
+        lb = np.fromiter((len(b.iat[i]) for i in idx), dtype=np.int64, count=len(idx))
+        eq = la == lb
+        for dim in np.unique(la[eq]):
+            if dim == 0:
+                continue  # zero-dim pair: den 0 -> NULL
+            sel = idx[eq & (la == dim)]
+            ma = np.stack([np.asarray(a.iat[i], dtype=np.float64) for i in sel])
+            mb = np.stack([np.asarray(b.iat[i], dtype=np.float64) for i in sel])
+            num = np.einsum("ij,ij->i", ma, mb)
+            den = np.sqrt(np.einsum("ij,ij->i", ma, ma)) * np.sqrt(
+                np.einsum("ij,ij->i", mb, mb)
+            )
+            good = den > 0  # False for NaN dens too
+            sub = np.full(len(sel), np.nan, dtype=np.float64)
+            sub[good] = num[good] / den[good]
+            out[sel] = sub
     res = pd.array(out, dtype="Float64")
     res[np.isnan(out)] = pd.NA
     return pd.Series(res, dtype="Float64")

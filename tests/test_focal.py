@@ -529,3 +529,42 @@ def test_terrain_uniform_interior_is_flat(spark):
             assert out[(r, c)] == (0, 0, None)
     # west edge: outside is lower -> steepest ascent points east (octant 0)
     assert out[(2, 0)][2] == 0
+
+
+def test_grid_distance_error_path_releases_checkpoints(spark):
+    """r5 review fix: the max_rounds-exhaustion error (and any mid-loop
+    failure) drains every tracked round checkpoint — repeated failed
+    attempts must not accumulate executor storage. compact_every is also
+    validated."""
+    import pytest as _pt
+
+    from seraster_spark.focal import grid_distance
+
+    tiles = [(0, c, ) for c in range(12)]
+    tdf = spark.createDataFrame([(r, c) for r, c in ((0, c) for c in range(12))],
+                                "row_i long, col_i long")
+    sdf = spark.createDataFrame([(0, 0)], "row_i long, col_i long")
+    jsc = spark.sparkContext._jsc
+    before = set(jsc.getPersistentRDDs().keySet().toArray())
+    with _pt.raises(ValueError, match="max_rounds"):
+        grid_distance(tdf, sdf, max_rounds=3)
+    leaked = set(jsc.getPersistentRDDs().keySet().toArray()) - before
+    assert leaked == set(), leaked
+    with _pt.raises(ValueError, match="compact_every"):
+        grid_distance(tdf, sdf, compact_every=0)
+
+
+def test_terrain_null_elevation_gives_null_octant(spark):
+    """r5 review fix: a NULL elevation makes the kernel numerators NULL —
+    classified as NULL octant (no gradient information), never the
+    .otherwise() fall-through octant 7."""
+    from seraster_spark.focal import terrain
+
+    df = spark.createDataFrame(
+        [(5, 5, None), (0, 0, 3)], "row_i long, col_i long, n_docs long"
+    )
+    got = {
+        (r["row_i"], r["col_i"]): (r["ddx_num"], r["aspect_octant"])
+        for r in terrain(df, "n_docs").collect()
+    }
+    assert got[(5, 5)] == (None, None)

@@ -248,3 +248,28 @@ def test_cosine_arrow_hof_parity(spark):
 
     with _pt.raises(ValueError, match="exact_impl"):
         cosine_expr(F.col("a"), F.col("b"), "nope")
+
+
+def test_cosine_arrow_survives_ragged_and_empty_vectors(spark):
+    """r5 review fix: a truncated/corrupt embedding (mismatched pair
+    lengths) or an empty vector yields NULL — never a task failure
+    (np.stack on ragged input used to abort the whole scan) and never NaN
+    (which would sort above every real cosine in a desc top-k)."""
+    from seraster_spark.similarity import cosine_expr
+
+    rows = [
+        (0, [1.0, 2.0, 3.0], [1.0, 2.0, 3.0]),   # clean -> 1.0
+        (1, [1.0, 2.0], [1.0, 2.0, 3.0]),         # ragged -> NULL
+        (2, [], []),                               # empty -> NULL
+        (3, [float("nan"), 1.0], [1.0, 1.0]),      # NaN element -> NULL
+        (4, None, [1.0]),                          # NULL side -> NULL
+    ]
+    df = spark.createDataFrame(rows, "i long, a array<double>, b array<double>")
+    got = {
+        r["i"]: r["c"]
+        for r in df.select(
+            "i", cosine_expr(F.col("a"), F.col("b"), "arrow").alias("c")
+        ).collect()
+    }
+    assert got[0] == 1.0
+    assert got[1] is None and got[2] is None and got[3] is None and got[4] is None

@@ -20,6 +20,8 @@ from .grid import GridSpec
 from .joins import asof_join, asof_join_bucketed, interval_join
 from .knn import knn_join
 from .sketch import (
+    bloom_filter_build,
+    bloom_maybe_contains,
     hash_sample,
     heavy_hitters,
     histogram_quantiles,
@@ -85,6 +87,8 @@ __all__ = [
     "kmv_distinct",
     "md5_uniform",
     "hash_sample",
+    "bloom_filter_build",
+    "bloom_maybe_contains",
     "spatial_join",
     "raster_algebra",
     "filter_by_polygon",

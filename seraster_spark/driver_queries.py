@@ -1274,7 +1274,13 @@ def q_incremental_new(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental ingestion dedup: an incoming batch = mutated copies of
     every 10th doc (genuinely new content) ∪ verbatim re-ingests of every
     5th doc (duplicates of history). Only the mutated docs survive the
-    content-hash anti-join against the historical corpus."""
+    content-hash anti-join against the historical corpus.
+
+    Runs the Bloom-prefiltered path (``method="bloom"``): the word-table
+    probe routes definitely-new docs around the join entirely and the
+    maybe-seen sliver through the exact anti-join — output identical to
+    the plain anti-join by construction, so the SQL twin below stays the
+    exact NOT EXISTS (the oracle proves the prefilter loses nothing)."""
     d = read_table(spark, sf_dir, "documents").select("doc_id", "text")
     incoming = (
         d.filter(F.col("doc_id") % 10 == 0)
@@ -1288,7 +1294,10 @@ def q_incremental_new(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
-    return TX.new_documents(incoming, d).select("doc_id", "content_hash")
+    out = TX.new_documents(
+        incoming, d, method="bloom", bloom_bits=1 << 18, bloom_hashes=5
+    )
+    return out.select("doc_id", "content_hash")
 
 
 SQL_INCREMENTAL_NEW = f"""

@@ -296,27 +296,72 @@ def exact_dedup(
 
 
 def new_documents(
-    incoming: DataFrame, historical: DataFrame, text_col: str = "text"
+    incoming: DataFrame,
+    historical: DataFrame,
+    text_col: str = "text",
+    method: str = "antijoin",
+    bloom_words: DataFrame | None = None,
+    bloom_bits: int = 1 << 23,
+    bloom_hashes: int = 5,
 ) -> DataFrame:
     """Incremental ingestion dedup: the incoming rows whose content hash
     does not appear in the historical corpus (the daily-batch counterpart
     of ``exact_dedup`` — dedup *against a snapshot* instead of within one).
 
-    100 TB shape: the historical side collapses to DISTINCT content hashes
-    before the anti-join — a hash-only shuffle with map-side combine; no
-    payload from either side rides the exchange (the anti-join output is
-    resolved on the slim hash key, and Catalyst prunes incoming payload
-    columns the consumer doesn't select). When the incoming batch is small
-    relative to history, AQE broadcast-flips the join automatically.
+    100 TB shape, ``method="antijoin"``: the historical side collapses to
+    DISTINCT content hashes before the anti-join — a hash-only shuffle with
+    map-side combine; no payload from either side rides the exchange (the
+    anti-join output is resolved on the slim hash key, and Catalyst prunes
+    incoming payload columns the consumer doesn't select). When the
+    incoming batch is small relative to history, AQE broadcast-flips the
+    join automatically.
+
+    ``method="bloom"``: when HISTORY is the huge side (the steady state of
+    a training-data ingest: petabytes of corpus, a daily batch of new
+    docs), the plain anti-join must shuffle BOTH sides on the hash. The
+    bloom path instead probes a broadcastable Bloom word table
+    (:func:`~seraster_spark.sketch.bloom_filter_build` — ≤ bloom_bits/64
+    int64 rows) with pure-JVM broadcast joins: rows the filter rules out
+    are DEFINITELY new and bypass the join entirely (map-only); only the
+    maybe-seen sliver (true dupes + the filter's false-positive rate)
+    pays the exact anti-join. Output is row-for-row IDENTICAL to
+    ``antijoin`` — Bloom filters have no false negatives, and every false
+    positive is re-checked exactly. Pass a persisted ``bloom_words`` table
+    (built once, reused across batches) to skip rebuilding the filter —
+    the production shape; when omitted it is built from ``historical``
+    in-line. Size ``bloom_bits`` ≈ 10× the historical distinct-hash count
+    for a ~1% false-positive rate at ``bloom_hashes=5``.
+
     NULL text hashes through the same sentinel as ``exact_dedup`` so NULL
     incoming docs dedup against NULL historical docs instead of slipping
     through md5(NULL)=NULL.
     """
     h = F.coalesce(F.md5(F.col(text_col)), F.lit("__null_text__"))
     seen = historical.select(h.alias("content_hash")).distinct()
-    return incoming.withColumn("content_hash", h).join(
-        seen, "content_hash", "left_anti"
+    inc = incoming.withColumn("content_hash", h)
+    if method == "antijoin":
+        return inc.join(seen, "content_hash", "left_anti")
+    if method != "bloom":
+        raise ValueError(f"method must be 'antijoin' or 'bloom': {method!r}")
+    from . import sketch as _sk
+
+    words = (
+        bloom_words
+        if bloom_words is not None
+        else _sk.bloom_filter_build(seen, F.col("content_hash"), bloom_bits, bloom_hashes)
     )
+    flagged = _sk.bloom_maybe_contains(
+        inc, F.col("content_hash"), words, bloom_bits, bloom_hashes, "_bloom_maybe"
+    )
+    definite = flagged.filter(~F.col("_bloom_maybe")).drop("_bloom_maybe")
+    residual = (
+        flagged.filter(F.col("_bloom_maybe"))
+        .drop("_bloom_maybe")
+        .join(seen, "content_hash", "left_anti")
+    )
+    # two branches = two incoming scans, but both are map-side column-pruned
+    # parquet reads; the win is that the full batch never rides a shuffle.
+    return definite.unionByName(residual)
 
 
 # ---------------------------------------------------------------------------

@@ -337,3 +337,87 @@ def test_heavy_hitters_single_hot_batch_bounded(spark):
     assert {r["key"] for r in got} == {"H0", "H1", "H2"}
     for r in got:
         assert r["est_count"] <= 5_000 <= r["est_count"] + d
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter word table
+
+
+def test_bloom_no_false_negatives(spark):
+    from seraster_spark.sketch import bloom_filter_build, bloom_maybe_contains
+
+    keys = _vals(spark, 500)
+    words = bloom_filter_build(keys, F.col("s"), num_bits=1 << 14, num_hashes=5)
+    probed = bloom_maybe_contains(
+        keys, F.col("s"), words, 1 << 14, 5, "maybe"
+    )
+    # every inserted key MUST probe positive
+    assert probed.filter(~F.col("maybe")).count() == 0
+
+
+def test_bloom_rules_out_most_absent_keys(spark):
+    from seraster_spark.sketch import bloom_filter_build, bloom_maybe_contains
+
+    keys = _vals(spark, 500)
+    absent = spark.range(500).selectExpr("concat('other_', id) AS s")
+    # 16384 bits for 500 keys (~33 bits/key), k=5 -> fp well under 1%
+    words = bloom_filter_build(keys, F.col("s"), num_bits=1 << 14, num_hashes=5)
+    fp = (
+        bloom_maybe_contains(absent, F.col("s"), words, 1 << 14, 5, "maybe")
+        .filter(F.col("maybe"))
+        .count()
+    )
+    assert fp <= 25, f"false-positive count unexpectedly high: {fp}/500"
+
+
+def test_bloom_build_is_partitioning_invariant(spark):
+    from seraster_spark.sketch import bloom_filter_build
+
+    keys = _vals(spark, 300)
+    a = {
+        r["word_ix"]: r["word"]
+        for r in bloom_filter_build(
+            keys.repartition(1), F.col("s"), num_bits=1 << 12, num_hashes=3
+        ).collect()
+    }
+    b = {
+        r["word_ix"]: r["word"]
+        for r in bloom_filter_build(
+            keys.repartition(13), F.col("s"), num_bits=1 << 12, num_hashes=3
+        ).collect()
+    }
+    assert a == b
+
+
+def test_bloom_word_table_bounded(spark):
+    from seraster_spark.sketch import bloom_filter_build
+
+    keys = _vals(spark, 2000)
+    words = bloom_filter_build(keys, F.col("s"), num_bits=1 << 10, num_hashes=7)
+    rows = words.collect()
+    assert len(rows) <= (1 << 10) // 64
+    assert all(0 <= r["word_ix"] < (1 << 10) // 64 for r in rows)
+
+
+def test_bloom_rejects_bad_params(spark):
+    from seraster_spark.sketch import bloom_filter_build
+
+    keys = _vals(spark, 10)
+    with pytest.raises(ValueError):
+        bloom_filter_build(keys, F.col("s"), num_bits=100, num_hashes=2)
+    with pytest.raises(ValueError):
+        bloom_filter_build(keys, F.col("s"), num_bits=1 << 10, num_hashes=0)
+
+
+def test_bloom_probe_stays_broadcast_and_unshuffled(spark):
+    """The prefilter's 100 TB contract: the probed side is joined only by
+    BroadcastHashJoin — no SortMergeJoin and no hash-partitioning exchange
+    of the probe side anywhere in the prefilter plan."""
+    from seraster_spark.sketch import bloom_filter_build, bloom_maybe_contains
+
+    keys = _vals(spark, 200)
+    words = bloom_filter_build(keys, F.col("s"), num_bits=1 << 12, num_hashes=4)
+    probed = bloom_maybe_contains(keys, F.col("s"), words, 1 << 12, 4, "maybe")
+    plan = probed._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan, plan
+    assert plan.count("BroadcastHashJoin") == 4, plan

@@ -506,3 +506,88 @@ def test_dedup_clusters_no_component_window(spark):
     assert rows == {1: (1, 3, True), 2: (1, 3, False), 3: (1, 3, False)}
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Window" not in plan, plan
+
+
+def test_new_documents_bloom_parity(spark):
+    """The bloom-prefiltered path must be row-for-row identical to the
+    exact anti-join — no false negatives by construction, false positives
+    re-checked exactly."""
+    hist = spark.createDataFrame(
+        [(i, f"doc {i % 40}") for i in range(100)] + [(900, None)],
+        "doc_id long, text string",
+    )
+    inc = spark.createDataFrame(
+        [(1000 + i, f"doc {i}") for i in range(80)]  # i>=40 genuinely new
+        + [(2000, None), (2001, "fresh content")],
+        "doc_id long, text string",
+    )
+    a = sorted(
+        (r["doc_id"], r["content_hash"])
+        for r in X.new_documents(inc, hist).collect()
+    )
+    b = sorted(
+        (r["doc_id"], r["content_hash"])
+        for r in X.new_documents(
+            inc, hist, method="bloom", bloom_bits=1 << 12, bloom_hashes=4
+        ).collect()
+    )
+    assert a == b
+    assert {d for d, _ in a} == {1000 + i for i in range(40, 80)} | {2001}
+
+
+def test_new_documents_bloom_tiny_filter_still_exact(spark):
+    """Deliberately undersized filter (64 bits for 200 keys -> ~every probe
+    a false positive): output must STILL equal the exact anti-join, just
+    with no prefilter savings."""
+    hist = spark.createDataFrame(
+        [(i, f"h{i}") for i in range(200)], "doc_id long, text string"
+    )
+    inc = spark.createDataFrame(
+        [(1000 + i, f"h{i}") for i in range(150, 250)],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]
+        for r in X.new_documents(
+            inc, hist, method="bloom", bloom_bits=64, bloom_hashes=2
+        ).collect()
+    }
+    assert got == {1000 + i for i in range(200, 250)}
+
+
+def test_new_documents_bloom_prebuilt_words_reused(spark):
+    """Production shape: build the filter once, pass it to every batch."""
+    from seraster_spark.sketch import bloom_filter_build
+    from pyspark.sql import functions as F
+
+    hist = spark.createDataFrame(
+        [(i, f"h{i}") for i in range(50)], "doc_id long, text string"
+    )
+    h = F.coalesce(F.md5(F.col("text")), F.lit("__null_text__"))
+    words = bloom_filter_build(
+        hist.select(h.alias("content_hash")).distinct(),
+        F.col("content_hash"),
+        num_bits=1 << 12,
+        num_hashes=4,
+    )
+    inc = spark.createDataFrame(
+        [(100, "h1"), (101, "brand new")], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]
+        for r in X.new_documents(
+            inc,
+            hist,
+            method="bloom",
+            bloom_words=words,
+            bloom_bits=1 << 12,
+            bloom_hashes=4,
+        ).collect()
+    }
+    assert got == {101}
+
+
+def test_new_documents_bad_method_raises(spark):
+    hist = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        X.new_documents(hist, hist, method="nope")

@@ -317,6 +317,55 @@ def bench_queries(spark, sf_dir: str, n_docs: int):
     vq = vecs.filter(F.pmod(F.col("vec_id"), F.lit(200)) == 0).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
+    # q7b: incremental ingestion dedup at corpus scale — history = the full
+    # 2M-doc corpus (synthetic text keyed by doc_id, ~50% of incoming seen),
+    # incoming = a 200k-doc daily batch. Two shapes, identical output:
+    #   incr_dedup_antijoin  DISTINCT-hash + anti-join (both sides shuffle)
+    #   incr_dedup_bloom     broadcast Bloom word-table probe routes the
+    #                        definitely-new majority around the join; the
+    #                        word table is staged untimed (the build-once
+    #                        reuse-per-batch production shape)
+    hist_txt = docs.select(
+        "doc_id", F.concat(F.lit("t"), F.col("doc_id").cast("string")).alias("text")
+    )
+    inc_txt = spark.range(0, 200_000).select(
+        (F.col("id") + 10_000_000).alias("doc_id"),
+        # even ids replay a historical doc, odd ids are genuinely new
+        F.when(
+            F.col("id") % 2 == 0, F.concat(F.lit("t"), (F.col("id") * 7 % n_docs).cast("string"))
+        ).otherwise(F.concat(F.lit("new"), F.col("id").cast("string"))).alias("text"),
+    )
+    bloom_bits, bloom_hashes = 1 << 25, 5  # ~16x bits/key at 2M keys
+    wstage = os.path.join(tempfile.gettempdir(), f"bench_bloom_{n_docs}_{bloom_bits}")
+    if not os.path.exists(os.path.join(wstage, "_SUCCESS")):
+        from seraster_spark.sketch import bloom_filter_build
+
+        hh = F.coalesce(F.md5(F.col("text")), F.lit("__null_text__"))
+        bloom_filter_build(
+            hist_txt.select(hh.alias("content_hash")).distinct(),
+            F.col("content_hash"),
+            bloom_bits,
+            bloom_hashes,
+        ).write.mode("overwrite").parquet(wstage)
+    bloom_words = spark.read.parquet(wstage)
+    timed(
+        "incr_dedup_antijoin",
+        lambda: force(TX.new_documents(inc_txt, hist_txt).select("doc_id", "content_hash")),
+    )
+    timed(
+        "incr_dedup_bloom",
+        lambda: force(
+            TX.new_documents(
+                inc_txt,
+                hist_txt,
+                method="bloom",
+                bloom_words=bloom_words,
+                bloom_bits=bloom_bits,
+                bloom_hashes=bloom_hashes,
+            ).select("doc_id", "content_hash")
+        ),
+    )
+
     timed("ann_lsh_bcast", lambda: force(S.lsh_topk(vecs, vq, 10, dim)))
     timed(
         "ann_lsh_shuffle",

@@ -308,23 +308,32 @@ def histogram_quantiles(
 
 
 # ---------------------------------------------------------------------------
-# Bloom filter as a broadcastable word table (pure-JVM membership prefilter)
+# Register-blocked Bloom filter as a broadcastable word table (pure-JVM
+# membership prefilter)
 
 
-def _bloom_pos(value: Column, seed: int, num_bits: int) -> Column:
-    """Bit position of hash function ``seed`` for ``value``: the SAME
-    expression must be used by the builder and the prober, so it lives in
-    one place. ``xxhash64(value, seed)`` is a JVM-side 64-bit hash; pmod
-    folds it into [0, num_bits)."""
-    return F.pmod(F.xxhash64(value, F.lit(seed)), F.lit(num_bits))
+def _bloom_word_ix(value: Column, num_bits: int) -> Column:
+    """Word index for ``value``: the SAME expression must be used by the
+    builder and the prober, so it lives in one place. ``xxhash64`` is a
+    JVM-side 64-bit hash; pmod folds it into [0, num_bits/64)."""
+    return F.pmod(F.xxhash64(value, F.lit(0)), F.lit(num_bits // 64))
 
 
-def _bloom_mask(pos: Column) -> Column:
-    """``1L << (pos % 64)`` — via call_function because the PySpark
-    ``F.shiftleft`` wrapper only accepts a Python-int shift amount."""
-    return F.call_function(
-        "shiftleft", F.lit(1).cast("long"), F.pmod(pos, F.lit(64)).cast("int")
-    )
+def _bloom_word_mask(value: Column, num_hashes: int) -> Column:
+    """OR of ``num_hashes`` single-bit masks, every bit inside ONE 64-bit
+    word (register-blocked / split-block Bloom layout, as in Parquet and
+    Impala): seed i>0 picks bit ``xxhash64(value, i) % 64``. shiftleft via
+    call_function because the PySpark ``F.shiftleft`` wrapper only accepts
+    a Python-int shift amount."""
+    mask = None
+    for i in range(1, num_hashes + 1):
+        bit = F.call_function(
+            "shiftleft",
+            F.lit(1).cast("long"),
+            F.pmod(F.xxhash64(value, F.lit(i)), F.lit(64)).cast("int"),
+        )
+        mask = bit if mask is None else mask.bitwiseOR(bit)
+    return mask
 
 
 def bloom_filter_build(
@@ -337,34 +346,33 @@ def bloom_filter_build(
     ``num_bits / 64`` rows of packed int64 words, at most a few MiB even
     for a billion-key filter, so the result broadcasts.
 
-    Built fully distributed: each row explodes to ``num_hashes`` bit
-    positions, positions collapse to (word_ix, OR of masks) in ONE
-    map-side-combining aggregate whose output cardinality is bounded by
-    ``num_bits / 64`` regardless of input size — nothing proportional to
-    the corpus ever reaches the driver (contrast Scala's
-    ``DataFrame.stat.bloomFilter``, which funnels per-partition byte-array
-    filters through a driver treeAggregate and is not exposed to PySpark
-    anyway). The word table is a plain DataFrame: persist it as parquet
-    and reuse it across ingest batches.
+    Register-blocked layout (Parquet/Impala style): ONE hash picks the
+    64-bit word, ``num_hashes`` further hashes pick bits INSIDE that word.
+    Membership is then one broadcast-join lookup + one mask compare
+    regardless of ``num_hashes`` — k× fewer probe joins than a flat bit
+    array, for a modestly higher false-positive rate at equal bits (size
+    ``num_bits`` ≈ 16× the key count for ~0.3% at ``num_hashes=5``; the
+    flat layout would give ~0.05%). False positives are the only error
+    mode — a key that was added is ALWAYS reported present.
 
-    Membership is probed by :func:`bloom_maybe_contains` with the same
-    ``num_bits`` / ``num_hashes``. False positives only — a key that was
-    added is ALWAYS reported present.
+    Built fully distributed: each key contributes one (word_ix, k-bit
+    mask) row, collapsed by a map-side-combining ``bit_or`` aggregate
+    whose output cardinality is bounded by ``num_bits / 64`` regardless
+    of input size — nothing proportional to the corpus ever reaches the
+    driver (contrast Scala's ``DataFrame.stat.bloomFilter``, which funnels
+    per-partition byte-array filters through a driver treeAggregate and is
+    not exposed to PySpark anyway). The word table is a plain DataFrame:
+    persist it as parquet and reuse it across ingest batches. Probe with
+    :func:`bloom_maybe_contains` using the same ``num_bits``/``num_hashes``.
     """
     if num_bits % 64 != 0 or num_bits <= 0:
         raise ValueError(f"num_bits must be a positive multiple of 64: {num_bits}")
     if num_hashes < 1:
         raise ValueError(f"num_hashes must be >= 1: {num_hashes}")
-    seeds = F.array(*[F.lit(i) for i in range(num_hashes)])
-    # pmod(xxhash64(_v, _s)) with _s = i is exactly _bloom_pos(value, i, ·):
-    # a literal and a column hash identically when they carry the same value.
-    pos = df.select(F.explode(seeds).alias("_s"), value.alias("_v")).select(
-        F.pmod(F.xxhash64("_v", "_s"), F.lit(num_bits)).alias("_p")
-    )
     return (
-        pos.select(
-            F.shiftright("_p", 6).alias("word_ix"),
-            _bloom_mask(F.col("_p")).alias("_m"),
+        df.select(
+            _bloom_word_ix(value, num_bits).alias("word_ix"),
+            _bloom_word_mask(value, num_hashes).alias("_m"),
         )
         .groupBy("word_ix")
         .agg(F.bit_or("_m").alias("word"))
@@ -383,33 +391,23 @@ def bloom_maybe_contains(
     built by :func:`bloom_filter_build` (same ``num_bits``/``num_hashes``),
     False iff it is DEFINITELY absent.
 
-    Pure-JVM map-side plan: one broadcast hash join per hash function
-    against the word table (≤ num_bits/64 rows), then a bitwise-AND test —
-    no Python, no shuffle of ``df``, whole-stage codegen throughout. At
-    ingest scale this is the shape that matters: the 100 TB incoming scan
-    streams through ``num_hashes`` broadcast probes and a filter; only
+    Pure-JVM map-side plan: ONE broadcast hash join against the word table
+    (≤ num_bits/64 rows) — the register-blocked layout puts all
+    ``num_hashes`` bits in that single word — then ``(word & mask) ==
+    mask``. No Python, no shuffle of ``df``, whole-stage codegen
+    throughout. At ingest scale this is the shape that matters: the 100 TB
+    incoming scan streams through one broadcast probe and a filter; only
     rows the filter cannot rule out proceed to an exact (expensive) join.
     """
-    out = df
-    checks = []
-    for i in range(num_hashes):
-        p = _bloom_pos(value, i, num_bits)
-        wcol, mcol, jcol = f"_bw{i}", f"_bm{i}", f"_bj{i}"
-        out = out.withColumn(wcol, F.shiftright(p, 6)).withColumn(
-            mcol, _bloom_mask(p)
-        )
-        w = F.broadcast(
-            filter_words.select(
-                F.col("word_ix").alias(wcol), F.col("word").alias(jcol)
-            )
-        )
-        out = out.join(w, wcol, "left")
-        checks.append(
-            F.coalesce(F.col(jcol), F.lit(0).cast("long")).bitwiseAND(F.col(mcol))
-            != F.lit(0).cast("long")
-        )
-    maybe = checks[0]
-    for c in checks[1:]:
-        maybe = maybe & c
-    drop = [c for i in range(num_hashes) for c in (f"_bw{i}", f"_bm{i}", f"_bj{i}")]
-    return out.withColumn(out_col, maybe).drop(*drop)
+    mask = _bloom_word_mask(value, num_hashes)
+    out = df.withColumn("_bw", _bloom_word_ix(value, num_bits)).withColumn(
+        "_bm", mask
+    )
+    w = F.broadcast(filter_words.alias("_bf"))
+    out = out.join(w, F.col("_bw") == F.col("_bf.word_ix"), "left")
+    maybe = (
+        F.coalesce(F.col("_bf.word"), F.lit(0).cast("long")).bitwiseAND(F.col("_bm"))
+        == F.col("_bm")
+    )
+    out = out.withColumn(out_col, maybe)
+    return out.drop(F.col("_bf.word_ix")).drop(F.col("_bf.word")).drop("_bw", "_bm")

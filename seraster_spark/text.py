@@ -318,29 +318,42 @@ def new_documents(
 
     ``method="bloom"``: when HISTORY is the huge side (the steady state of
     a training-data ingest: petabytes of corpus, a daily batch of new
-    docs), the plain anti-join must shuffle BOTH sides on the hash. The
-    bloom path instead probes a broadcastable Bloom word table
-    (:func:`~seraster_spark.sketch.bloom_filter_build` — ≤ bloom_bits/64
-    int64 rows) with pure-JVM broadcast joins: rows the filter rules out
-    are DEFINITELY new and bypass the join entirely (map-only); only the
-    maybe-seen sliver (true dupes + the filter's false-positive rate)
-    pays the exact anti-join. Output is row-for-row IDENTICAL to
+    docs), the plain anti-join must shuffle history's DISTINCT hashes —
+    the dominant cost at scale. The bloom path never shuffles history at
+    all:
+
+    1. one SLIM pass over the incoming hashes probes a broadcastable Bloom
+       word table (:func:`~seraster_spark.sketch.bloom_filter_build` —
+       ≤ bloom_bits/64 int64 rows) with pure-JVM broadcast joins; hashes
+       the filter rules out are DEFINITELY new and drop out here;
+    2. the surviving maybe-seen hashes (DISTINCT — bounded by the batch,
+       not history) broadcast into a semi-join that streams history
+       MAP-ONLY, emitting only the confirmed-dup hashes (≤ the sliver);
+    3. those broadcast into one anti-join over incoming — the payload
+       pass, which needs no probe joins at all.
+
+    Every join is broadcast-hash; the only exchange anywhere is the
+    distinct over the sliver's hashes. Output is row-for-row IDENTICAL to
     ``antijoin`` — Bloom filters have no false negatives, and every false
     positive is re-checked exactly. Pass a persisted ``bloom_words`` table
     (built once, reused across batches) to skip rebuilding the filter —
     the production shape; when omitted it is built from ``historical``
-    in-line. Size ``bloom_bits`` ≈ 10× the historical distinct-hash count
-    for a ~1% false-positive rate at ``bloom_hashes=5``.
+    in-line (one extra history pass, still shuffle-bounded by
+    bloom_bits/64). Size ``bloom_bits`` ≈ 10× the historical
+    distinct-hash count for a ~1% false-positive rate at
+    ``bloom_hashes=5``. Contract: the incoming BATCH (not history) must
+    be broadcast-sized (daily-batch regime); for incoming ≈ history use
+    ``antijoin``.
 
     NULL text hashes through the same sentinel as ``exact_dedup`` so NULL
     incoming docs dedup against NULL historical docs instead of slipping
     through md5(NULL)=NULL.
     """
     h = F.coalesce(F.md5(F.col(text_col)), F.lit("__null_text__"))
-    seen = historical.select(h.alias("content_hash")).distinct()
+    hist_hashes = historical.select(h.alias("content_hash"))
     inc = incoming.withColumn("content_hash", h)
     if method == "antijoin":
-        return inc.join(seen, "content_hash", "left_anti")
+        return inc.join(hist_hashes.distinct(), "content_hash", "left_anti")
     if method != "bloom":
         raise ValueError(f"method must be 'antijoin' or 'bloom': {method!r}")
     from . import sketch as _sk
@@ -348,20 +361,28 @@ def new_documents(
     words = (
         bloom_words
         if bloom_words is not None
-        else _sk.bloom_filter_build(seen, F.col("content_hash"), bloom_bits, bloom_hashes)
+        else _sk.bloom_filter_build(
+            hist_hashes, F.col("content_hash"), bloom_bits, bloom_hashes
+        )
     )
     flagged = _sk.bloom_maybe_contains(
-        inc, F.col("content_hash"), words, bloom_bits, bloom_hashes, "_bloom_maybe"
+        inc.select("content_hash"),
+        F.col("content_hash"),
+        words,
+        bloom_bits,
+        bloom_hashes,
+        "_bloom_maybe",
     )
-    definite = flagged.filter(~F.col("_bloom_maybe")).drop("_bloom_maybe")
-    residual = (
-        flagged.filter(F.col("_bloom_maybe"))
-        .drop("_bloom_maybe")
-        .join(seen, "content_hash", "left_anti")
+    maybe_hashes = (
+        flagged.filter(F.col("_bloom_maybe")).select("content_hash").distinct()
     )
-    # two branches = two incoming scans, but both are map-side column-pruned
-    # parquet reads; the win is that the full batch never rides a shuffle.
-    return definite.unionByName(residual)
+    confirmed = hist_hashes.join(
+        F.broadcast(maybe_hashes), "content_hash", "left_semi"
+    ).distinct()
+    # the payload pass: plain broadcast anti against the (tiny) confirmed
+    # set — incoming is scanned twice (once slim for the probe, once for
+    # payload), but history never rides an exchange.
+    return inc.join(F.broadcast(confirmed), "content_hash", "left_anti")
 
 
 # ---------------------------------------------------------------------------

@@ -420,4 +420,5 @@ def test_bloom_probe_stays_broadcast_and_unshuffled(spark):
     probed = bloom_maybe_contains(keys, F.col("s"), words, 1 << 12, 4, "maybe")
     plan = probed._jdf.queryExecution().executedPlan().toString()
     assert "SortMergeJoin" not in plan, plan
-    assert plan.count("BroadcastHashJoin") == 4, plan
+    # register-blocked layout: ONE probe join regardless of num_hashes
+    assert plan.count("BroadcastHashJoin") == 1, plan

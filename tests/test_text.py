@@ -587,6 +587,38 @@ def test_new_documents_bloom_prebuilt_words_reused(spark):
     assert got == {101}
 
 
+def test_new_documents_bloom_never_shuffle_joins_history(spark):
+    """The bloom path's 100 TB contract: with a prebuilt word table, every
+    join in the plan is BroadcastHashJoin (word probes + history semi +
+    confirmed anti) — history never rides a SortMergeJoin/shuffled-hash
+    exchange."""
+    from seraster_spark.sketch import bloom_filter_build
+    from pyspark.sql import functions as F
+
+    hist = spark.createDataFrame(
+        [(i, f"h{i}") for i in range(300)], "doc_id long, text string"
+    )
+    h = F.coalesce(F.md5(F.col("text")), F.lit("__null_text__"))
+    words = bloom_filter_build(
+        hist.select(h.alias("content_hash")).distinct(),
+        F.col("content_hash"), num_bits=1 << 12, num_hashes=4,
+    )
+    inc = spark.createDataFrame(
+        [(1000 + i, f"h{i}") for i in range(250, 350)],
+        "doc_id long, text string",
+    )
+    out = X.new_documents(
+        inc, hist, method="bloom", bloom_words=words,
+        bloom_bits=1 << 12, bloom_hashes=4,
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan, plan
+    assert "ShuffledHashJoin" not in plan, plan
+    # 1 word probe (register-blocked: one join regardless of num_hashes) +
+    # history semi-join + confirmed anti-join; every one of them broadcast
+    assert plan.count("BroadcastHashJoin") == 1 + 2, plan
+
+
 def test_new_documents_bad_method_raises(spark):
     hist = spark.createDataFrame([(1, "a")], "doc_id long, text string")
     with pytest.raises(ValueError):

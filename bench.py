@@ -336,11 +336,13 @@ def bench_queries(spark, sf_dir: str, n_docs: int):
         ).otherwise(F.concat(F.lit("new"), F.col("id").cast("string"))).alias("text"),
     )
     bloom_bits, bloom_hashes = 1 << 25, 5  # ~16x bits/key at 2M keys
-    wstage = os.path.join(tempfile.gettempdir(), f"bench_bloom_{n_docs}_{bloom_bits}")
+    wstage = os.path.join(
+        tempfile.gettempdir(), f"bench_bloom_{n_docs}_{bloom_bits}_{bloom_hashes}"
+    )
     if not os.path.exists(os.path.join(wstage, "_SUCCESS")):
         from seraster_spark.sketch import bloom_filter_build
 
-        hh = F.coalesce(F.md5(F.col("text")), F.lit("__null_text__"))
+        hh = TX.content_hash_expr("text")
         bloom_filter_build(
             hist_txt.select(hh.alias("content_hash")).distinct(),
             F.col("content_hash"),

@@ -21,6 +21,7 @@ from .joins import asof_join, asof_join_bucketed, interval_join
 from .knn import knn_join
 from .sketch import (
     bloom_filter_build,
+    bloom_filter_merge,
     bloom_maybe_contains,
     hash_sample,
     heavy_hitters,
@@ -88,6 +89,7 @@ __all__ = [
     "md5_uniform",
     "hash_sample",
     "bloom_filter_build",
+    "bloom_filter_merge",
     "bloom_maybe_contains",
     "spatial_join",
     "raster_algebra",

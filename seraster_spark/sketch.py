@@ -379,6 +379,29 @@ def bloom_filter_build(
     )
 
 
+def bloom_filter_merge(*word_tables: DataFrame) -> DataFrame:
+    """OR together Bloom word tables built with the SAME num_bits /
+    num_hashes — the union of their key sets, exactly as if built in one
+    pass (bit_or is associative/commutative, so merge order is irrelevant).
+
+    This is how a persisted ingest filter STAYS current: after each batch,
+    ``bloom_filter_merge(words, bloom_filter_build(new_hashes, ...))`` and
+    re-persist. A filter that lags history breaks
+    :func:`~seraster_spark.text.new_documents`'s exactness — a doc added
+    to history after the filter was built probes "definitely new" and
+    skips the re-check entirely.
+
+    Cost: one shuffle bounded by num_bits/64 rows per table, never by key
+    count.
+    """
+    if not word_tables:
+        raise ValueError("bloom_filter_merge: at least one word table required")
+    out = word_tables[0]
+    for w in word_tables[1:]:
+        out = out.unionByName(w)
+    return out.groupBy("word_ix").agg(F.bit_or("word").alias("word"))
+
+
 def bloom_maybe_contains(
     df: DataFrame,
     value: Column,
@@ -398,7 +421,22 @@ def bloom_maybe_contains(
     throughout. At ingest scale this is the shape that matters: the 100 TB
     incoming scan streams through one broadcast probe and a filter; only
     rows the filter cannot rule out proceed to an exact (expensive) join.
+
+    ``num_bits``/``num_hashes`` MUST equal the build's — a mismatch computes
+    different word indices / masks and silently reports false negatives, the
+    one error mode a Bloom filter must never have. The scalar preconditions
+    are re-checked here; the cross-check against the build's parameters is
+    the caller's contract (persist them next to the word table).
     """
+    if num_bits % 64 != 0 or num_bits <= 0:
+        raise ValueError(f"num_bits must be a positive multiple of 64: {num_bits}")
+    if num_hashes < 1:
+        raise ValueError(f"num_hashes must be >= 1: {num_hashes}")
+    clash = {"_bw", "_bm", out_col} & set(df.columns)
+    if clash - {out_col} or out_col in df.columns:
+        raise ValueError(
+            f"bloom_maybe_contains: input already has column(s) {sorted(clash)}"
+        )
     mask = _bloom_word_mask(value, num_hashes)
     out = df.withColumn("_bw", _bloom_word_ix(value, num_bits)).withColumn(
         "_bm", mask

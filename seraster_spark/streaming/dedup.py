@@ -33,10 +33,9 @@ def stream_exact_dedup(
     the watermark horizon; later arrivals with the same hash are dropped.
     State is bounded by the watermark (hash rows expire after the delay)."""
     docs = spark.readStream.schema(schema).parquet(input_path)
-    hashed = docs.withColumn(
-        "content_hash",
-        F.coalesce(F.md5(F.col(text_col)), F.lit("__null_text__")),
-    )
+    from ..text import content_hash_expr
+
+    hashed = docs.withColumn("content_hash", content_hash_expr(text_col))
     return hashed.withWatermark(ts_col, watermark_delay).dropDuplicatesWithinWatermark(
         ["content_hash"]
     )

@@ -229,6 +229,16 @@ def bigrams(
 # exact dedup
 
 
+def content_hash_expr(text_col: str = "text") -> Column:
+    """The canonical content hash used by every dedup surface (exact_dedup,
+    new_documents, the streaming dedup sink, and any externally persisted
+    Bloom word table): md5 of the text, NULL routed through a sentinel so
+    NULL documents dedup against each other instead of vanishing via
+    md5(NULL)=NULL. One definition — a persisted filter or hash snapshot
+    built with this expression stays probe-compatible across releases."""
+    return F.coalesce(F.md5(F.col(text_col)), F.lit("__null_text__"))
+
+
 def exact_dedup(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -269,8 +279,8 @@ def exact_dedup(
             )
     # NULL texts form one dup group (the old window's partitionBy(NULL)
     # semantics); md5(NULL)=NULL would silently DROP those rows through the
-    # inner equi-joins, so hash through a sentinel
-    h = F.coalesce(F.md5(F.col(text_col)), F.lit("__null_text__"))
+    # inner equi-joins — content_hash_expr hashes through a sentinel
+    h = content_hash_expr(text_col)
     # NULL ids never equi-join — fail fast row-locally instead of dropping
     id_type = df.schema[id_col].dataType.simpleString()
     safe_id = F.when(F.col(id_col).isNotNull(), F.col(id_col)).otherwise(
@@ -336,20 +346,35 @@ def new_documents(
     distinct over the sliver's hashes. Output is row-for-row IDENTICAL to
     ``antijoin`` — Bloom filters have no false negatives, and every false
     positive is re-checked exactly. Pass a persisted ``bloom_words`` table
-    (built once, reused across batches) to skip rebuilding the filter —
-    the production shape; when omitted it is built from ``historical``
-    in-line (one extra history pass, still shuffle-bounded by
-    bloom_bits/64). Size ``bloom_bits`` ≈ 10× the historical
-    distinct-hash count for a ~1% false-positive rate at
-    ``bloom_hashes=5``. Contract: the incoming BATCH (not history) must
-    be broadcast-sized (daily-batch regime); for incoming ≈ history use
-    ``antijoin``.
+    to skip rebuilding the filter — the production shape; when omitted it
+    is built from ``historical`` in-line (one extra history pass, still
+    shuffle-bounded by bloom_bits/64). Size ``bloom_bits`` ≈ 16× the
+    historical distinct-hash count for a ~0.3% false-positive rate at
+    ``bloom_hashes=5`` (register-blocked layout).
+
+    HARD CONTRACTS (violations produce silently missed duplicates, not
+    errors):
+
+    - ``bloom_words`` must cover EVERY hash currently in ``historical`` —
+      a doc added to history after the filter was built probes
+      "definitely new" and skips the re-check. After each ingested batch,
+      fold its hashes in with
+      :func:`~seraster_spark.sketch.bloom_filter_merge` and re-persist;
+      probe with the exact ``bloom_bits``/``bloom_hashes`` the table was
+      built with (persist them alongside it).
+    - ``incoming`` must be DETERMINISTIC across re-computation (a parquet
+      read, not e.g. a ``F.rand()`` derivation): the probe pass and the
+      payload pass scan it independently, and a hash that differs between
+      scans escapes the confirmed set. Eagerly checkpoint a
+      non-deterministic batch before calling.
+    - the incoming BATCH (not history) must be broadcast-sized
+      (daily-batch regime); for incoming ≈ history use ``antijoin``.
 
     NULL text hashes through the same sentinel as ``exact_dedup`` so NULL
     incoming docs dedup against NULL historical docs instead of slipping
     through md5(NULL)=NULL.
     """
-    h = F.coalesce(F.md5(F.col(text_col)), F.lit("__null_text__"))
+    h = content_hash_expr(text_col)
     hist_hashes = historical.select(h.alias("content_hash"))
     inc = incoming.withColumn("content_hash", h)
     if method == "antijoin":

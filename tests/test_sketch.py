@@ -400,13 +400,54 @@ def test_bloom_word_table_bounded(spark):
 
 
 def test_bloom_rejects_bad_params(spark):
-    from seraster_spark.sketch import bloom_filter_build
+    from seraster_spark.sketch import bloom_filter_build, bloom_maybe_contains
 
     keys = _vals(spark, 10)
     with pytest.raises(ValueError):
         bloom_filter_build(keys, F.col("s"), num_bits=100, num_hashes=2)
     with pytest.raises(ValueError):
         bloom_filter_build(keys, F.col("s"), num_bits=1 << 10, num_hashes=0)
+    words = bloom_filter_build(keys, F.col("s"), num_bits=1 << 10, num_hashes=2)
+    # the probe re-checks the scalar preconditions (a mismatch vs the build
+    # would silently produce false negatives)
+    with pytest.raises(ValueError):
+        bloom_maybe_contains(keys, F.col("s"), words, 100, 2)
+    with pytest.raises(ValueError):
+        bloom_maybe_contains(keys, F.col("s"), words, 1 << 10, 0)
+    # internal/output column collisions fail loudly instead of dropping data
+    with pytest.raises(ValueError):
+        bloom_maybe_contains(
+            keys.withColumn("_bw", F.lit(1)), F.col("s"), words, 1 << 10, 2
+        )
+    with pytest.raises(ValueError):
+        bloom_maybe_contains(
+            keys.withColumn("maybe", F.lit(True)), F.col("s"), words, 1 << 10, 2, "maybe"
+        )
+
+
+def test_bloom_merge_equals_single_build(spark):
+    """Merging per-batch filters == building over the union of keys, word
+    for word (bit_or associativity) — the persisted-ingest-filter update
+    path."""
+    from seraster_spark.sketch import bloom_filter_build, bloom_filter_merge
+
+    a = spark.range(0, 300).selectExpr("concat('k', id) AS s")
+    b = spark.range(300, 500).selectExpr("concat('k', id) AS s")
+    both = spark.range(0, 500).selectExpr("concat('k', id) AS s")
+    merged = {
+        r["word_ix"]: r["word"]
+        for r in bloom_filter_merge(
+            bloom_filter_build(a, F.col("s"), 1 << 12, 4),
+            bloom_filter_build(b, F.col("s"), 1 << 12, 4),
+        ).collect()
+    }
+    single = {
+        r["word_ix"]: r["word"]
+        for r in bloom_filter_build(both, F.col("s"), 1 << 12, 4).collect()
+    }
+    assert merged == single
+    with pytest.raises(ValueError):
+        bloom_filter_merge()
 
 
 def test_bloom_probe_stays_broadcast_and_unshuffled(spark):

@@ -1808,8 +1808,23 @@ FROM sized
 
 def q_raster_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tile-aligned raster algebra: ct3 raster minus ct5 raster (outer join,
-    missing tiles = structural zeros)."""
+    missing tiles = structural zeros).
+
+    r5: the row also carries SEGMENT RASTERIZATION (segments.rasterize_
+    segments — the terra::rasterizeGeom(lines) analog): per-kind document
+    trajectories (consecutive docs by doc_id form one polyline per kind)
+    rasterized onto the SAME grid — per tile the crossing-segment count,
+    the summed in-tile length fractions (Liang-Barsky clip in pure Column
+    arithmetic, zero UDFs), and the fraction-weighted value mass.
+    quantize_bits=20 makes every summed term an exact dyadic (frac to
+    2^-20, n_chars <= 2^10 so frac*val needs 30 bits), so the aggregate is
+    independent of summation order and the SQL twin reproduces it
+    bit-for-bit by replaying the identical closed-form clip arithmetic.
+    The final full-outer join is a true same-grid raster overlay."""
+    from pyspark.sql.window import Window
+
     from .bbox import grid_spec_for
+    from .segments import rasterize_segments
     from .vector import raster_algebra
 
     d = docs_with_coords(spark, sf_dir)
@@ -1819,19 +1834,147 @@ def q_raster_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
         ct.filter(F.col("kind") == "ct3"), ct.filter(F.col("kind") == "ct5"), op="diff"
     )
     row, col = X.unpack_rowcol(F.col("cell_id"))
-    return out.select(
+    alg = out.select(
         row.cast("long").alias("row_i"), col.cast("long").alias("col_i"), "diff"
     )
+
+    w = Window.partitionBy("kind").orderBy("doc_id")
+    segs = (
+        d.select(
+            "kind",
+            "doc_id",
+            "val",
+            F.col("x").alias("x0"),
+            F.col("y").alias("y0"),
+            F.lead("x").over(w).alias("x1"),
+            F.lead("y").over(w).alias("y1"),
+        )
+        .filter(F.col("x1").isNotNull())
+    )
+    sr = rasterize_segments(segs, spec, value_cols=("val",), quantize_bits=20)
+    srow, scol = X.unpack_rowcol(F.col("cell_id"))
+    seg_raster = sr.select(
+        srow.cast("long").alias("row_i"),
+        scol.cast("long").alias("col_i"),
+        "n_segs",
+        F.col("frac_sum").alias("seg_frac"),
+        F.col("w_val").alias("seg_wval"),
+    )
+    return alg.join(seg_raster, ["row_i", "col_i"], "full_outer")
+
+
+# segment-rasterization twin: replays segments.segment_tile_fractions'
+# closed-form Liang-Barsky clip with the IDENTICAL floating-point expression
+# trees (same parenthesization), so every per-(segment, tile) fraction is
+# bit-identical; quantization to 2^-20 then makes the sums order-independent.
+_SQL_SEG_RASTER = """
+g AS (
+  SELECT xmin, ymin,
+         CAST(ceil((xmax - xmin) / 100.0) AS BIGINT) AS ncols,
+         CAST(ceil((ymax - ymin) / 100.0) AS BIGINT) AS nrows
+  FROM b
+),
+s0 AS (
+  SELECT kind, doc_id, val, x AS x0, y AS y0,
+         lead(x) OVER (PARTITION BY kind ORDER BY doc_id) AS x1,
+         lead(y) OVER (PARTITION BY kind ORDER BY doc_id) AS y1
+  FROM d
+),
+s1 AS (
+  SELECT s0.*, g.*, x1 - x0 AS sdx, y1 - y0 AS sdy FROM s0, g WHERE x1 IS NOT NULL
+),
+s2 AS (
+  SELECT *,
+         CAST(CASE WHEN (x0 - xmin) = floor((x0 - xmin) / 100.0) * 100.0
+                        AND floor((x0 - xmin) / 100.0) > 0
+                   THEN floor((x0 - xmin) / 100.0) - 1
+                   ELSE floor((x0 - xmin) / 100.0) END AS BIGINT) AS tie_col,
+         CAST(CASE WHEN (y0 - ymin) = floor((y0 - ymin) / 100.0) * 100.0
+                        AND floor((y0 - ymin) / 100.0) > 0
+                   THEN floor((y0 - ymin) / 100.0) - 1
+                   ELSE floor((y0 - ymin) / 100.0) END AS BIGINT) AS tie_row
+  FROM s1
+),
+s3 AS (
+  SELECT *,
+         greatest(CASE WHEN sdx <> 0
+                       THEN CAST(floor((least(x0, x1) - xmin) / 100.0) AS BIGINT)
+                       ELSE tie_col END, CAST(0 AS BIGINT)) AS c_lo,
+         least(CASE WHEN sdx <> 0
+                    THEN CAST(floor((greatest(x0, x1) - xmin) / 100.0) AS BIGINT)
+                    ELSE tie_col END, ncols - 1) AS c_hi
+  FROM s2
+),
+ex AS (
+  SELECT *, unnest(generate_series(c_lo, c_hi)) AS ci FROM s3 WHERE c_lo <= c_hi
+),
+ux AS (
+  SELECT *,
+         greatest(CASE WHEN sdx <> 0
+                       THEN least(((xmin + ci * 100.0) - x0) / sdx,
+                                  (((xmin + ci * 100.0) + 100.0) - x0) / sdx)
+                       ELSE 0.0 END, 0.0) AS u0,
+         least(CASE WHEN sdx <> 0
+                    THEN greatest(((xmin + ci * 100.0) - x0) / sdx,
+                                  (((xmin + ci * 100.0) + 100.0) - x0) / sdx)
+                    ELSE 1.0 END, 1.0) AS u1
+  FROM ex
+),
+uy AS (
+  SELECT *, y0 + u0 * sdy AS ya, y0 + u1 * sdy AS yb FROM ux WHERE u0 <= u1
+),
+ry AS (
+  SELECT *,
+         greatest(CASE WHEN sdy <> 0
+                       THEN CAST(floor((least(ya, yb) - ymin) / 100.0) AS BIGINT) - 1
+                       ELSE tie_row END, CAST(0 AS BIGINT)) AS r_lo,
+         least(CASE WHEN sdy <> 0
+                    THEN CAST(floor((greatest(ya, yb) - ymin) / 100.0) AS BIGINT) + 1
+                    ELSE tie_row END, nrows - 1) AS r_hi
+  FROM uy
+),
+ey AS (
+  SELECT *, unnest(generate_series(r_lo, r_hi)) AS ri FROM ry WHERE r_lo <= r_hi
+),
+tt AS (
+  SELECT *,
+         greatest(u0, CASE WHEN sdy <> 0
+                           THEN least(((ymin + ri * 100.0) - y0) / sdy,
+                                      (((ymin + ri * 100.0) + 100.0) - y0) / sdy)
+                           ELSE 0.0 END) AS t0,
+         least(u1, CASE WHEN sdy <> 0
+                        THEN greatest(((ymin + ri * 100.0) - y0) / sdy,
+                                      (((ymin + ri * 100.0) + 100.0) - y0) / sdy)
+                        ELSE 1.0 END) AS t1
+  FROM ey
+),
+fr AS (
+  SELECT ri, ci, floor((t1 - t0) * 1048576.0 + 0.5) / 1048576.0 AS frac, val
+  FROM tt WHERE (t1 - t0) > 0.0
+),
+segr AS (
+  SELECT ri AS row_i, ci AS col_i, count(*) AS n_segs,
+         sum(frac) AS seg_frac, sum(frac * val) AS seg_wval
+  FROM fr GROUP BY 1, 2
+)"""
 
 
 SQL_RASTER_ALGEBRA = f"""
 WITH {_SQL_DOCS}, {_SQL_BBOX}, {_SQL_SQ_CELLS},
 a2 AS (SELECT row_i, col_i, CAST(count(*) AS DOUBLE) AS v FROM c WHERE kind = 'ct3' GROUP BY 1, 2),
-b2 AS (SELECT row_i, col_i, CAST(count(*) AS DOUBLE) AS v FROM c WHERE kind = 'ct5' GROUP BY 1, 2)
-SELECT coalesce(a2.row_i, b2.row_i) AS row_i,
-       coalesce(a2.col_i, b2.col_i) AS col_i,
-       coalesce(a2.v, 0.0) - coalesce(b2.v, 0.0) AS diff
-FROM a2 FULL OUTER JOIN b2 ON a2.row_i = b2.row_i AND a2.col_i = b2.col_i
+b2 AS (SELECT row_i, col_i, CAST(count(*) AS DOUBLE) AS v FROM c WHERE kind = 'ct5' GROUP BY 1, 2),
+alg AS (
+  SELECT coalesce(a2.row_i, b2.row_i) AS row_i,
+         coalesce(a2.col_i, b2.col_i) AS col_i,
+         coalesce(a2.v, 0.0) - coalesce(b2.v, 0.0) AS diff
+  FROM a2 FULL OUTER JOIN b2 ON a2.row_i = b2.row_i AND a2.col_i = b2.col_i
+),
+{_SQL_SEG_RASTER}
+SELECT coalesce(alg.row_i, segr.row_i) AS row_i,
+       coalesce(alg.col_i, segr.col_i) AS col_i,
+       alg.diff, segr.n_segs, segr.seg_frac, segr.seg_wval
+FROM alg FULL OUTER JOIN segr
+  ON alg.row_i = segr.row_i AND alg.col_i = segr.col_i
 """
 
 

@@ -1807,8 +1807,9 @@ FROM sized
 
 
 def q_raster_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Tile-aligned raster algebra: ct3 raster minus ct5 raster (outer join,
-    missing tiles = structural zeros).
+    """Tile-aligned raster algebra: ct3 raster minus ct5 raster (outer join;
+    within the algebra, a tile present in only one input counts the other
+    side as a structural zero).
 
     r5: the row also carries SEGMENT RASTERIZATION (segments.rasterize_
     segments — the terra::rasterizeGeom(lines) analog): per-kind document
@@ -1820,7 +1821,10 @@ def q_raster_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
     2^-20, n_chars <= 2^10 so frac*val needs 30 bits), so the aggregate is
     independent of summation order and the SQL twin reproduces it
     bit-for-bit by replaying the identical closed-form clip arithmetic.
-    The final full-outer join is a true same-grid raster overlay."""
+    The final full-outer join is a true same-grid raster overlay, so a
+    tile seen by only one side carries NULLs for the other side's columns
+    (diff NULL on trajectory-only tiles; n_segs/seg_frac/seg_wval NULL on
+    algebra-only tiles)."""
     from pyspark.sql.window import Window
 
     from .bbox import grid_spec_for
@@ -1955,7 +1959,7 @@ fr AS (
 segr AS (
   SELECT ri AS row_i, ci AS col_i, count(*) AS n_segs,
          sum(frac) AS seg_frac, sum(frac * val) AS seg_wval
-  FROM fr GROUP BY 1, 2
+  FROM fr WHERE frac > 0.0 GROUP BY 1, 2
 )"""
 
 

@@ -64,8 +64,13 @@ def _quantized(frac: Column, quantize_bits: int | None) -> Column:
 
 
 def _capped(span: Column, bound: Column, cap: int, what: str) -> Column:
-    """Loud runtime guard (never silent truncation): raise if one segment
-    would fan out to more than ``cap`` candidate strips/rows."""
+    """Loud runtime guard (never silent truncation): raise if one segment's
+    candidate span along ONE axis (column strips, or rows within a strip)
+    exceeds ``cap``. Note the bound is per-axis, not per-segment-total: a
+    long diagonal passes with colspan ≤ cap and ~3 rows per strip, so total
+    exploded candidates can reach a small multiple of ``cap`` (≈ colspan·3
+    for diagonals, colspan·rowspan only for near-degenerate steep strips,
+    which the row check catches)."""
     return F.when(
         span <= F.lit(cap), bound
     ).otherwise(
@@ -87,8 +92,14 @@ def segment_tile_fractions(
     y1: str = "y1",
 ) -> DataFrame:
     """Per-(segment, tile) exploded fractions: the input columns plus
-    ``cell_id`` and ``frac`` (> 0). This is the trajectory↔tile membership
-    relation; :func:`rasterize_segments` is its groupBy."""
+    ``cell_id`` and ``frac`` (> 0; with ``quantize_bits`` set, crossings
+    smaller than half the dyadic step round to 0 and are dropped, so the
+    contract holds at the quantized precision). This is the trajectory↔tile
+    membership relation; :func:`rasterize_segments` is its groupBy.
+
+    ``max_tiles_per_seg`` bounds each axis's candidate span separately
+    (see :func:`_capped`) — size executors for a worst-case fan-out of a
+    few × the cap, not exactly the cap."""
     if not spec.square:
         raise ValueError("segment rasterization is defined for square grids")
     res = F.lit(float(spec.resolution))
@@ -187,6 +198,8 @@ def segment_tile_fractions(
         d.withColumn("_frac_raw", t1 - t0)
         .filter(F.col("_frac_raw") > 0.0)
         .withColumn("frac", _quantized(F.col("_frac_raw"), quantize_bits))
+        # sub-quantum crossings round to 0 — drop them so frac > 0 holds
+        .filter(F.col("frac") > 0.0)
         .withColumn("cell_id", _pack(0, spec.level, F.col("_ri"), F.col("_ci")))
     )
     return out.drop("_c_lo", "_c_hi", "_u0", "_u1", "_r_lo", "_r_hi", "_frac_raw")

@@ -189,6 +189,18 @@ def test_quantized_fracs_are_dyadic(spark):
             assert f * (1 << 20) == int(f * (1 << 20))
 
 
+def test_sub_quantum_crossings_are_dropped(spark):
+    # frac 0.125 in the end tiles rounds to 0 at quantize_bits=1 (step 0.5)
+    # -> those rows must be dropped so the frac > 0 contract holds; the
+    # 0.25 interior crossings round up to 0.5 and survive.
+    got = _collect_fracs(
+        spark, [(50.0, 50.0, 450.0, 50.0)], SPEC, quantize_bits=1
+    )
+    assert {c for (_, c) in got} == {1, 2, 3}
+    for v in got.values():
+        assert v == [(0, 0.5)]
+
+
 def test_rasterize_segments_aggregates(spark):
     segs = [
         (50.0, 50.0, 250.0, 50.0),   # crosses cols 0,1,2 in row 0

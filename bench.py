@@ -167,6 +167,32 @@ def bench_queries(spark, sf_dir: str, n_docs: int):
         ),
     )
 
+    # q5c: segment (trajectory) rasterization — per-kind doc polylines
+    # (lead over a kind-partitioned window) clipped to tiles by the pure-
+    # Column Liang-Barsky supercover; measures window sort + explode +
+    # one hash aggregate, the full trajectory-pipeline shape
+    def seg_raster():
+        from pyspark.sql.window import Window
+
+        from seraster_spark.segments import rasterize_segments
+
+        w = Window.partitionBy("kind").orderBy("doc_id")
+        segs = (
+            docs.select(
+                "kind",
+                "doc_id",
+                F.col("x").alias("x0"),
+                F.col("y").alias("y0"),
+                F.lead("x").over(w).alias("x1"),
+                F.lead("y").over(w).alias("y1"),
+                F.pmod(F.col("doc_id"), F.lit(1000)).cast("double").alias("val"),
+            )
+            .filter(F.col("x1").isNotNull())
+        )
+        return force(rasterize_segments(segs, SPEC_SQ, value_cols=("val",)))
+
+    timed("seg_raster", seg_raster)
+
     # q5b: polygon containment spatial join (north-rule flagship): docs ×
     # 2 overlapping polygons via covering-cell equi-join + Arrow PIP
     from seraster_spark.vector import spatial_join

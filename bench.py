@@ -168,16 +168,17 @@ def bench_queries(spark, sf_dir: str, n_docs: int):
     )
 
     # q5c: segment (trajectory) rasterization — per-kind doc polylines
-    # (lead over a kind-partitioned window) clipped to tiles by the pure-
-    # Column Liang-Barsky supercover; measures window sort + explode +
-    # one hash aggregate, the full trajectory-pipeline shape
-    def seg_raster():
+    # (lead over a kind-partitioned window) clipped to tiles by the
+    # Liang-Barsky supercover. The slim segment frame is repartitioned
+    # BEFORE the ~17x fan-out: the window's 16-kind output AQE-coalesces
+    # to a few partitions and the explode would run on those few cores
+    # (measured 51 s vs 21 s). Arrow kernel vs pure-Column pair, same
+    # plan otherwise (measured ~5x: no per-candidate JVM row copies).
+    def seg_input():
         from pyspark.sql.window import Window
 
-        from seraster_spark.segments import rasterize_segments
-
         w = Window.partitionBy("kind").orderBy("doc_id")
-        segs = (
+        return (
             docs.select(
                 "kind",
                 "doc_id",
@@ -188,10 +189,19 @@ def bench_queries(spark, sf_dir: str, n_docs: int):
                 F.pmod(F.col("doc_id"), F.lit(1000)).cast("double").alias("val"),
             )
             .filter(F.col("x1").isNotNull())
+            .drop("kind", "doc_id")
+            .repartition(2 * spark.sparkContext.defaultParallelism)
         )
-        return force(rasterize_segments(segs, SPEC_SQ, value_cols=("val",)))
 
-    timed("seg_raster", seg_raster)
+    def seg_raster(impl):
+        from seraster_spark.segments import rasterize_segments
+
+        return force(
+            rasterize_segments(seg_input(), SPEC_SQ, value_cols=("val",), impl=impl)
+        )
+
+    timed("seg_raster", lambda: seg_raster("arrow"))
+    timed("seg_raster_column", lambda: seg_raster("column"))
 
     # q5b: polygon containment spatial join (north-rule flagship): docs ×
     # 2 overlapping polygons via covering-cell equi-join + Arrow PIP

@@ -72,12 +72,12 @@ def _numpy_fractions(segs, spec):
     return out
 
 
-def _collect_fracs(spark, segs, spec, **kw):
+def _collect_fracs(spark, segs, spec, impl="arrow", **kw):
     df = spark.createDataFrame(
         [(i, *s) for i, s in enumerate(segs)],
         "seg_id long, x0 double, y0 double, x1 double, y1 double",
     )
-    ft = segment_tile_fractions(df, spec, **kw)
+    ft = segment_tile_fractions(df, spec, impl=impl, **kw)
     got = {}
     for row in ft.collect():
         _, _, r, c = unpack(np.array([row["cell_id"]], dtype=np.int64))
@@ -229,13 +229,83 @@ def test_rasterize_segments_aggregates(spark):
     assert rows[(0, 1)]["len_sum"] == pytest.approx(100.0 + 60.0, abs=1e-9)
 
 
-def test_no_python_udf_and_single_shuffle(spark):
+def test_column_impl_no_python_and_single_shuffle(spark):
     df = spark.createDataFrame(
         [(0, 1.0, 2.0, 900.0, 700.0)],
         "seg_id long, x0 double, y0 double, x1 double, y1 double",
     )
-    out = rasterize_segments(df, SPEC, value_cols=())
+    out = rasterize_segments(df, SPEC, value_cols=(), impl="column")
     plan = out._jdf.queryExecution().executedPlan().toString()
-    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Python" not in plan  # zero Python of any kind on the column path
     n_exchanges = plan.count("Exchange")
     assert n_exchanges <= 2  # one hash-agg exchange (AQE may print reuse)
+
+
+def test_arrow_impl_is_mapinpandas_single_shuffle(spark):
+    df = spark.createDataFrame(
+        [(0, 1.0, 2.0, 900.0, 700.0)],
+        "seg_id long, x0 double, y0 double, x1 double, y1 double",
+    )
+    out = rasterize_segments(df, SPEC, value_cols=(), impl="arrow")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan  # Arrow-batched, never row-at-a-time
+    assert plan.count("Exchange") <= 2
+
+
+def test_arrow_column_bitwise_parity(spark):
+    # the two impls must agree EXACTLY — same candidate set, bitwise-equal
+    # fractions (every step is one correctly-rounded IEEE op on both sides)
+    rng = np.random.default_rng(23)
+    segs = []
+    for _ in range(150):
+        x0v, x1v = rng.uniform(-80, 1080, 2)
+        y0v, y1v = rng.uniform(-80, 880, 2)
+        segs.append((float(x0v), float(y0v), float(x1v), float(y1v)))
+    segs += [
+        (200.0, 110.0, 200.0, 290.0),   # vertical on a gridline
+        (110.0, 300.0, 350.0, 300.0),   # horizontal on a gridline
+        (250.0, 250.0, 250.0, 250.0),   # point
+        (-500.0, -500.0, -400.0, -450.0),  # off-grid
+    ]
+    for kw in ({}, {"quantize_bits": 20}):
+        a = _collect_fracs(spark, segs, SPEC, impl="arrow", **kw)
+        c = _collect_fracs(spark, segs, SPEC, impl="column", **kw)
+        assert set(a) == set(c)
+        for key in a:
+            assert sorted(a[key]) == sorted(c[key]), key  # exact, no approx
+
+
+def test_fused_arrow_raster_matches_column_exactly_when_quantized(spark):
+    # the fused per-batch bincount partials must reproduce the column
+    # path's aggregate BIT-exactly under quantization (dyadic sums are
+    # order-independent) — counts, fractions, and weighted values
+    rng = np.random.default_rng(31)
+    rows = []
+    for i in range(200):
+        x0v, x1v = rng.uniform(-80, 1080, 2)
+        y0v, y1v = rng.uniform(-80, 880, 2)
+        rows.append(
+            (i, float(x0v), float(y0v), float(x1v), float(y1v), float(i % 37))
+        )
+    df = spark.createDataFrame(
+        rows, "seg_id long, x0 double, y0 double, x1 double, y1 double, v double"
+    ).repartition(5)
+    outs = {}
+    for impl in ("arrow", "column"):
+        got = rasterize_segments(
+            df, SPEC, value_cols=("v",), quantize_bits=20, impl=impl
+        ).collect()
+        outs[impl] = {
+            r["cell_id"]: (r["n_segs"], r["frac_sum"], r["w_v"]) for r in got
+        }
+    assert outs["arrow"] == outs["column"]  # exact, not approx
+
+
+def test_null_coordinate_rows_dropped_both_impls(spark):
+    df = spark.createDataFrame(
+        [(0, 10.0, 10.0, None, 20.0), (1, 10.0, 10.0, 20.0, 20.0)],
+        "seg_id long, x0 double, y0 double, x1 double, y1 double",
+    )
+    for impl in ("arrow", "column"):
+        got = segment_tile_fractions(df, SPEC, impl=impl).collect()
+        assert {r["seg_id"] for r in got} == {1}, impl

@@ -203,6 +203,29 @@ def bench_queries(spark, sf_dir: str, n_docs: int):
     timed("seg_raster", lambda: seg_raster("arrow"))
     timed("seg_raster_column", lambda: seg_raster("column"))
 
+    # q5d: polygon-corpus coverage raster — 50k synthetic rects (DATA, not
+    # driver literals) burned onto the doc grid via the fused-partials
+    # kernel; rects take the vectorized closed-form path, so this measures
+    # candidate generation + bincount partials + the one tiny shuffle
+    def poly_raster():
+        from seraster_spark.vector import rasterize_polygons
+
+        n_polys = max(1000, n_docs // 40)
+        base = spark.range(0, n_polys)
+        xa = F.pmod(F.xxhash64(F.col("id"), F.lit(11)), F.lit(2800)).cast("double") + 0.5
+        ya = F.pmod(F.xxhash64(F.col("id"), F.lit(12)), F.lit(1800)).cast("double") + 0.5
+        wdt = (F.pmod(F.xxhash64(F.col("id"), F.lit(13)), F.lit(8)) + 1).cast("double") * 50.0
+        hgt = (F.pmod(F.xxhash64(F.col("id"), F.lit(14)), F.lit(8)) + 1).cast("double") * 50.0
+        polys = base.select(
+            F.col("id").alias("poly_id"),
+            F.array(xa, xa + wdt, xa + wdt, xa).alias("xs"),
+            F.array(ya, ya, ya + hgt, ya + hgt).alias("ys"),
+            F.pmod(F.col("id"), F.lit(100)).cast("double").alias("burn"),
+        ).repartition(spark.sparkContext.defaultParallelism)
+        return force(rasterize_polygons(polys, SPEC_SQ, ("burn",)))
+
+    timed("poly_raster", poly_raster)
+
     # q5b: polygon containment spatial join (north-rule flagship): docs ×
     # 2 overlapping polygons via covering-cell equi-join + Arrow PIP
     from seraster_spark.vector import spatial_join

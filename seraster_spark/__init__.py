@@ -41,9 +41,11 @@ from .rasterize import (
     rollup_tiles,
     tile_meta,
 )
+from .segments import rasterize_segments, segment_tile_fractions
 from .vector import (
     filter_by_polygon,
     raster_algebra,
+    rasterize_polygons,
     spatial_join,
     tiles_geojson,
     write_geojson_lines,
@@ -93,6 +95,9 @@ __all__ = [
     "bloom_maybe_contains",
     "spatial_join",
     "raster_algebra",
+    "rasterize_polygons",
+    "rasterize_segments",
+    "segment_tile_fractions",
     "filter_by_polygon",
     "tiles_with_wkt",
     "tiles_geojson",

@@ -676,23 +676,77 @@ SQL_SPAN_ROUNDTRIP = _sql_span_roundtrip()
 # raster -> vector ------------------------------------------------------------
 
 
+# polygon-corpus coverage rects for the tile_wkt row: .5-offset bounds so
+# every S-H intersection parameter is exact and the engine's vectorized
+# rect path == closed-form min/max overlap bitwise (r4/r5 property)
+_COV_RECTS = [
+    (120.5, 80.5, 1620.5, 1080.5, 3.0),
+    (900.5, 600.5, 2400.5, 1900.5, 5.0),
+    (-200.5, -100.5, 300.5, 400.5, 7.0),
+]
+
+
 def q_tile_wkt(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tiles at res 500 with closed-ring WKT polygons (engine path uses the
-    Arrow-batched numpy polygonizer)."""
+    Arrow-batched numpy polygonizer).
+
+    r5: the row also carries POLYGON-CORPUS COVERAGE (vector.
+    rasterize_polygons — terra::rasterize(polygons) analog): three rect
+    polygons as DATA rows burned onto the same grid via the fused-partials
+    mapInPandas kernel; per tile n_polys / cov_frac / w_burn (area-weighted
+    burn mass), LEFT-joined so coverage-free tiles carry NULLs. The DuckDB
+    twin recomputes the closed-form rect∩tile overlap per occupied tile —
+    bit-exact because every summed term is a dyadic product."""
     d = docs_with_coords(spark, sf_dir)
     from .bbox import grid_spec_for
-    from .vector import tiles_with_wkt
+    from .vector import rasterize_polygons, tiles_with_wkt
 
     spec = grid_spec_for(d, 500.0, square=True)
     wc = R.assign_tiles(d, spec)
     tiles = wc.groupBy("cell_id").agg(F.count(F.lit(1)).alias("num_cell"))
     wkt = tiles_with_wkt(tiles, spec)
     row, col = X.unpack_rowcol(F.col("cell_id"))
-    return wkt.select(
+    base = wkt.select(
         row.cast("long").alias("row_i"),
         col.cast("long").alias("col_i"),
         F.col("num_cell").cast("long").alias("num_cell"),
         F.col("geometry_wkt").alias("wkt"),
+    )
+    polys = spark.createDataFrame(
+        [
+            (i, [xa, xb, xb, xa], [ya, ya, yb, yb], v)
+            for i, (xa, ya, xb, yb, v) in enumerate(_COV_RECTS)
+        ],
+        "poly_id long, xs array<double>, ys array<double>, burn double",
+    )
+    cov = rasterize_polygons(polys, spec, ("burn",))
+    crow, ccol = X.unpack_rowcol(F.col("cell_id"))
+    cov = cov.select(
+        crow.cast("long").alias("row_i"),
+        ccol.cast("long").alias("col_i"),
+        "n_polys",
+        "cov_frac",
+        "w_burn",
+    )
+    return base.join(cov, ["row_i", "col_i"], "left")
+
+
+def _sql_cov_rects() -> str:
+    """Closed-form rect∩tile overlap columns replaying the engine's
+    vectorized rect path term-for-term (same min/max tree, sum over the
+    three rects, divisions deferred to the outer SELECT)."""
+    ovs = [
+        f"(GREATEST(0.0, LEAST(tx0 + 500.0, {xb}) - GREATEST(tx0, {xa}))"
+        f" * GREATEST(0.0, LEAST(ty0 + 500.0, {yb}) - GREATEST(ty0, {ya})))"
+        for (xa, ya, xb, yb, _v) in _COV_RECTS
+    ]
+    np_expr = " + ".join(f"CASE WHEN {ov} > 0.0 THEN 1 ELSE 0 END" for ov in ovs)
+    ca_expr = " + ".join(ovs)
+    wb_expr = " + ".join(
+        f"{ov} * {v}" for ov, (_xa, _ya, _xb, _yb, v) in zip(ovs, _COV_RECTS)
+    )
+    return (
+        f"CAST({np_expr} AS BIGINT) AS np, {ca_expr} AS ca, {wb_expr} AS wb"
     )
 
 
@@ -711,16 +765,29 @@ c AS (
               ELSE floor((y - b.ymin) / 500.0) END AS BIGINT) AS row_i,
     b.xmin, b.ymin
   FROM d, b
+),
+g AS (
+  SELECT row_i, col_i, count(*) AS num_cell,
+    'POLYGON ((' ||
+    printf('%.6f %.6f', any_value(xmin) + col_i * 500.0, any_value(ymin) + row_i * 500.0) || ', ' ||
+    printf('%.6f %.6f', any_value(xmin) + col_i * 500.0 + 500.0, any_value(ymin) + row_i * 500.0) || ', ' ||
+    printf('%.6f %.6f', any_value(xmin) + col_i * 500.0 + 500.0, any_value(ymin) + row_i * 500.0 + 500.0) || ', ' ||
+    printf('%.6f %.6f', any_value(xmin) + col_i * 500.0, any_value(ymin) + row_i * 500.0 + 500.0) || ', ' ||
+    printf('%.6f %.6f', any_value(xmin) + col_i * 500.0, any_value(ymin) + row_i * 500.0) ||
+    '))' AS wkt,
+    any_value(xmin) + col_i * 500.0 AS tx0,
+    any_value(ymin) + row_i * 500.0 AS ty0
+  FROM c GROUP BY row_i, col_i
+),
+cv AS (
+  SELECT row_i, col_i, num_cell, wkt, {_sql_cov_rects()}
+  FROM g
 )
-SELECT row_i, col_i, count(*) AS num_cell,
-  'POLYGON ((' ||
-  printf('%.6f %.6f', any_value(xmin) + col_i * 500.0, any_value(ymin) + row_i * 500.0) || ', ' ||
-  printf('%.6f %.6f', any_value(xmin) + col_i * 500.0 + 500.0, any_value(ymin) + row_i * 500.0) || ', ' ||
-  printf('%.6f %.6f', any_value(xmin) + col_i * 500.0 + 500.0, any_value(ymin) + row_i * 500.0 + 500.0) || ', ' ||
-  printf('%.6f %.6f', any_value(xmin) + col_i * 500.0, any_value(ymin) + row_i * 500.0 + 500.0) || ', ' ||
-  printf('%.6f %.6f', any_value(xmin) + col_i * 500.0, any_value(ymin) + row_i * 500.0) ||
-  '))' AS wkt
-FROM c GROUP BY row_i, col_i
+SELECT row_i, col_i, num_cell, wkt,
+       CASE WHEN np > 0 THEN np END AS n_polys,
+       CASE WHEN np > 0 THEN ca / 250000.0 END AS cov_frac,
+       CASE WHEN np > 0 THEN wb / 250000.0 END AS w_burn
+FROM cv
 """
 
 

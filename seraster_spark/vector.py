@@ -243,6 +243,252 @@ def zonal_weighted(
     return out
 
 
+def rasterize_polygons(
+    polys: DataFrame,
+    spec: GridSpec,
+    value_cols: tuple[str, ...] = (),
+    max_tiles_per_poly: int = 262144,
+    xs: str = "xs",
+    ys: str = "ys",
+) -> DataFrame:
+    """Coverage raster from a polygon CORPUS — the terra::rasterize(polygons)
+    analog, and the many-polygons counterpart of :func:`zonal_weighted`
+    (which takes a broadcast-sized zone dict): per tile, ``n_polys``
+    (polygons with positive overlap), ``cov_area`` (Σ area(tile ∩ poly)),
+    ``cov_frac`` = cov_area / tile_area (> 1 where polygons overlap), and
+    ``w_<c>`` = Σ area·c / tile_area per burn-value column.
+
+    Input is a DataFrame with ring vertex arrays ``xs``/``ys`` (open or
+    closed, any simple polygon, any orientation) — polygons are DATA, not
+    driver-side literals, so the corpus can be arbitrarily large. Scale
+    shape (the segment-op pattern): one mapInPandas kernel clips each
+    polygon against its bbox tiles (±1 safety ring) and emits per-batch
+    partial aggregates via bincount, so only O(distinct cells) rows cross
+    the Python boundary or the ONE final shuffle. Axis-aligned rectangles
+    take a fully vectorized closed-form overlap path (bitwise-equal to the
+    Sutherland-Hodgman clip for rectilinear rings on representable
+    coordinates — the property the oracle relies on); general rings run
+    the S-H kernel per candidate tile. A polygon whose bbox exceeds
+    ``max_tiles_per_poly`` candidate tiles raises loudly (coarsen the grid
+    or pre-split the geometry). Degenerate rings (< 3 vertices, non-finite
+    coordinates) are dropped. Square and hex grids alike.
+    """
+    from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+    from .grid import ring_area, tile_clip_areas
+
+    tile_area = ring_area(
+        polygon_vertices(np.array([_pack_py(spec, 0, 0)], dtype=np.int64), spec)[0]
+    )
+    fields = [
+        StructField("cell_id", LongType()),
+        StructField("n_polys", LongType()),
+        StructField("cov_area", DoubleType()),
+    ]
+    fields += [StructField(f"w_{c}", DoubleType()) for c in value_cols]
+    partial_schema = StructType(fields)
+    res = spec.resolution
+    xmin, ymin = spec.xmin, spec.ymin
+    ncols, nrows = spec.ncols, spec.nrows
+    cap = max_tiles_per_poly
+
+    def rect_block(pdf, rect_ix, rects):
+        """Fully vectorized closed-form burn for a block of axis-aligned
+        rects (the common zone-mask case): two-stage arange/repeat
+        expansion of bbox tiles — no per-polygon Python iteration at all.
+        Same overlap expression tree as the per-polygon rect path, so
+        results are bitwise-identical."""
+        from .grid import pack as _pack_np
+
+        xa = np.array([r[0] for r in rects])
+        ya = np.array([r[1] for r in rects])
+        xb = np.array([r[2] for r in rects])
+        yb = np.array([r[3] for r in rects])
+        c0 = np.maximum(np.floor((xa - xmin) / res).astype(np.int64), 0)
+        c1 = np.minimum(np.floor((xb - xmin) / res).astype(np.int64), ncols - 1)
+        r0 = np.maximum(np.floor((ya - ymin) / res).astype(np.int64), 0)
+        r1 = np.minimum(np.floor((yb - ymin) / res).astype(np.int64), nrows - 1)
+        ok = (c0 <= c1) & (r0 <= r1)
+        if not ok.any():
+            return None
+        keep = np.nonzero(ok)[0]
+        c0, c1, r0, r1 = c0[keep], c1[keep], r0[keep], r1[keep]
+        span = (c1 - c0 + 1) * (r1 - r0 + 1)
+        if (span > cap).any():
+            raise ValueError(
+                f"polygon bbox covers {int(span.max())} candidate tiles > "
+                f"max_tiles_per_poly={cap}; coarsen the grid or split the "
+                "geometry"
+            )
+        colspan = c1 - c0 + 1
+        n1 = int(colspan.sum())
+        pix = np.repeat(np.arange(len(keep)), colspan)
+        starts = np.cumsum(colspan) - colspan
+        ci = np.arange(n1, dtype=np.int64) - np.repeat(starts, colspan) + np.repeat(c0, colspan)
+        rowspan = (r1 - r0 + 1)[pix]
+        n2 = int(rowspan.sum())
+        starts2 = np.cumsum(rowspan) - rowspan
+        strip = np.repeat(np.arange(n1), rowspan)
+        ri = np.arange(n2, dtype=np.int64) - np.repeat(starts2, rowspan) + r0[pix][strip]
+        pixf = pix[strip]
+        cif = ci[strip]
+        tx0 = xmin + cif.astype(np.float64) * res
+        ty0 = ymin + ri.astype(np.float64) * res
+        ov = np.maximum(
+            0.0, np.minimum(tx0 + res, xb[keep][pixf]) - np.maximum(tx0, xa[keep][pixf])
+        ) * np.maximum(
+            0.0, np.minimum(ty0 + res, yb[keep][pixf]) - np.maximum(ty0, ya[keep][pixf])
+        )
+        pos = ov > 0.0
+        if not pos.any():
+            return None
+        cells = _pack_np(spec.mode, spec.level, ri[pos], cif[pos])
+        orig = np.asarray(rect_ix, dtype=np.int64)[keep][pixf[pos]]
+        return cells, ov[pos], orig
+
+    def kernel(batches):
+        from .grid import encode as _encode
+        from .grid import unpack as _unpack
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            cells_acc: list[np.ndarray] = []
+            areas_acc: list[np.ndarray] = []
+            vals_acc: dict[str, list[np.ndarray]] = {c: [] for c in value_cols}
+            rect_ix: list[int] = []
+            rects: list[tuple[float, float, float, float]] = []
+            for i in range(len(pdf)):
+                rx = np.asarray(pdf[xs].iloc[i], dtype=np.float64)
+                ry = np.asarray(pdf[ys].iloc[i], dtype=np.float64)
+                if len(rx) != len(ry) or len(rx) < 3:
+                    continue
+                if not (np.isfinite(rx).all() and np.isfinite(ry).all()):
+                    continue
+                if spec.square:
+                    rect = _as_rect(rx, ry)
+                    if rect is not None:
+                        rect_ix.append(i)
+                        rects.append(rect)
+                        continue
+                ring = np.column_stack([rx, ry])
+                # cap check BEFORE materializing the candidate meshgrid,
+                # using the same bbox-corner encoding covering_cells uses
+                bx = np.array([rx.min(), rx.max(), rx.min(), rx.max()])
+                by = np.array([ry.min(), ry.min(), ry.max(), ry.max()])
+                _, _, crows, ccols = _unpack(_encode(bx, by, spec))
+                span = int(crows.max() - crows.min() + 3) * int(
+                    ccols.max() - ccols.min() + 3
+                )
+                if span > cap:
+                    raise ValueError(
+                        f"polygon bbox covers {span} candidate tiles > "
+                        f"max_tiles_per_poly={cap}; coarsen the grid or "
+                        "split the geometry"
+                    )
+                cells = covering_cells(ring, spec)
+                if len(cells) == 0:
+                    continue
+                _, _, trows, tcols = _unpack(cells)
+                if spec.square:
+                    # covering_cells does not clamp to the grid extent;
+                    # hex axial coords are legitimately signed — no clamp
+                    on_grid = (
+                        (trows >= 0) & (trows < nrows)
+                        & (tcols >= 0) & (tcols < ncols)
+                    )
+                    if not on_grid.any():
+                        continue
+                    cells = cells[on_grid]
+                    trows, tcols = trows[on_grid], tcols[on_grid]
+                rect = _as_rect(rx, ry)
+                if rect is not None and spec.square:
+                    xa, ya, xb, yb = rect
+                    tx0 = xmin + tcols.astype(np.float64) * res
+                    ty0 = ymin + trows.astype(np.float64) * res
+                    areas = np.maximum(
+                        0.0, np.minimum(tx0 + res, xb) - np.maximum(tx0, xa)
+                    ) * np.maximum(
+                        0.0, np.minimum(ty0 + res, yb) - np.maximum(ty0, ya)
+                    )
+                else:
+                    areas = tile_clip_areas(cells, ring, spec)
+                pos = areas > 0.0
+                if not pos.any():
+                    continue
+                cells_acc.append(cells[pos])
+                areas_acc.append(areas[pos])
+                for c in value_cols:
+                    v = float(pdf[c].iloc[i])
+                    vals_acc[c].append(areas[pos] * v)
+            if rects:
+                rb = rect_block(pdf, rect_ix, rects)
+                if rb is not None:
+                    rcells, rareas, rorig = rb
+                    cells_acc.append(rcells)
+                    areas_acc.append(rareas)
+                    for c in value_cols:
+                        v = pdf[c].to_numpy(dtype=np.float64)[rorig]
+                        vals_acc[c].append(rareas * v)
+            if not cells_acc:
+                continue
+            cell = np.concatenate(cells_acc)
+            area = np.concatenate(areas_acc)
+            cells_u, inv = np.unique(cell, return_inverse=True)
+            ncell = len(cells_u)
+            data = {
+                "cell_id": cells_u,
+                "n_polys": np.bincount(inv, minlength=ncell).astype(np.int64),
+                "cov_area": np.bincount(inv, weights=area, minlength=ncell),
+            }
+            for c in value_cols:
+                data[f"w_{c}"] = np.bincount(
+                    inv, weights=np.concatenate(vals_acc[c]), minlength=ncell
+                )
+            yield pd.DataFrame(data)
+
+    partials = polys.mapInPandas(kernel, partial_schema)
+    aggs = [
+        F.sum("n_polys").alias("n_polys"),
+        F.sum("cov_area").alias("cov_area"),
+    ]
+    aggs += [F.sum(f"w_{c}").alias(f"w_{c}") for c in value_cols]
+    out = partials.groupBy("cell_id").agg(*aggs)
+    out = out.withColumn(
+        "cov_frac", F.col("cov_area") / F.lit(float(tile_area))
+    )
+    for c in value_cols:
+        out = out.withColumn(f"w_{c}", F.col(f"w_{c}") / F.lit(float(tile_area)))
+    return out
+
+
+def _pack_py(spec: GridSpec, row: int, col: int) -> int:
+    from .grid import pack
+
+    return int(pack(spec.mode, spec.level, np.array([row]), np.array([col]))[0])
+
+
+def _as_rect(rx: np.ndarray, ry: np.ndarray):
+    """Detect an axis-aligned rectangle ring (open or closed, either
+    orientation, any starting vertex): exactly two distinct x values and
+    two distinct y values, 4 distinct vertices, every edge axis-parallel.
+    Returns (xa, ya, xb, yb) or None."""
+    px, py = rx, ry
+    if len(px) >= 2 and px[0] == px[-1] and py[0] == py[-1]:
+        px, py = px[:-1], py[:-1]
+    if len(px) != 4:
+        return None
+    ux, uy = np.unique(px), np.unique(py)
+    if len(ux) != 2 or len(uy) != 2:
+        return None
+    # every consecutive edge must change exactly one coordinate
+    for j in range(4):
+        k = (j + 1) % 4
+        if (px[j] != px[k]) == (py[j] != py[k]):
+            return None
+    return float(ux[0]), float(uy[0]), float(ux[1]), float(uy[1])
+
+
 def raster_algebra(
     tiles_a: DataFrame,
     tiles_b: DataFrame,

@@ -207,3 +207,122 @@ def test_zonal_weighted_empty_and_outside(spark, docs):
     assert vector.zonal_weighted(raster, {}, spec, ("n",)).count() == 0
     far = [(90000.0, 90000.0), (90100.0, 90000.0), (90100.0, 90100.0), (90000.0, 90100.0)]
     assert vector.zonal_weighted(raster, {"F": far}, spec, ("n",)).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# rasterize_polygons — polygon-corpus coverage raster
+
+
+def _poly_df(spark, rings, vals=None):
+    rows = []
+    for i, ring in enumerate(rings):
+        xs = [float(p[0]) for p in ring]
+        ys = [float(p[1]) for p in ring]
+        rows.append((i, xs, ys, float(vals[i]) if vals else 1.0))
+    return spark.createDataFrame(
+        rows, "poly_id long, xs array<double>, ys array<double>, val double"
+    )
+
+
+def _collect_cov(df):
+    from seraster_spark.grid import unpack
+
+    out = {}
+    for r in df.collect():
+        _, _, rr, cc = unpack(np.array([r["cell_id"]], dtype=np.int64))
+        out[(int(rr[0]), int(cc[0]))] = r
+    return out
+
+
+def test_rasterize_polygons_rect_exact(spark, docs):
+    """A single rect: per-tile cov_area equals the closed form bitwise and
+    total coverage equals the rect's own area exactly (dyadic coords)."""
+    spec = grid_spec_for(docs, 100.0, square=True)
+    rect = [(400.5, 300.5), (1200.5, 300.5), (1200.5, 900.5), (400.5, 900.5)]
+    out = vector.rasterize_polygons(_poly_df(spark, [rect]), spec, ("val",))
+    cov = _collect_cov(out)
+    total = sum(r["cov_area"] for r in cov.values())
+    assert total == 800.0 * 600.0  # exact
+    for r in cov.values():
+        assert r["n_polys"] == 1
+        assert 0 < r["cov_frac"] <= 1.0
+        assert r["w_val"] == r["cov_frac"]  # val == 1 burn
+
+
+def test_rasterize_polygons_overlap_counts(spark, docs):
+    spec = grid_spec_for(docs, 100.0, square=True)
+    r1 = [(400.5, 300.5), (1200.5, 300.5), (1200.5, 900.5), (400.5, 900.5)]
+    r2 = [(800.5, 500.5), (1600.5, 500.5), (1600.5, 1100.5), (800.5, 1100.5)]
+    out = vector.rasterize_polygons(_poly_df(spark, [r1, r2], [2, 3]), spec, ("val",))
+    cov = _collect_cov(out)
+    both = [r for r in cov.values() if r["n_polys"] == 2]
+    assert both  # overlap region exists
+    # a tile fully inside both rects: cov_frac == 2, w_val == 2+3
+    full = [r for r in both if abs(r["cov_frac"] - 2.0) < 1e-12]
+    assert full
+    assert abs(full[0]["w_val"] - 5.0) < 1e-12
+
+
+def test_rasterize_polygons_rect_fastpath_equals_sh(spark, docs):
+    """The vectorized rect path must agree BITWISE with the S-H kernel —
+    defeat rect detection with a collinear midpoint on one edge."""
+    spec = grid_spec_for(docs, 100.0, square=True)
+    rect = [(400.5, 300.5), (1200.5, 300.5), (1200.5, 900.5), (400.5, 900.5)]
+    rect5 = [(400.5, 300.5), (800.5, 300.5), (1200.5, 300.5), (1200.5, 900.5), (400.5, 900.5)]
+    a = _collect_cov(vector.rasterize_polygons(_poly_df(spark, [rect]), spec))
+    b = _collect_cov(vector.rasterize_polygons(_poly_df(spark, [rect5]), spec))
+    assert set(a) == set(b)
+    for k in a:
+        assert a[k]["cov_area"] == b[k]["cov_area"], k  # bitwise
+
+
+def test_rasterize_polygons_triangle_mass_and_hex(spark, docs):
+    from seraster_spark.grid import ring_area
+
+    tri = [(333.3, 250.1), (1777.7, 421.9), (901.5, 1666.4)]
+    ring = np.array(tri + [tri[0]])
+    for square in (True, False):
+        spec = grid_spec_for(docs, 100.0, square=square)
+        out = vector.rasterize_polygons(_poly_df(spark, [tri]), spec)
+        total = sum(r["cov_area"] for r in out.collect())
+        assert abs(total - ring_area(ring)) < 1e-6, square
+
+
+def test_rasterize_polygons_degenerate_and_offgrid(spark, docs):
+    spec = grid_spec_for(docs, 100.0, square=True)
+    degenerate = [(10.0, 10.0), (20.0, 10.0)]  # 2 vertices
+    far = [(90000.0, 90000.0), (90100.0, 90000.0), (90100.0, 90100.0)]
+    out = vector.rasterize_polygons(_poly_df(spark, [degenerate, far]), spec)
+    assert out.count() == 0
+
+
+def test_rasterize_polygons_cap_raises(spark, docs):
+    import pytest
+
+    spec = grid_spec_for(docs, 100.0, square=True)
+    rect = [(-1000.5, -1000.5), (4000.5, -1000.5), (4000.5, 3000.5), (-1000.5, 3000.5)]
+    with pytest.raises(Exception, match="max_tiles_per_poly"):
+        vector.rasterize_polygons(
+            _poly_df(spark, [rect]), spec, max_tiles_per_poly=10
+        ).collect()
+
+
+def test_rasterize_polygons_matches_zonal_weighted(spark, docs):
+    """Same ring through rasterize_polygons (per-tile) and zonal_weighted
+    (per-zone over a FULL tile frame): covered areas must agree."""
+    from seraster_spark.grid import pack as grid_pack
+
+    spec = grid_spec_for(docs, 100.0, square=True)
+    tri = [(333.3, 250.1), (1777.7, 421.9), (901.5, 1666.4)]
+    # full grid tiles so zonal misses nothing
+    import itertools
+
+    rows = [
+        (int(grid_pack(0, 0, np.array([r]), np.array([c]))[0]), 1.0)
+        for r, c in itertools.product(range(spec.nrows), range(spec.ncols))
+    ]
+    tiles = spark.createDataFrame(rows, "cell_id long, n double")
+    zw = vector.zonal_weighted(tiles, {"T": tri}, spec, ("n",)).collect()[0]
+    out = vector.rasterize_polygons(_poly_df(spark, [tri]), spec)
+    total = sum(r["cov_area"] for r in out.collect())
+    assert abs(total - zw["covered_area"]) < 1e-9

@@ -359,8 +359,13 @@ def rasterize_polygons(
             rect_ix: list[int] = []
             rects: list[tuple[float, float, float, float]] = []
             for i in range(len(pdf)):
-                rx = np.asarray(pdf[xs].iloc[i], dtype=np.float64)
-                ry = np.asarray(pdf[ys].iloc[i], dtype=np.float64)
+                raw_x, raw_y = pdf[xs].iloc[i], pdf[ys].iloc[i]
+                if raw_x is None or raw_y is None:
+                    continue
+                rx = np.asarray(raw_x, dtype=np.float64)
+                ry = np.asarray(raw_y, dtype=np.float64)
+                if rx.ndim != 1 or ry.ndim != 1:
+                    continue
                 if len(rx) != len(ry) or len(rx) < 3:
                     continue
                 if not (np.isfinite(rx).all() and np.isfinite(ry).all()):
@@ -419,7 +424,10 @@ def rasterize_polygons(
                 cells_acc.append(cells[pos])
                 areas_acc.append(areas[pos])
                 for c in value_cols:
-                    v = float(pdf[c].iloc[i])
+                    # NULL burn contributes 0 to the weighted sum (SQL
+                    # sum-ignores-NULL semantics) but still counts coverage
+                    v = pdf[c].iloc[i]
+                    v = 0.0 if pd.isna(v) else float(v)
                     vals_acc[c].append(areas[pos] * v)
             if rects:
                 rb = rect_block(pdf, rect_ix, rects)
@@ -428,7 +436,10 @@ def rasterize_polygons(
                     cells_acc.append(rcells)
                     areas_acc.append(rareas)
                     for c in value_cols:
-                        v = pdf[c].to_numpy(dtype=np.float64)[rorig]
+                        v = np.nan_to_num(
+                            pdf[c].to_numpy(dtype=np.float64)[rorig],
+                            nan=0.0, posinf=np.inf, neginf=-np.inf,
+                        )
                         vals_acc[c].append(rareas * v)
             if not cells_acc:
                 continue

@@ -296,6 +296,29 @@ def test_rasterize_polygons_degenerate_and_offgrid(spark, docs):
     assert out.count() == 0
 
 
+def test_rasterize_polygons_null_ring_and_null_burn(spark, docs):
+    """NULL xs/ys rows are dropped (not task crashes); NULL burn counts
+    coverage but contributes 0 to the weighted sum (SQL sum-ignores-NULL)
+    — identically on the rect fast path and the S-H ring path."""
+    spec = grid_spec_for(docs, 100.0, square=True)
+    rect = [(400.5, 300.5), (1200.5, 300.5), (1200.5, 900.5), (400.5, 900.5)]
+    tri = [(333.3, 250.1), (777.7, 421.9), (501.5, 666.4)]
+    rows = [
+        (0, [float(p[0]) for p in rect], [float(p[1]) for p in rect], None),
+        (1, None, None, 2.0),
+        (2, [float(p[0]) for p in tri], [float(p[1]) for p in tri], None),
+    ]
+    df = spark.createDataFrame(
+        rows, "poly_id long, xs array<double>, ys array<double>, val double"
+    )
+    cov = _collect_cov(vector.rasterize_polygons(df, spec, ("val",)))
+    assert cov  # NULL-ring row didn't crash the task, others rasterized
+    total = sum(r["cov_area"] for r in cov.values())
+    assert total > 800.0 * 600.0  # rect + triangle mass, no NULL-ring mass
+    for r in cov.values():
+        assert r["w_val"] == 0.0  # NULL burn -> zero weighted mass, not NaN
+
+
 def test_rasterize_polygons_cap_raises(spark, docs):
     import pytest
 

@@ -59,6 +59,51 @@ def test_focal_matches_naive(spark):
         assert got[k] == (s, cnt, s / cnt)
 
 
+def test_focal_arrow_impl_bitwise_parity(spark):
+    """impl='arrow' (fused bincount partials) must equal impl='column'
+    BITWISE on integer value columns — default stencil, a big radius-3
+    queen window, and a weighted binomial kernel; multi-partition input so
+    partial-aggregate merging is actually exercised."""
+    from seraster_spark.focal import binomial_kernel
+
+    raster = _raster(spark, CELLS).repartition(5)
+    for kw in (
+        {},
+        {"radius": 3, "include_center": False},
+        {"kernel": binomial_kernel(2)},
+    ):
+        a = {
+            (r["row_i"], r["col_i"]): (r["focal_sum"], r["focal_n"], r["focal_mean"])
+            for r in focal_stats(raster, "n", impl="column", **kw).collect()
+        }
+        b = {
+            (r["row_i"], r["col_i"]): (r["focal_sum"], r["focal_n"], r["focal_mean"])
+            for r in focal_stats(raster, "n", impl="arrow", **kw).collect()
+        }
+        assert a == b, kw
+
+
+def test_focal_arrow_impl_double_values(spark):
+    """Float value columns through the arrow impl: numerically equal to
+    the column path (exact here — dyadic values, few terms)."""
+    cells = [(r, c, v + 0.25) for r, c, v in CELLS]
+    raster = spark.createDataFrame(cells, "row_i long, col_i long, n double")
+    a = {
+        (r["row_i"], r["col_i"]): (r["focal_sum"], r["focal_n"])
+        for r in focal_stats(raster, "n", impl="column").collect()
+    }
+    b = {
+        (r["row_i"], r["col_i"]): (r["focal_sum"], r["focal_n"])
+        for r in focal_stats(raster, "n", impl="arrow").collect()
+    }
+    assert a == b
+
+
+def test_focal_bad_impl_raises(spark):
+    with pytest.raises(ValueError, match="impl"):
+        focal_stats(_raster(spark, CELLS), "n", impl="nope")
+
+
 def test_focal_isolated_tile_counts_itself(spark):
     got = focal_stats(_raster(spark, CELLS), "n").filter(
         (F.col("row_i") == 5) & (F.col("col_i") == 5)

@@ -119,9 +119,12 @@ def _neighbor_contributions_arrow(
     the (dr, dc, w) stencil in numpy and emits PER-BATCH PARTIAL aggregates
     keyed on the packed target cell, so only O(distinct targets) rows cross
     the Python boundary and the shuffle — vs (2r+1)² JVM row copies per
-    tile under Generate. Integer value columns aggregate in exact int64
-    (np.add.at), so partial-then-final sums equal the Column path BITWISE;
-    float columns differ only in addition order (last-ulp).
+    tile under Generate. Integer value columns with integer stencil
+    weights aggregate in exact int64, so partial-then-final sums equal
+    the Column path BITWISE; float values or fractional weights differ
+    only in addition order (last-ulp). NULL values contribute zero
+    weighted mass but still count toward focal_n — the Column path's
+    sum-ignores-NULL semantics.
 
     The partial combine only deduplicates if a batch's tiles are spatial
     NEIGHBORS — under round-robin partitioning a batch's stencil targets
@@ -133,22 +136,34 @@ def _neighbor_contributions_arrow(
     import pandas as pd
     from pyspark.sql.types import DoubleType, LongType, StructField, StructType
 
+    reserved = {"t_row", "t_col", "_v", "_w"}
+    clash = reserved & set(tiles.columns)
+    if clash:
+        raise ValueError(
+            f"input columns collide with focal internals: {sorted(clash)} — rename them"
+        )
     integral = dict(tiles.dtypes)[value_col] in ("tinyint", "smallint", "int", "bigint")
+    # fractional stencil weights force float accumulation, mirroring the
+    # Column path where _v = value * F.lit(0.5) widens to double
+    integral_w = all(float(t[2]).is_integer() for t in triples)
+    drs = np.array([t[0] for t in triples], dtype=np.int64)
+    dcs = np.array([t[1] for t in triples], dtype=np.int64)
+    ws = np.array([t[2] for t in triples], dtype=np.int64 if integral_w else np.float64)
+    vdtype = np.int64 if (integral and integral_w) else np.float64
+    wdtype = np.int64 if integral_w else np.float64
     schema = StructType(
         [
             StructField("t_row", LongType()),
             StructField("t_col", LongType()),
-            StructField("_v", LongType() if integral else DoubleType()),
-            StructField("_w", LongType()),
+            StructField("_v", LongType() if vdtype is np.int64 else DoubleType()),
+            StructField("_w", LongType() if integral_w else DoubleType()),
         ]
     )
-    drs = np.array([t[0] for t in triples], dtype=np.int64)
-    dcs = np.array([t[1] for t in triples], dtype=np.int64)
-    ws = np.array([t[2] for t in triples], dtype=np.int64)
-    vdtype = np.int64 if integral else np.float64
     OFF, MUL = _REGION_OFF, _REGION_MUL
 
-    r_max = int(max(abs(drs).max(), abs(dcs).max()))
+    r_max = (
+        int(max(abs(drs).max(), abs(dcs).max())) if len(triples) else 0
+    )
 
     def _dense(rows, cols, vals):
         """Dense-convolution partials: scatter the batch onto its local
@@ -164,7 +179,7 @@ def _neighbor_contributions_arrow(
         np.add.at(vgrid, (rows - r0 + 2 * m, cols - c0 + 2 * m), vals)
         np.add.at(ogrid, (rows - r0 + 2 * m, cols - c0 + 2 * m), 1)
         tv = np.zeros((H + 2 * m, W + 2 * m), dtype=vdtype)
-        tw = np.zeros((H + 2 * m, W + 2 * m), dtype=np.int64)
+        tw = np.zeros((H + 2 * m, W + 2 * m), dtype=wdtype)
         # existence mask must be UNWEIGHTED occupancy: a kernel with
         # zero-sum weights (Laplacian) reaches cells whose Σw is 0
         tn = np.zeros((H + 2 * m, W + 2 * m), dtype=np.int64)
@@ -188,7 +203,7 @@ def _neighbor_contributions_arrow(
         keys_u, inv = np.unique(key, return_inverse=True)
         v_acc = np.zeros(len(keys_u), dtype=vdtype)
         np.add.at(v_acc, inv, vv)
-        w_acc = np.zeros(len(keys_u), dtype=np.int64)
+        w_acc = np.zeros(len(keys_u), dtype=wdtype)
         np.add.at(w_acc, inv, ww)
         return keys_u // MUL - OFF, keys_u % MUL - OFF, v_acc, w_acc
 
@@ -198,11 +213,19 @@ def _neighbor_contributions_arrow(
                 continue
             rows = pdf[row_col].to_numpy(dtype=np.int64)
             cols = pdf[col_col].to_numpy(dtype=np.int64)
-            vals = pdf[value_col].to_numpy(dtype=vdtype)
+            # NULL values arrive as NaN (pandas widens nullable ints to
+            # float64; to_numpy(int64) would wrap NaN to INT64_MIN) —
+            # fillna(0) gives them zero weighted mass, which is exactly
+            # the Column path's sum-ignores-NULL; focal_n still counts
+            # the tile there too (its _w row exists with _v NULL)
+            vals = pdf[value_col].fillna(0).to_numpy(dtype=vdtype)
+            # dense grid needs BOTH an absolute bound (5 bbox-sized
+            # arrays × concurrent tasks — 4M cells ≈ 160 MB/task) and a
+            # density bound (sparser than 1/64 → mostly-air grids)
             bbox = (int(rows.max() - rows.min()) + 4 * r_max + 1) * (
                 int(cols.max() - cols.min()) + 4 * r_max + 1
             )
-            if bbox <= max(16_000_000, 64 * len(rows)):
+            if bbox <= 4_000_000 and bbox <= 64 * len(rows):
                 t_row, t_col, v_acc, w_acc = _dense(rows, cols, vals)
             else:
                 t_row, t_col, v_acc, w_acc = _sparse(rows, cols, vals)
@@ -260,6 +283,10 @@ def focal_stats(
     offsets = kernel if kernel is not None else neighbor_offsets(
         radius=radius, queen=queen, include_center=include_center
     )
+    if not offsets:
+        # explode of a zero-element array is a VOID-typed analysis error;
+        # fail here with a message instead
+        raise ValueError("empty focal stencil (no offsets/kernel entries)")
     if impl not in ("column", "arrow"):
         raise ValueError(f"impl must be 'column' or 'arrow', got {impl!r}")
     if impl == "arrow":

@@ -268,10 +268,15 @@ def rasterize_polygons(
     take a fully vectorized closed-form overlap path (bitwise-equal to the
     Sutherland-Hodgman clip for rectilinear rings on representable
     coordinates — the property the oracle relies on); general rings run
-    the S-H kernel per candidate tile. A polygon whose bbox exceeds
-    ``max_tiles_per_poly`` candidate tiles raises loudly (coarsen the grid
-    or pre-split the geometry). Degenerate rings (< 3 vertices, non-finite
-    coordinates) are dropped. Square and hex grids alike.
+    the S-H kernel per candidate tile. A polygon whose candidate-tile
+    count exceeds ``max_tiles_per_poly`` raises loudly (coarsen the grid
+    or pre-split the geometry); the guard bounds what each path actually
+    MATERIALIZES — the grid-clamped bbox on the rect fast path, the full
+    unclamped bbox meshgrid that ``covering_cells`` builds on the general
+    path — so a mostly-off-grid geometry may pass as a 4-vertex rect but
+    raise when written with a collinear fifth vertex. Degenerate rings
+    (< 3 vertices, non-finite coordinates) are dropped. Square and hex
+    grids alike.
     """
     from pyspark.sql.types import DoubleType, LongType, StructField, StructType
 
@@ -377,6 +382,11 @@ def rasterize_polygons(
                         rects.append(rect)
                         continue
                 ring = np.column_stack([rx, ry])
+                # covering_cells / tile_clip_areas edge-walk ring[:-1]->
+                # ring[1:], so an OPEN ring silently loses its closing edge
+                # (and with it most interior PIP hits) — close it here
+                if ring[0, 0] != ring[-1, 0] or ring[0, 1] != ring[-1, 1]:
+                    ring = np.vstack([ring, ring[:1]])
                 # cap check BEFORE materializing the candidate meshgrid,
                 # using the same bbox-corner encoding covering_cells uses
                 bx = np.array([rx.min(), rx.max(), rx.min(), rx.max()])
@@ -406,18 +416,7 @@ def rasterize_polygons(
                         continue
                     cells = cells[on_grid]
                     trows, tcols = trows[on_grid], tcols[on_grid]
-                rect = _as_rect(rx, ry)
-                if rect is not None and spec.square:
-                    xa, ya, xb, yb = rect
-                    tx0 = xmin + tcols.astype(np.float64) * res
-                    ty0 = ymin + trows.astype(np.float64) * res
-                    areas = np.maximum(
-                        0.0, np.minimum(tx0 + res, xb) - np.maximum(tx0, xa)
-                    ) * np.maximum(
-                        0.0, np.minimum(ty0 + res, yb) - np.maximum(ty0, ya)
-                    )
-                else:
-                    areas = tile_clip_areas(cells, ring, spec)
+                areas = tile_clip_areas(cells, ring, spec)
                 pos = areas > 0.0
                 if not pos.any():
                     continue

@@ -104,6 +104,57 @@ def test_focal_bad_impl_raises(spark):
         focal_stats(_raster(spark, CELLS), "n", impl="nope")
 
 
+def test_focal_arrow_null_values_match_column(spark):
+    """NULL integer values must follow sum-ignores-NULL in BOTH impls —
+    not wrap NaN to INT64_MIN (the nullable-int pandas widening trap)."""
+    cells = [(0, 0, 5), (0, 1, None), (0, 2, 7), (1, 1, 3)]
+    raster = spark.createDataFrame(cells, "row_i long, col_i long, n long")
+    a = {
+        (r["row_i"], r["col_i"]): (r["focal_sum"], r["focal_n"])
+        for r in focal_stats(raster, "n", impl="column").collect()
+    }
+    b = {
+        (r["row_i"], r["col_i"]): (r["focal_sum"], r["focal_n"])
+        for r in focal_stats(raster, "n", impl="arrow").collect()
+    }
+    assert a == b
+    # window of (0,0) holds (0,0)=5, (0,1)=NULL, (1,1)=3: the NULL tile
+    # still counts as an existing neighbor, its value is ignored
+    assert a[(0, 0)] == (5 + 3, 3)
+
+
+def test_focal_arrow_fractional_weights_match_column(spark):
+    """Fractional stencil weights must not truncate to int in the arrow
+    impl; both impls widen to double like value * F.lit(0.5) does."""
+    kern = [(0, 0, 1), (0, 1, 0.5), (0, -1, 0.5)]
+    raster = _raster(spark, CELLS)
+    a = {
+        (r["row_i"], r["col_i"]): (r["focal_sum"], r["focal_n"])
+        for r in focal_stats(raster, "n", kernel=kern, impl="column").collect()
+    }
+    b = {
+        (r["row_i"], r["col_i"]): (r["focal_sum"], r["focal_n"])
+        for r in focal_stats(raster, "n", kernel=kern, impl="arrow").collect()
+    }
+    assert a == b
+    assert a[(0, 1)][0] == 1 + 0.5 * 5 + 0.5 * 7
+
+
+def test_focal_arrow_reserved_column_guard(spark):
+    df = _raster(spark, CELLS).withColumn("t_row", F.lit(1))
+    with pytest.raises(ValueError, match="focal internals"):
+        focal_stats(df, "n", impl="arrow")
+
+
+def test_focal_empty_kernel_raises_both_impls(spark):
+    """An empty stencil is degenerate: the column path would otherwise
+    die in analysis (explode of a VOID array), the arrow path in numpy —
+    both must raise the same clear error instead."""
+    for impl in ("column", "arrow"):
+        with pytest.raises(ValueError, match="empty focal stencil"):
+            focal_stats(_raster(spark, CELLS), "n", kernel=[], impl=impl)
+
+
 def test_focal_isolated_tile_counts_itself(spark):
     got = focal_stats(_raster(spark, CELLS), "n").filter(
         (F.col("row_i") == 5) & (F.col("col_i") == 5)

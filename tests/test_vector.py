@@ -288,6 +288,25 @@ def test_rasterize_polygons_triangle_mass_and_hex(spark, docs):
         assert abs(total - ring_area(ring)) < 1e-6, square
 
 
+def test_rasterize_polygons_open_ring_rotation_invariant(spark, docs):
+    """covering_cells edge-walks ring[:-1]->ring[1:], so an OPEN ring fed
+    unclosed loses its closing edge — a regression that only bites for
+    some vertex rotations (the dropped edge must face the +x ray). Every
+    rotation, open or closed, must give identical total mass."""
+    from seraster_spark.grid import ring_area
+
+    tri = [(333.3, 250.1), (1777.7, 421.9), (901.5, 1666.4)]
+    spec = grid_spec_for(docs, 100.0, square=True)
+    want = ring_area(np.array(tri + [tri[0]]))
+    for rot in range(3):
+        open_ring = tri[rot:] + tri[:rot]
+        closed_ring = open_ring + [open_ring[0]]
+        for variant in (open_ring, closed_ring):
+            out = vector.rasterize_polygons(_poly_df(spark, [variant]), spec)
+            total = sum(r["cov_area"] for r in out.collect())
+            assert abs(total - want) < 1e-6, (rot, len(variant))
+
+
 def test_rasterize_polygons_degenerate_and_offgrid(spark, docs):
     spec = grid_spec_for(docs, 100.0, square=True)
     degenerate = [(10.0, 10.0), (20.0, 10.0)]  # 2 vertices

@@ -243,6 +243,45 @@ def bench_queries(spark, sf_dir: str, n_docs: int):
         ),
     )
 
+    # q5c: corpus↔corpus containment join (the 100 TB parcels×points
+    # shape): 500k docs × 50k PARCEL-sized rects (5-40 units) as DATA
+    # rows — mapInPandas cover generation, equi-join on cell_id
+    # (broadcast vs shuffle pair), grouped Arrow PIP. The join grid must
+    # be sized to the polygons, not the analysis raster: on the res-100
+    # SPEC_SQ the 651 cells hold ~100+ polys each and candidates explode
+    # ~300× (measured: 60 s for 1/10 this workload); res 12.5 keeps
+    # polys-per-cell ~O(10) and candidates ~O(10)·docs.
+    SPEC_SJ = GridSpec(-50.0, -50.0, 3050.0, 2050.0, 12.5, square=True)
+
+    def sj_corpus(bc):
+        from seraster_spark.vector import spatial_join_corpus
+
+        n_polys = max(1000, n_docs // 40)
+        base = spark.range(0, n_polys)
+        xa = F.pmod(F.xxhash64(F.col("id"), F.lit(11)), F.lit(2800)).cast("double") + 0.5
+        ya = F.pmod(F.xxhash64(F.col("id"), F.lit(12)), F.lit(1800)).cast("double") + 0.5
+        wdt = (F.pmod(F.xxhash64(F.col("id"), F.lit(13)), F.lit(8)) + 1).cast("double") * 5.0
+        hgt = (F.pmod(F.xxhash64(F.col("id"), F.lit(14)), F.lit(8)) + 1).cast("double") * 5.0
+        pl = base.select(
+            F.col("id").alias("poly_id"),
+            F.array(xa, xa + wdt, xa + wdt, xa).alias("xs"),
+            F.array(ya, ya, ya + hgt, ya + hgt).alias("ys"),
+        ).repartition(spark.sparkContext.defaultParallelism)
+        docs_sj = (
+            docs.select("doc_id", "x", "y")
+            .limit(500_000)
+            .repartition(spark.sparkContext.defaultParallelism)
+        )
+        wc = R.assign_tiles(docs_sj, SPEC_SJ)
+        return force(
+            spatial_join_corpus(wc, pl, SPEC_SJ, broadcast_cover=bc)
+            .groupBy("poly_id")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+
+    timed("sj_corpus_bcast", lambda: sj_corpus(True))
+    timed("sj_corpus_shuffle", lambda: sj_corpus(False))
+
     # q6: kNN, 500 queries against the full corpus. The kNN grid is
     # DENSITY-MATCHED: res chosen so a tile holds ~4k docs, making the
     # ring-1 probe ~36k candidates (≥k with a ring-1 completeness bound

@@ -47,6 +47,7 @@ from .vector import (
     raster_algebra,
     rasterize_polygons,
     spatial_join,
+    spatial_join_corpus,
     tiles_geojson,
     write_geojson_lines,
     zonal_weighted,
@@ -94,6 +95,7 @@ __all__ = [
     "bloom_filter_merge",
     "bloom_maybe_contains",
     "spatial_join",
+    "spatial_join_corpus",
     "raster_algebra",
     "rasterize_polygons",
     "rasterize_segments",

@@ -831,14 +831,27 @@ _POLY_B = [(1400.0, 100.0), (2900.0, 900.0), (1500.0, 1900.0)]
 
 def q_spatial_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Docs × polygons containment join (covering-cell equi-join + exact
-    PIP); overlapping polygons → multi-membership rows."""
+    PIP); overlapping polygons → multi-membership rows.
+
+    r5: routed through ``spatial_join_corpus`` — the polygons enter as
+    DATA ROWS (ring vertex arrays), exercising the corpus-scale path
+    (mapInPandas cover generation, ring payload on the join, grouped
+    Arrow PIP) against the same convex half-plane SQL twin. Row-for-row
+    parity with the dict path is separately pytest-proven."""
     from .bbox import grid_spec_for
-    from .vector import spatial_join
+    from .vector import spatial_join_corpus
 
     d = docs_with_coords(spark, sf_dir)
     spec = grid_spec_for(d, RES, square=True)
     wc = R.assign_tiles(d, spec)
-    out = spatial_join(wc, {"A": _POLY_A, "B": _POLY_B}, spec)
+    polys = spark.createDataFrame(
+        [
+            ("A", [p[0] for p in _POLY_A], [p[1] for p in _POLY_A]),
+            ("B", [p[0] for p in _POLY_B], [p[1] for p in _POLY_B]),
+        ],
+        "poly_id string, xs array<double>, ys array<double>",
+    )
+    out = spatial_join_corpus(wc, polys, spec)
     return out.select("doc_id", "poly_id", "x", "y")
 
 

@@ -395,6 +395,49 @@ def point_in_polygon(px: np.ndarray, py: np.ndarray, ring: np.ndarray) -> np.nda
     return ((crossings % 2) == 1) | on_seg
 
 
+def point_in_polygons_grouped(
+    px: np.ndarray, py: np.ndarray, codes: np.ndarray, rings: list[np.ndarray]
+) -> np.ndarray:
+    """Ray-casting PIP where each point tests against ITS OWN ring:
+    ``codes[i]`` indexes into ``rings`` (closed (k, 2) arrays, k may
+    vary). One fully vectorized (points × edges) pass — rings are padded
+    to a common edge count by repeating their last vertex, which is
+    decision-identical to :func:`point_in_polygon` on the unpadded ring
+    (a zero-length edge has ``y0 > py != y1 > py`` always False so it
+    adds no crossing, and its on-segment test only fires when the point
+    EQUALS the repeated vertex — already on the real ring). Boundary
+    points count as inside, matching :func:`point_in_polygon` exactly."""
+    px = np.asarray(px, dtype=np.float64)
+    py = np.asarray(py, dtype=np.float64)
+    codes = np.asarray(codes, dtype=np.int64)
+    E = max(len(r) for r in rings)
+    n_u = len(rings)
+    pad = np.empty((n_u, E, 2), dtype=np.float64)
+    for i, r in enumerate(rings):
+        pad[i, : len(r)] = r
+        if len(r) < E:
+            pad[i, len(r) :] = r[-1]
+    x0 = pad[codes, :-1, 0]
+    y0 = pad[codes, :-1, 1]
+    x1 = pad[codes, 1:, 0]
+    y1 = pad[codes, 1:, 1]
+    pxc = px[:, None]
+    pyc = py[:, None]
+    cross = (x1 - x0) * (pyc - y0) - (y1 - y0) * (pxc - x0)
+    on_seg = (
+        (cross == 0)
+        & (pxc >= np.minimum(x0, x1))
+        & (pxc <= np.maximum(x0, x1))
+        & (pyc >= np.minimum(y0, y1))
+        & (pyc <= np.maximum(y0, y1))
+    ).any(axis=1)
+    cond = (y0 > pyc) != (y1 > pyc)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        xint = x0 + (pyc - y0) * (x1 - x0) / (y1 - y0)
+    crossings = (cond & (pxc < xint)).sum(axis=1)
+    return ((crossings % 2) == 1) | on_seg
+
+
 def point_polygon_distance(px: np.ndarray, py: np.ndarray, ring: np.ndarray) -> np.ndarray:
     """Min Euclidean distance from each point to the polygon boundary
     (vectorized point-segment distance over all edges)."""

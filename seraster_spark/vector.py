@@ -171,6 +171,142 @@ def spatial_join(
     return coarse.filter(_pip_multi(F.col("x"), F.col("y"), F.col("poly_id")))
 
 
+def spatial_join_corpus(
+    docs_with_cell: DataFrame,
+    polys: DataFrame,
+    spec: GridSpec,
+    exact: bool = True,
+    poly_id: str = "poly_id",
+    xs: str = "xs",
+    ys: str = "ys",
+    broadcast_cover: bool = True,
+    max_tiles_per_poly: int = 262144,
+) -> DataFrame:
+    """Containment join where the polygons are themselves a CORPUS — the
+    data-scale counterpart of :func:`spatial_join` (driver dict), the way
+    :func:`rasterize_polygons` generalizes :func:`zonal_weighted`: parcels
+    × points at 100 TB means BOTH sides are DataFrames.
+
+    ``polys`` carries ring vertex arrays ``xs``/``ys`` (open or closed,
+    any simple polygon) plus an id column. Stage 1: one mapInPandas kernel
+    turns each polygon into its covering-cell set — a slim (cell_id,
+    poly_id, ring) table; the spatial join becomes an equi-join on
+    cell_id (``broadcast_cover=True`` broadcasts it — right when the
+    polygon corpus is dimension-sized; ``False`` is the corpus↔corpus
+    shuffle shape, where AQE's skew splitting handles hot cells and the
+    ring payload rides the one exchange so no second join is needed).
+    Stage 2 (``exact``): vectorized ray-casting PIP over stage-1
+    survivors, one Arrow batch kernel, grouped per distinct ring inside
+    each batch. Same row semantics as ``spatial_join``: a doc inside k
+    polygons yields k rows; boundary points count as inside. Degenerate
+    rings (NULL / < 3 vertices / non-finite) are dropped; a polygon whose
+    bbox cover exceeds ``max_tiles_per_poly`` raises loudly.
+    """
+    from pyspark.sql.types import BinaryType, LongType, StructField, StructType
+
+    id_field = polys.schema[poly_id]
+    cover_schema = StructType(
+        [
+            StructField("cell_id", LongType()),
+            StructField(poly_id, id_field.dataType),
+            # ONE binary column per ring: 6.4M array<double> cells took
+            # ~2/3 of the PIP stage in Arrow->pandas deserialization;
+            # bytes objects are ~an order of magnitude cheaper to box
+            StructField("_ring", BinaryType()),
+        ]
+    )
+    cap = max_tiles_per_poly
+
+    def cover_kernel(batches):
+        from .grid import encode as _encode
+        from .grid import unpack as _unpack
+
+        for pdf in batches:
+            cells_acc: list[np.ndarray] = []
+            pids: list = []
+            rings_acc: list = []
+            for i in range(len(pdf)):
+                raw_x, raw_y = pdf[xs].iloc[i], pdf[ys].iloc[i]
+                if raw_x is None or raw_y is None:
+                    continue
+                rx = np.asarray(raw_x, dtype=np.float64)
+                ry = np.asarray(raw_y, dtype=np.float64)
+                if rx.ndim != 1 or ry.ndim != 1 or len(rx) != len(ry) or len(rx) < 3:
+                    continue
+                if not (np.isfinite(rx).all() and np.isfinite(ry).all()):
+                    continue
+                ring = np.column_stack([rx, ry])
+                if ring[0, 0] != ring[-1, 0] or ring[0, 1] != ring[-1, 1]:
+                    ring = np.vstack([ring, ring[:1]])
+                bx = np.array([rx.min(), rx.max(), rx.min(), rx.max()])
+                by = np.array([ry.min(), ry.min(), ry.max(), ry.max()])
+                _, _, crows, ccols = _unpack(_encode(bx, by, spec))
+                span = int(crows.max() - crows.min() + 3) * int(
+                    ccols.max() - ccols.min() + 3
+                )
+                if span > cap:
+                    raise ValueError(
+                        f"polygon bbox covers {span} candidate tiles > "
+                        f"max_tiles_per_poly={cap}; coarsen the grid or "
+                        "split the geometry"
+                    )
+                cells = covering_cells(ring, spec)
+                if len(cells) == 0:
+                    continue
+                pid = pdf[poly_id].iloc[i]
+                if pd.isna(pid):
+                    # pd.factorize codes NaN ids as -1, which would gather
+                    # the WRONG ring in the PIP stage — drop them here
+                    continue
+                rb = np.ascontiguousarray(ring).tobytes()
+                cells_acc.append(cells)
+                pids.extend([pid] * len(cells))
+                rings_acc.extend([rb] * len(cells))
+            if not cells_acc:
+                continue
+            yield pd.DataFrame(
+                {
+                    "cell_id": np.concatenate(cells_acc),
+                    poly_id: pids,
+                    "_ring": rings_acc,
+                }
+            )
+
+    cover = polys.mapInPandas(cover_kernel, cover_schema)
+    coarse = docs_with_cell.join(
+        F.broadcast(cover) if broadcast_cover else cover, "cell_id"
+    )
+    if not exact:
+        return coarse.drop("_ring")
+
+    @F.pandas_udf("boolean")
+    def _pip_ring(
+        x: pd.Series, y: pd.Series, pid: pd.Series, rings_col: pd.Series
+    ) -> pd.Series:
+        from .grid import point_in_polygons_grouped
+
+        if len(x) == 0:
+            return pd.Series(np.zeros(0, dtype=bool))
+        # factorize on poly_id (vectorized — a per-row Python grouping
+        # loop here measured 40 s over 6.4M candidates), convert each
+        # DISTINCT ring once, then one gathered points×edges PIP pass
+        codes, _ = pd.factorize(pid)
+        _, first_ix = np.unique(codes, return_index=True)
+        rings = [
+            np.frombuffer(rings_col.iloc[i], dtype=np.float64).reshape(-1, 2)
+            for i in first_ix
+        ]
+        return pd.Series(
+            point_in_polygons_grouped(
+                x.to_numpy(np.float64), y.to_numpy(np.float64), codes, rings
+            )
+        )
+
+    return coarse.filter(
+        _pip_ring(F.col("x"), F.col("y"), F.col(poly_id), F.col("_ring"))
+    ).drop("_ring")
+
+
 def zonal_weighted(
     tiles: DataFrame,
     zones: dict[str, list[tuple[float, float]]],

@@ -223,3 +223,32 @@ def test_pack_column_matches_numpy_out_of_range(spark):
     for (r, c), cid in got.items():
         want = int(pack(1, 3, np.array([r]), np.array([c]))[0])
         assert cid == want, (r, c)
+
+
+def test_point_in_polygons_grouped_matches_single():
+    """Grouped gather-PIP must agree with point_in_polygon per ring —
+    including RAGGED ring lengths (padding with the repeated last vertex
+    must add no crossings and no spurious on-boundary hits), boundary
+    points, and vertex-coincident points."""
+    import numpy as np
+
+    from seraster_spark.grid import point_in_polygon, point_in_polygons_grouped
+
+    rng = np.random.default_rng(7)
+    tri = np.array([(0.0, 0.0), (10.0, 0.0), (5.0, 8.0), (0.0, 0.0)])
+    quad = np.array([(2.0, 2.0), (12.0, 3.0), (11.0, 9.0), (3.0, 8.0), (2.0, 2.0)])
+    penta = np.array(
+        [(-5.0, -5.0), (5.0, -6.0), (8.0, 0.0), (0.0, 6.0), (-7.0, 1.0), (-5.0, -5.0)]
+    )
+    rings = [tri, quad, penta]
+    px = rng.uniform(-10, 15, 600)
+    py = rng.uniform(-10, 12, 600)
+    # seed exact boundary/vertex points per ring
+    px[:3], py[:3] = [0.0, 10.0, 5.0], [0.0, 0.0, 0.0]  # tri vertices + edge
+    px[3], py[3] = 5.0, 0.0  # on tri's bottom edge
+    codes = rng.integers(0, 3, 600)
+    got = point_in_polygons_grouped(px, py, codes, rings)
+    for c in range(3):
+        m = codes == c
+        want = point_in_polygon(px[m], py[m], rings[c])
+        assert (got[m] == want).all(), c

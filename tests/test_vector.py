@@ -210,6 +210,93 @@ def test_zonal_weighted_empty_and_outside(spark, docs):
 
 
 # ---------------------------------------------------------------------------
+# spatial_join_corpus — polygons as data
+
+
+_SJ_POLYS = {
+    "A": [(300.0, 200.0), (1600.0, 400.0), (1500.0, 1800.0), (500.0, 1700.0)],
+    "B": [(900.0, 100.0), (1900.0, 900.0), (1000.0, 1900.0)],
+}
+
+
+def _sj_polys_df(spark, polys=None, id_type="string"):
+    polys = polys if polys is not None else _SJ_POLYS
+    rows = [
+        (pid, [float(p[0]) for p in verts], [float(p[1]) for p in verts])
+        for pid, verts in polys.items()
+    ]
+    return spark.createDataFrame(
+        rows, f"poly_id {id_type}, xs array<double>, ys array<double>"
+    )
+
+
+def test_spatial_join_corpus_matches_dict_path(spark, docs):
+    """Corpus path (polygons as DataFrame rows) must be row-identical to
+    the broadcast-dict path for the same polygons, both join shapes."""
+    spec = grid_spec_for(docs, 100.0, square=True)
+    wc = rasterize.assign_tiles(docs, spec)
+    want = {
+        (r["doc_id"], r["poly_id"])
+        for r in vector.spatial_join(wc, _SJ_POLYS, spec).collect()
+    }
+    assert want  # fixture docs do land inside the polygons
+    for bc in (True, False):
+        got = {
+            (r["doc_id"], r["poly_id"])
+            for r in vector.spatial_join_corpus(
+                wc, _sj_polys_df(spark), spec, broadcast_cover=bc
+            ).collect()
+        }
+        assert got == want, bc
+
+
+def test_spatial_join_corpus_coarse_and_schema(spark, docs):
+    """exact=False returns the covering-cell superset without ring
+    columns; exact filtering only removes rows."""
+    spec = grid_spec_for(docs, 100.0, square=True)
+    wc = rasterize.assign_tiles(docs, spec)
+    coarse = vector.spatial_join_corpus(
+        wc, _sj_polys_df(spark), spec, exact=False
+    )
+    assert "_ring_x" not in coarse.columns
+    exact = vector.spatial_join_corpus(wc, _sj_polys_df(spark), spec)
+    assert "_ring_x" not in exact.columns
+    assert coarse.count() >= exact.count()
+
+
+def test_spatial_join_corpus_degenerate_rows_dropped(spark, docs):
+    """NULL rings, 2-vertex rings, and non-finite rings are dropped; the
+    valid polygon still joins. Long ids work (id dtype preserved)."""
+    spec = grid_spec_for(docs, 100.0, square=True)
+    wc = rasterize.assign_tiles(docs, spec)
+    rows = [
+        (1, [300.0, 1600.0, 1500.0, 500.0], [200.0, 400.0, 1800.0, 1700.0]),
+        (2, None, None),
+        (3, [10.0, 20.0], [10.0, 10.0]),
+        (4, [0.0, float("nan"), 5.0], [0.0, 1.0, 2.0]),
+    ]
+    polys = spark.createDataFrame(
+        rows, "poly_id long, xs array<double>, ys array<double>"
+    )
+    out = vector.spatial_join_corpus(wc, polys, spec)
+    pids = {r["poly_id"] for r in out.select("poly_id").distinct().collect()}
+    assert pids == {1}
+    assert dict(out.dtypes)["poly_id"] == "bigint"
+
+
+def test_spatial_join_corpus_cap_raises(spark, docs):
+    import pytest
+
+    spec = grid_spec_for(docs, 100.0, square=True)
+    wc = rasterize.assign_tiles(docs, spec)
+    huge = {"H": [(-9000.0, -9000.0), (9000.0, -9000.0), (9000.0, 9000.0)]}
+    with pytest.raises(Exception, match="max_tiles_per_poly"):
+        vector.spatial_join_corpus(
+            wc, _sj_polys_df(spark, huge), spec, max_tiles_per_poly=10
+        ).collect()
+
+
+# ---------------------------------------------------------------------------
 # rasterize_polygons — polygon-corpus coverage raster
 
 

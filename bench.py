@@ -282,6 +282,24 @@ def bench_queries(spark, sf_dir: str, n_docs: int):
     timed("sj_corpus_bcast", lambda: sj_corpus(True))
     timed("sj_corpus_shuffle", lambda: sj_corpus(False))
 
+    # q5d: point-pattern pair statistics (Ripley-K counts + semivariogram)
+    # over the full corpus — bucketed 9-neighbor candidate join + one
+    # global aggregate. Radii sized to the HOT cluster (10% of docs in an
+    # 80x80 box -> ~31 pts/unit^2 at sf0.1): r_max=1 keeps true pairs
+    # ~20M and candidates ~60M, dominated by the skewed buckets (the AQE
+    # skew-split shape, not the plan's overhead).
+    def pair_stats_q():
+        from seraster_spark.pointpat import pair_stats
+
+        pts = docs.select(
+            "doc_id", "x", "y", F.pmod(F.col("doc_id"), F.lit(997)).alias("val")
+        )
+        return force(
+            pair_stats(pts, [0.5, 1.0], value_col="val", exact_int=False)
+        )
+
+    timed("pair_stats", pair_stats_q)
+
     # q6: kNN, 500 queries against the full corpus. The kNN grid is
     # DENSITY-MATCHED: res chosen so a tile holds ~4k docs, making the
     # ring-1 probe ~36k candidates (≥k with a ring-1 completeness bound

@@ -30,6 +30,7 @@ from .sketch import (
     md5_uniform,
 )
 from .permutate import angle_schedule, midrange_origin, permutate_by_rotation
+from .pointpat import pair_stats
 from .rasterize import (
     RasterizedMatrix,
     assign_tiles,
@@ -85,6 +86,7 @@ __all__ = [
     "viewshed",
     "label_regions",
     "morans_i",
+    "pair_stats",
     "terrain",
     "heavy_hitters",
     "histogram_quantiles",

@@ -2673,11 +2673,25 @@ def q_moran_i(spark: SparkSession, sf_dir: str, _raster: DataFrame | None = None
     """Global Moran's I (queen contiguity, binary weights) of the per-tile
     doc counts. Integer-scaled deviations (n·x − Σx) keep numerator and
     denominator exact BIGINTs; the statistic is the single final division,
-    bit-identical in DuckDB."""
+    bit-identical in DuckDB.
+
+    r5: merged-in point-pattern pair statistics (pointpat.pair_stats) —
+    Ripley-K pair counts, semivariogram sums/γ̂, and K̂ at radii
+    50/100/200 over the doc points (val = n_chars). Engine: bucketed
+    9-neighbor candidate join + one global aggregate; twin: full
+    quadratic self-join (genuinely independent — no bucketing). All
+    counts/sums exact BIGINT; γ̂/K̂ single divisions on exact ints."""
     from .focal import morans_i
+    from .pointpat import pair_stats
 
     raster = _raster if _raster is not None else _count_raster(spark, sf_dir)
-    return morans_i(raster, "n_docs")
+    mi = morans_i(raster, "n_docs")
+    pp = pair_stats(
+        docs_with_coords(spark, sf_dir),
+        [50.0, 100.0, 200.0],
+        area=3000.0 * 2000.0,
+    )
+    return mi.crossJoin(pp)
 
 
 SQL_MORAN_I = f"""
@@ -2693,11 +2707,47 @@ p AS (
     ON b.row_i BETWEEN a.row_i - 1 AND a.row_i + 1
    AND b.col_i BETWEEN a.col_i - 1 AND a.col_i + 1
    AND NOT (b.row_i = a.row_i AND b.col_i = a.col_i)
+),
+-- point-pattern pair stats (r5): full quadratic self-join — genuinely
+-- independent of the engine's bucketed 9-neighbor candidate plan
+pp AS (
+  SELECT doc_id, CAST(x AS BIGINT) AS xi, CAST(y AS BIGINT) AS yi,
+         CAST(val AS BIGINT) AS vi
+  FROM d WHERE x IS NOT NULL AND y IS NOT NULL AND val IS NOT NULL
+),
+pnn AS (SELECT CAST(count(*) AS BIGINT) AS n_pts FROM pp),
+ppd AS (
+  SELECT (a.xi - b.xi) * (a.xi - b.xi) + (a.yi - b.yi) * (a.yi - b.yi) AS d2,
+         (a.vi - b.vi) * (a.vi - b.vi) AS sq
+  FROM pp a JOIN pp b ON a.doc_id <> b.doc_id
+),
+ppr AS (
+  SELECT
+    CAST(coalesce(sum(CASE WHEN d2 <= 2500 THEN 1 END), 0) AS BIGINT) AS pc_50,
+    CAST(coalesce(sum(CASE WHEN d2 <= 2500 THEN sq ELSE 0 END), 0) AS BIGINT) AS sv_50,
+    CAST(coalesce(sum(CASE WHEN d2 <= 10000 THEN 1 END), 0) AS BIGINT) AS pc_100,
+    CAST(coalesce(sum(CASE WHEN d2 <= 10000 THEN sq ELSE 0 END), 0) AS BIGINT) AS sv_100,
+    CAST(coalesce(sum(CASE WHEN d2 <= 40000 THEN 1 END), 0) AS BIGINT) AS pc_200,
+    CAST(coalesce(sum(CASE WHEN d2 <= 40000 THEN sq ELSE 0 END), 0) AS BIGINT) AS sv_200
+  FROM ppd
 )
 SELECT st.n AS n_tiles, p.w_sum, p.num_scaled, dn.den_scaled,
        CAST(st.n * p.num_scaled AS DOUBLE)
-         / CAST(p.w_sum * dn.den_scaled AS DOUBLE) AS moran_i
-FROM st, dn, p
+         / CAST(p.w_sum * dn.den_scaled AS DOUBLE) AS moran_i,
+       pnn.n_pts,
+       ppr.pc_50, ppr.sv_50,
+       CAST(ppr.sv_50 AS DOUBLE) / CAST(ppr.pc_50 * 2 AS DOUBLE) AS gamma_50,
+       CAST(6000000.0 AS DOUBLE) * CAST(ppr.pc_50 AS DOUBLE)
+         / CAST(pnn.n_pts * (pnn.n_pts - 1) AS DOUBLE) AS khat_50,
+       ppr.pc_100, ppr.sv_100,
+       CAST(ppr.sv_100 AS DOUBLE) / CAST(ppr.pc_100 * 2 AS DOUBLE) AS gamma_100,
+       CAST(6000000.0 AS DOUBLE) * CAST(ppr.pc_100 AS DOUBLE)
+         / CAST(pnn.n_pts * (pnn.n_pts - 1) AS DOUBLE) AS khat_100,
+       ppr.pc_200, ppr.sv_200,
+       CAST(ppr.sv_200 AS DOUBLE) / CAST(ppr.pc_200 * 2 AS DOUBLE) AS gamma_200,
+       CAST(6000000.0 AS DOUBLE) * CAST(ppr.pc_200 AS DOUBLE)
+         / CAST(pnn.n_pts * (pnn.n_pts - 1) AS DOUBLE) AS khat_200
+FROM st, dn, p, pnn, ppr
 """
 
 

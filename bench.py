@@ -300,6 +300,23 @@ def bench_queries(spark, sf_dir: str, n_docs: int):
 
     timed("pair_stats", pair_stats_q)
 
+    # q5e: quartic KDE density surface over the full corpus, res-20 grid,
+    # h=30 -> fan-out (2h/res+2)^2 = 25 candidates/point (~50M at sf0.1)
+    # streaming through map-side partial aggregation into a ~15k-tile
+    # shuffle. The hot 80x80 box is NOT a shuffle skew problem: partial
+    # agg reduces each task's fan-out to tile cardinality pre-exchange.
+    def kde_q():
+        from seraster_spark.pointpat import kde_raster
+
+        return force(
+            kde_raster(
+                docs.select("x", "y"), 20, 30, -50, -50,
+                nrows=105, ncols=155, exact_int=False,
+            )
+        )
+
+    timed("kde", kde_q)
+
     # q6: kNN, 500 queries against the full corpus. The kNN grid is
     # DENSITY-MATCHED: res chosen so a tile holds ~4k docs, making the
     # ring-1 probe ~36k candidates (≥k with a ring-1 completeness bound

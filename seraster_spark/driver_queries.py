@@ -2680,18 +2680,22 @@ def q_moran_i(spark: SparkSession, sf_dir: str, _raster: DataFrame | None = None
     50/100/200 over the doc points (val = n_chars). Engine: bucketed
     9-neighbor candidate join + one global aggregate; twin: full
     quadratic self-join (genuinely independent — no bucketing). All
-    counts/sums exact BIGINT; γ̂/K̂ single divisions on exact ints."""
+    counts/sums exact BIGINT; γ̂/K̂ single divisions on exact ints.
+
+    r5b: merged-in nearest-neighbor stats (pointpat.nn_stats) — the
+    empirical G function at the same radii plus the exact-BIGINT NN
+    distance sums and the 2⁻²⁰-quantized mean NN distance. Engine:
+    bucket join + per-point min + 1-row agg; twin: quadratic per-point
+    min. Columns prefixed nn_/g_."""
     from .focal import morans_i
-    from .pointpat import pair_stats
+    from .pointpat import nn_stats, pair_stats
 
     raster = _raster if _raster is not None else _count_raster(spark, sf_dir)
     mi = morans_i(raster, "n_docs")
-    pp = pair_stats(
-        docs_with_coords(spark, sf_dir),
-        [50.0, 100.0, 200.0],
-        area=3000.0 * 2000.0,
-    )
-    return mi.crossJoin(pp)
+    pts = docs_with_coords(spark, sf_dir)
+    pp = pair_stats(pts, [50.0, 100.0, 200.0], area=3000.0 * 2000.0)
+    nn = nn_stats(pts, [50.0, 100.0, 200.0]).drop("n_pts")
+    return mi.crossJoin(pp).crossJoin(nn)
 
 
 SQL_MORAN_I = f"""
@@ -2730,6 +2734,27 @@ ppr AS (
     CAST(coalesce(sum(CASE WHEN d2 <= 40000 THEN 1 END), 0) AS BIGINT) AS pc_200,
     CAST(coalesce(sum(CASE WHEN d2 <= 40000 THEN sq ELSE 0 END), 0) AS BIGINT) AS sv_200
   FROM ppd
+),
+-- nearest-neighbor stats (r5b): per-point min over the same quadratic
+-- self-join — genuinely independent of the engine's bucketed plan
+pnd AS (
+  SELECT a.doc_id,
+         min((a.xi - b.xi) * (a.xi - b.xi)
+           + (a.yi - b.yi) * (a.yi - b.yi)) AS nnd2
+  FROM pp a JOIN pp b ON a.doc_id <> b.doc_id
+  GROUP BY a.doc_id
+),
+nnw AS (SELECT nnd2 FROM pnd WHERE nnd2 <= 40000),
+nns AS (
+  SELECT
+    CAST(count(*) AS BIGINT) AS nn_found,
+    CAST(coalesce(sum(nnd2), 0) AS BIGINT) AS nn_d2_sum,
+    CAST(coalesce(sum(CAST(floor(sqrt(CAST(nnd2 AS DOUBLE)) * 1048576.0)
+                           AS BIGINT)), 0) AS BIGINT) AS nn_q20_sum,
+    CAST(coalesce(sum(CASE WHEN nnd2 <= 2500 THEN 1 END), 0) AS BIGINT) AS g_50,
+    CAST(coalesce(sum(CASE WHEN nnd2 <= 10000 THEN 1 END), 0) AS BIGINT) AS g_100,
+    CAST(coalesce(sum(CASE WHEN nnd2 <= 40000 THEN 1 END), 0) AS BIGINT) AS g_200
+  FROM nnw
 )
 SELECT st.n AS n_tiles, p.w_sum, p.num_scaled, dn.den_scaled,
        CAST(st.n * p.num_scaled AS DOUBLE)
@@ -2746,8 +2771,13 @@ SELECT st.n AS n_tiles, p.w_sum, p.num_scaled, dn.den_scaled,
        ppr.pc_200, ppr.sv_200,
        CAST(ppr.sv_200 AS DOUBLE) / CAST(ppr.pc_200 * 2 AS DOUBLE) AS gamma_200,
        CAST(6000000.0 AS DOUBLE) * CAST(ppr.pc_200 AS DOUBLE)
-         / CAST(pnn.n_pts * (pnn.n_pts - 1) AS DOUBLE) AS khat_200
-FROM st, dn, p, pnn, ppr
+         / CAST(pnn.n_pts * (pnn.n_pts - 1) AS DOUBLE) AS khat_200,
+       nns.nn_found, nns.nn_d2_sum, nns.nn_q20_sum,
+       CASE WHEN nns.nn_found = 0 THEN NULL
+            ELSE (CAST(nns.nn_q20_sum AS DOUBLE) / 1048576.0)
+                 / CAST(nns.nn_found AS DOUBLE) END AS mean_nn,
+       nns.g_50, nns.g_100, nns.g_200
+FROM st, dn, p, pnn, ppr, nns
 """
 
 
@@ -2950,6 +2980,65 @@ WHERE CAST({_SQL_HEX8.format(h="md5('mix1' || CAST(doc_id AS VARCHAR))")} AS DOU
 # test_text.test_simhash_md5_oracle / test_minhash_lsh_finds_near_dups).
 
 
+def q_kde(spark: SparkSession, sf_dir: str, _raster: DataFrame | None = None) -> DataFrame:
+    """Quartic (biweight) kernel density surface at tile centers
+    (pointpat.kde_raster, h=150 on the res-100 grid), restricted to the
+    occupied tiles so the row set matches the other tile-keyed queries
+    (h = 150 ≥ res·√2/2 guarantees every occupied tile has a value).
+    All-BIGINT doubled-coordinate kernel ⇒ kde_w / kde_wv exact; kde_mean
+    is the single division Σw / 16h⁴. Twin: occupied-tiles × points cross
+    join — genuinely independent of the engine's sequence-explode fan-out."""
+    from .bbox import grid_spec_for
+    from .pointpat import kde_raster
+
+    d = docs_with_coords(spark, sf_dir)
+    spec = grid_spec_for(d, RES, square=True)
+    kde = kde_raster(
+        d,
+        int(RES),
+        150,
+        int(spec.xmin),
+        int(spec.ymin),
+        value_col="val",
+        nrows=spec.nrows,
+        ncols=spec.ncols,
+    )
+    raster = _raster if _raster is not None else _count_raster(spark, sf_dir)
+    return raster.select("row_i", "col_i").join(kde, ["row_i", "col_i"])
+
+
+SQL_KDE = f"""
+WITH {_SQL_DOCS}, {_SQL_BBOX}, {_SQL_SQ_CELLS},
+r AS (SELECT row_i, col_i FROM c GROUP BY 1, 2),
+kc AS (
+  SELECT r.row_i, r.col_i, CAST(d.val AS BIGINT) AS v,
+         CAST(2 * d.x - (2 * b.xmin + (2 * r.col_i + 1) * 100.0) AS BIGINT) AS dx2,
+         CAST(2 * d.y - (2 * b.ymin + (2 * r.row_i + 1) * 100.0) AS BIGINT) AS dy2
+  FROM r, d, b
+)
+SELECT row_i, col_i,
+       CAST(count(*) AS BIGINT) AS kde_n,
+       CAST(sum((90000 - (dx2*dx2 + dy2*dy2))
+              * (90000 - (dx2*dx2 + dy2*dy2))) AS BIGINT) AS kde_w,
+       CAST(CAST(sum((90000 - (dx2*dx2 + dy2*dy2))
+              * (90000 - (dx2*dx2 + dy2*dy2))) AS BIGINT) AS DOUBLE)
+         / 8100000000.0 AS kde_mean,
+       CAST(sum(v * (90000 - (dx2*dx2 + dy2*dy2))
+              * (90000 - (dx2*dx2 + dy2*dy2))) AS BIGINT) AS kde_wv,
+       CASE WHEN CAST(sum((90000 - (dx2*dx2 + dy2*dy2))
+                        * (90000 - (dx2*dx2 + dy2*dy2))) AS BIGINT) = 0
+            THEN NULL
+            ELSE CAST(CAST(sum(v * (90000 - (dx2*dx2 + dy2*dy2))
+                             * (90000 - (dx2*dx2 + dy2*dy2))) AS BIGINT) AS DOUBLE)
+               / CAST(CAST(sum((90000 - (dx2*dx2 + dy2*dy2))
+                             * (90000 - (dx2*dx2 + dy2*dy2))) AS BIGINT) AS DOUBLE)
+       END AS kde_smooth
+FROM kc
+WHERE dx2*dx2 + dy2*dy2 <= 90000
+GROUP BY 1, 2
+"""
+
+
 def q_focal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Focal statistics, both kernels in one oracle row: uniform 3×3 queen
     (mean_*) and integer binomial 1-2-1⊗1-2-1 smoothing (gauss_*), joined on
@@ -2958,7 +3047,10 @@ def q_focal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     r5: the row also carries the grid-center viewshed (q_viewshed):
     ``los_n`` Chebyshev distance and the bit-exact ``visible`` line-of-sight
-    classification per tile."""
+    classification per tile.
+
+    r5b: plus the quartic kernel density surface (q_kde): kde_n/kde_w/
+    kde_mean/kde_wv per tile, exact-BIGINT doubled-coordinate kernel."""
     raster = _count_raster(spark, sf_dir)
     mean = q_focal_mean(spark, sf_dir, _raster=raster).select(
         "row_i",
@@ -2978,7 +3070,12 @@ def q_focal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     vs = q_viewshed(spark, sf_dir, _raster=raster).select(
         "row_i", "col_i", "los_n", "visible"
     )
-    return mean.join(gauss, ["row_i", "col_i"]).join(vs, ["row_i", "col_i"])
+    kd = q_kde(spark, sf_dir, _raster=raster)
+    return (
+        mean.join(gauss, ["row_i", "col_i"])
+        .join(vs, ["row_i", "col_i"])
+        .join(kd, ["row_i", "col_i"])
+    )
 
 
 SQL_FOCAL_STATS = f"""
@@ -2987,11 +3084,14 @@ SELECT fm.row_i, fm.col_i, fm.n_docs,
        fm.focal_mean AS mean_avg,
        fg.focal_sum AS gauss_sum, fg.focal_n AS gauss_n,
        fg.focal_mean AS gauss_avg,
-       vs.los_n, vs.visible
+       vs.los_n, vs.visible,
+       kd.kde_n, kd.kde_w, kd.kde_mean, kd.kde_wv, kd.kde_smooth
 FROM ({SQL_FOCAL_MEAN}) fm JOIN ({SQL_FOCAL_GAUSS}) fg
   ON fm.row_i = fg.row_i AND fm.col_i = fg.col_i
 JOIN ({SQL_VIEWSHED}) vs
   ON vs.row_i = fm.row_i AND vs.col_i = fm.col_i
+JOIN ({SQL_KDE}) kd
+  ON kd.row_i = fm.row_i AND kd.col_i = fm.col_i
 """
 
 

@@ -58,6 +58,67 @@ def _rlabel(r: float) -> str:
     return str(int(r)) if float(r).is_integer() else str(r).replace(".", "p")
 
 
+def _bucket_candidates(
+    slim: DataFrame, r_max: float, broadcast_side: bool, exact_int: bool
+) -> DataFrame:
+    """Ordered candidate pairs from the r_max bucket grid's 9-neighbor cover.
+
+    ``slim`` must carry ``_pid``, ``_x``, ``_y`` and optionally ``_v``.
+    Returns one row per ordered (left, right) candidate with left's id as
+    ``_pid``, the exact squared distance as ``_d2``, and — when ``_v`` is
+    present — the squared value difference as ``_sq``. Complete for every
+    pair within ``r_max`` (same or 8-adjacent buckets); each ordered pair
+    appears exactly once (a point owns ONE bucket; the 9 neighbor keys
+    are distinct). Callers must still filter ``_d2`` against their radius
+    — corner buckets admit pairs out to ``r_max·2√2``.
+    """
+    has_v = "_v" in slim.columns
+    bx = F.floor(F.col("_x") / F.lit(r_max))
+    by = F.floor(F.col("_y") / F.lit(r_max))
+    rcols = [
+        F.col("_pid").alias("_bid"),
+        F.col("_x").alias("_bx_pt"),
+        F.col("_y").alias("_by_pt"),
+        bx.alias("_jx"),
+        by.alias("_jy"),
+    ]
+    if has_v:
+        rcols.insert(3, F.col("_v").alias("_bv"))
+    right = slim.select(*rcols)
+    offsets = F.array(
+        *[
+            F.struct(F.lit(dx).alias("ox"), F.lit(dy).alias("oy"))
+            for dx in (-1, 0, 1)
+            for dy in (-1, 0, 1)
+        ]
+    )
+    lcols = ["_pid", "_x", "_y"] + (["_v"] if has_v else [])
+    left = slim.select(
+        *lcols,
+        F.explode(offsets).alias("_o"),
+        bx.alias("_bx0"),
+        by.alias("_by0"),
+    ).select(
+        *lcols,
+        (F.col("_bx0") + F.col("_o.ox")).alias("_jx"),
+        (F.col("_by0") + F.col("_o.oy")).alias("_jy"),
+    )
+    rhs = F.broadcast(right) if broadcast_side else right
+    cand = left.join(rhs, ["_jx", "_jy"]).where(F.col("_pid") != F.col("_bid"))
+
+    if exact_int:
+        dx = F.col("_x").cast("long") - F.col("_bx_pt").cast("long")
+        dy = F.col("_y").cast("long") - F.col("_by_pt").cast("long")
+    else:
+        dx = F.col("_x") - F.col("_bx_pt")
+        dy = F.col("_y") - F.col("_by_pt")
+    out = [F.col("_pid"), (dx * dx + dy * dy).alias("_d2")]
+    if has_v:
+        dv = F.col("_v") - F.col("_bv")
+        out.append((dv * dv).alias("_sq"))
+    return cand.select(*out)
+
+
 def pair_stats(
     points: DataFrame,
     radii: list[float],
@@ -102,54 +163,9 @@ def pair_stats(
         & F.col("_v").isNotNull()
     )
 
-    bx = F.floor(F.col("_x") / F.lit(r_max))
-    by = F.floor(F.col("_y") / F.lit(r_max))
-    right = slim.select(
-        F.col("_pid").alias("_bid"),
-        F.col("_x").alias("_bx_pt"),
-        F.col("_y").alias("_by_pt"),
-        F.col("_v").alias("_bv"),
-        bx.alias("_jx"),
-        by.alias("_jy"),
+    cand = _bucket_candidates(slim, r_max, broadcast_side, exact_int).select(
+        "_d2", "_sq"
     )
-    offsets = F.array(
-        *[
-            F.struct(F.lit(dx).alias("ox"), F.lit(dy).alias("oy"))
-            for dx in (-1, 0, 1)
-            for dy in (-1, 0, 1)
-        ]
-    )
-    left = slim.select(
-        "_pid", "_x", "_y", "_v", bx.alias("_bx0"), by.alias("_by0")
-    ).select(
-        "_pid",
-        "_x",
-        "_y",
-        "_v",
-        F.explode(offsets).alias("_o"),
-        (F.col("_bx0")).alias("_bx0"),
-        (F.col("_by0")).alias("_by0"),
-    ).select(
-        "_pid",
-        "_x",
-        "_y",
-        "_v",
-        (F.col("_bx0") + F.col("_o.ox")).alias("_jx"),
-        (F.col("_by0") + F.col("_o.oy")).alias("_jy"),
-    )
-    rhs = F.broadcast(right) if broadcast_side else right
-    cand = left.join(rhs, ["_jx", "_jy"]).where(F.col("_pid") != F.col("_bid"))
-
-    if exact_int:
-        dx = F.col("_x").cast("long") - F.col("_bx_pt").cast("long")
-        dy = F.col("_y").cast("long") - F.col("_by_pt").cast("long")
-    else:
-        dx = F.col("_x") - F.col("_bx_pt")
-        dy = F.col("_y") - F.col("_by_pt")
-    d2 = (dx * dx + dy * dy).alias("_d2")
-    dv = F.col("_v") - F.col("_bv")
-    sq = (dv * dv).alias("_sq")
-    cand = cand.select(d2, sq)
 
     aggs = []
     for r in radii:
@@ -190,3 +206,257 @@ def pair_stats(
                 ).alias(f"khat_{lbl}")
             )
     return out.select(*cols)
+
+
+#: Dyadic quantization scale for per-point NN distances: 2^20. Scaling a
+#: double by a power of two is an exponent shift (exact); floor is exact;
+#: the BIGINT sum is order-independent — which is what makes the mean NN
+#: distance bit-reproducible across engines.
+_Q20 = 1048576.0
+
+
+def nn_stats(
+    points: DataFrame,
+    radii: list[float],
+    x_col: str = "x",
+    y_col: str = "y",
+    id_col: str = "doc_id",
+    broadcast_side: bool = False,
+    exact_int: bool = True,
+) -> DataFrame:
+    """Nearest-neighbor distance statistics: the empirical G function.
+
+    First-order companion to :func:`pair_stats` (Ripley K counts pairs at
+    ALL ranges ≤ r; G asks only about each point's single nearest
+    neighbor — together the two standard point-pattern diagnostics,
+    Diggle 2003 ch. 4; spatstat's ``Gest``/``nndist``). Not in the
+    reference (SEraster has no point-pattern stats; R/main.R).
+
+    Exact within ``r_max = max(radii)`` (no sampling, no edge
+    correction): per point, the minimum squared distance over the
+    bucket-grid candidate cover filtered to ``d² ≤ r_max²`` — the true
+    NN distance whenever the NN lies within ``r_max``; points whose NN
+    is farther are counted in ``n_pts − nn_found``.
+
+    Output (1 row):
+
+    - ``n_pts``       points with finite coords,
+    - ``nn_found``    points whose NN is within r_max (BIGINT),
+    - ``nn_d2_sum``   Σ min-d² (exact BIGINT when ``exact_int``),
+    - ``nn_q20_sum``  Σ floor(√min-d² · 2²⁰) (BIGINT — see ``_Q20``),
+    - ``mean_nn``     (nn_q20_sum / 2²⁰) / nn_found — mean NN distance
+      truncated to the 2⁻²⁰ grid; two divisions on exact values in a
+      fixed order ⇒ bit-identical in any engine replaying the same
+      expression (the Clark–Evans numerator),
+    - ``g_<r>``       per radius r: count of points with NN within r —
+      the unnormalized empirical G (CDF of NN distance; BIGINT).
+
+    Plan shape: the 9-neighbor bucket join of :func:`_bucket_candidates`
+    (slim (id, x, y) payload — no value column), then ONE groupBy(id)
+    min (map-side combining; per-point state is a single BIGINT) and a
+    1-row global aggregate. No windows, no driver collect; candidates
+    stream through partial aggregation. Same 100 TB story as
+    :func:`pair_stats` — the real bound is the candidate count
+    n·density·r_max², so size r_max to the question.
+    """
+    if not radii:
+        raise ValueError("radii must be non-empty")
+    radii = sorted(float(r) for r in radii)
+    if radii[0] <= 0:
+        raise ValueError(f"radii must be positive, got {radii[0]}")
+    r_max = radii[-1]
+
+    slim = points.select(
+        F.col(id_col).alias("_pid"),
+        F.col(x_col).cast("double").alias("_x"),
+        F.col(y_col).cast("double").alias("_y"),
+    ).where(
+        F.col("_x").isNotNull()
+        & F.col("_y").isNotNull()
+        & ~F.isnan("_x")
+        & ~F.isnan("_y")
+    )
+
+    rmax2 = F.lit(int(round(r_max * r_max))) if exact_int else F.lit(r_max * r_max)
+    nnd = (
+        _bucket_candidates(slim, r_max, broadcast_side, exact_int)
+        .where(F.col("_d2") <= rmax2)
+        .groupBy("_pid")
+        .agg(F.min("_d2").alias("_nnd2"))
+    )
+
+    aggs = [
+        F.count(F.lit(1)).alias("nn_found"),
+        F.coalesce(
+            F.sum("_nnd2").cast("long" if exact_int else "double"), F.lit(0)
+        ).alias("nn_d2_sum"),
+        F.coalesce(
+            F.sum(F.floor(F.sqrt(F.col("_nnd2").cast("double")) * F.lit(_Q20))),
+            F.lit(0),
+        ).alias("nn_q20_sum"),
+    ]
+    for r in radii:
+        r2 = F.lit(int(round(r * r))) if exact_int else F.lit(r * r)
+        aggs.append(
+            F.coalesce(
+                F.sum((F.col("_nnd2") <= r2).cast("long")), F.lit(0).cast("long")
+            ).alias(f"g_{_rlabel(r)}")
+        )
+    stats = nnd.agg(*aggs)
+
+    n_row = slim.agg(F.count(F.lit(1)).alias("n_pts"))
+    mean_nn = F.try_divide(
+        F.col("nn_q20_sum").cast("double") / F.lit(_Q20),
+        F.col("nn_found").cast("double"),
+    ).alias("mean_nn")
+    return n_row.crossJoin(stats).select(
+        "n_pts",
+        "nn_found",
+        "nn_d2_sum",
+        "nn_q20_sum",
+        mean_nn,
+        *[f"g_{_rlabel(r)}" for r in radii],
+    )
+
+
+def kde_raster(
+    points: DataFrame,
+    resolution: int,
+    bandwidth: int,
+    xmin: int,
+    ymin: int,
+    x_col: str = "x",
+    y_col: str = "y",
+    value_col: str | None = None,
+    nrows: int | None = None,
+    ncols: int | None = None,
+    max_fanout: int = 4096,
+    exact_int: bool = True,
+) -> DataFrame:
+    """Kernel density raster: quartic (biweight) KDE evaluated at tile centers.
+
+    The classic density-surface / heatmap operator (spatstat ``density.ppp``,
+    QGIS/ArcGIS "Kernel Density"; the reference rasterizes by containment
+    only — R/main.R:132-136 — so smoothing is exactly what a SEraster user
+    reaches for next). Evaluated on the same square grid convention as the
+    rasterize ops: tile (row, col) spans ``[ymin + row·res, …)`` ×
+    ``[xmin + col·res, …)``, center at ``(xmin + (col+½)·res, …)``.
+
+    Kernel: per point p and tile center c with d = |p − c| ≤ h,
+    ``w = ((2h)² − D2)²`` where ``D2 = (2·(p−c))²`` in DOUBLED integer
+    coordinates — doubling makes the half-integer center integral for ANY
+    res parity, so with integer coords/origin/res/h every D2 and w is an
+    exact BIGINT (``w = 16·(h²−d²)²``). ``kde_mean = Σw / (16h⁴)`` — one
+    division on exact ints ⇒ bit-reproducible; the textbook quartic
+    density is the client-side scalar ``kde_mean · 3/(π h² n)``.
+
+    Output: one row per tile with ≥1 point within h of its center
+    (empty-raster tiles near points ARE emitted — that's the point of a
+    density surface; tiles outside ``[0,nrows)×[0,ncols)`` are clipped
+    when those bounds are given): ``row_i, col_i, kde_n`` (points with
+    d ≤ h; d = h contributes w = 0 but counts), ``kde_w`` (BIGINT Σw),
+    ``kde_mean``, and — when ``value_col`` is given — ``kde_wv``
+    (BIGINT Σ v·w) plus ``kde_smooth = Σv·w / Σw``, the Nadaraya–Watson
+    kernel-regression estimate of the value surface (NULL when every
+    contributor sits exactly at d = h, i.e. Σw = 0); one division on
+    exact ints ⇒ bit-reproducible.
+
+    Plan shape: per point, two chained ``sequence`` explodes fan out to
+    the O((2h/res+2)²) candidate tiles (bounded by ``max_fanout`` —
+    raise loudly rather than 10⁶-amplify), exact D2 filter, then ONE
+    hash aggregate on the tile key with map-side combine — candidates
+    stream through partial aggregation and never materialize. No joins,
+    no windows, no driver collect; the shuffle is tile-cardinality. At
+    100 TB the knob is the fan-out ratio h/res: the work is
+    n·(2h/res)², independent of corpus extent.
+
+    Overflow (exact_int): per-term w ≤ 16h⁴, so Σ needs
+    ``16h⁴·n_in_range < 2⁶³`` — ANSI mode raises loudly rather than
+    wrapping. h ≤ 30000 keeps the per-term safe; value-weighted sums
+    scale by max|v|.
+    """
+    resolution = int(resolution)
+    bandwidth = int(bandwidth)
+    if resolution <= 0 or bandwidth <= 0:
+        raise ValueError("resolution and bandwidth must be positive")
+    per_axis = 2 * bandwidth // resolution + 2
+    if per_axis * per_axis > max_fanout:
+        raise ValueError(
+            f"bandwidth/resolution fan-out {per_axis}^2 exceeds max_fanout="
+            f"{max_fanout}; coarsen the grid or shrink the bandwidth"
+        )
+
+    cols = [
+        F.col(x_col).cast("double").alias("_x"),
+        F.col(y_col).cast("double").alias("_y"),
+    ]
+    if value_col is not None:
+        cols.append(
+            F.col(value_col).cast("long" if exact_int else "double").alias("_v")
+        )
+    slim = points.select(*cols).where(
+        F.col("_x").isNotNull()
+        & F.col("_y").isNotNull()
+        & ~F.isnan("_x")
+        & ~F.isnan("_y")
+        & (F.col("_v").isNotNull() if value_col is not None else F.lit(True))
+    )
+
+    res, h = F.lit(resolution), F.lit(bandwidth)
+
+    # Candidate index range per axis (±1 slop; the exact D2 filter below
+    # decides). When bounds clip the range empty (point off-grid by > h),
+    # emit an EMPTY array — a raw sequence(lo, hi) with hi < lo would
+    # descend through out-of-bounds indices instead.
+    def _rng(p, origin, bound):
+        lo = F.floor((p - h - F.lit(origin)) / res)
+        hi = F.floor((p + h - F.lit(origin)) / res) + F.lit(1)
+        if bound is not None:
+            lo = F.greatest(lo, F.lit(0))
+            hi = F.least(hi, F.lit(int(bound) - 1))
+        return F.when(lo <= hi, F.sequence(lo, hi)).otherwise(
+            F.array().cast("array<bigint>")
+        )
+
+    fan = slim.select(
+        "*",
+        F.explode(_rng(F.col("_x"), xmin, ncols)).alias("col_i"),
+        _rng(F.col("_y"), ymin, nrows).alias("_rseq"),
+    ).select("*", F.explode("_rseq").alias("row_i"))
+
+    if exact_int:
+        dx2 = (F.col("_x") * 2).cast("long") - (
+            F.lit(2 * int(xmin)) + (F.col("col_i") * 2 + 1) * res
+        )
+        dy2 = (F.col("_y") * 2).cast("long") - (
+            F.lit(2 * int(ymin)) + (F.col("row_i") * 2 + 1) * res
+        )
+        h2sq = F.lit(4 * bandwidth * bandwidth)
+    else:
+        dx2 = F.col("_x") * 2 - (F.lit(2.0 * xmin) + (F.col("col_i") * 2 + 1) * res)
+        dy2 = F.col("_y") * 2 - (F.lit(2.0 * ymin) + (F.col("row_i") * 2 + 1) * res)
+        h2sq = F.lit(4.0 * bandwidth * bandwidth)
+    d2 = dx2 * dx2 + dy2 * dy2
+    fan = fan.withColumn("_w", (h2sq - d2) * (h2sq - d2)).where(d2 <= h2sq)
+
+    aggs = [
+        F.count(F.lit(1)).alias("kde_n"),
+        F.sum("_w").alias("kde_w"),
+    ]
+    if value_col is not None:
+        aggs.append(F.sum(F.col("_v") * F.col("_w")).alias("kde_wv"))
+    out = fan.groupBy("row_i", "col_i").agg(*aggs)
+    norm = float(16 * bandwidth**4)
+    out = out.withColumn(
+        "kde_mean", F.col("kde_w").cast("double") / F.lit(norm)
+    )
+    order = ["row_i", "col_i", "kde_n", "kde_w", "kde_mean"]
+    if value_col is not None:
+        out = out.withColumn(
+            "kde_smooth",
+            F.try_divide(
+                F.col("kde_wv").cast("double"), F.col("kde_w").cast("double")
+            ),
+        )
+        order += ["kde_wv", "kde_smooth"]
+    return out.select(*order)

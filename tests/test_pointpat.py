@@ -118,3 +118,212 @@ def test_pair_stats_no_python_in_plan(spark):
     df = _df(spark, np.array([0.0, 1.0]), np.array([0.0, 1.0]), np.array([1, 2]))
     plan = pointpat.pair_stats(df, [10.0])._jdf.queryExecution().executedPlan().toString()
     assert "Python" not in plan and "ArrowEval" not in plan
+
+
+# ---------------------------------------------------------------------------
+# nn_stats — empirical G function / nearest-neighbor distances
+
+
+def _naive_nn(px, py, radii):
+    """Brute-force per-point NN replay within r_max (the completeness oracle)."""
+    dx = px[:, None] - px[None, :]
+    dy = py[:, None] - py[None, :]
+    d2 = (dx * dx + dy * dy).astype(np.int64)
+    np.fill_diagonal(d2, np.iinfo(np.int64).max)
+    nnd2 = d2.min(axis=1)
+    r_max = max(radii)
+    within = nnd2[nnd2 <= int(r_max * r_max)]
+    out = {
+        "n_pts": len(px),
+        "nn_found": int(len(within)),
+        "nn_d2_sum": int(within.sum()) if len(within) else 0,
+        "nn_q20_sum": int(np.floor(np.sqrt(within.astype(float)) * 1048576.0).sum())
+        if len(within)
+        else 0,
+    }
+    out["mean_nn"] = (
+        (out["nn_q20_sum"] / 1048576.0) / out["nn_found"] if out["nn_found"] else None
+    )
+    for r in radii:
+        out[f"g_{pointpat._rlabel(r)}"] = int((within <= int(r * r)).sum())
+    return out
+
+
+def test_nn_stats_matches_naive(spark):
+    """Engine (bucket join + per-point min) ≡ brute-force NN replay on
+    random integer points, both join shapes; r_max small enough that some
+    points have no in-range neighbor (exercises nn_found < n_pts)."""
+    rng = np.random.default_rng(23)
+    px = rng.integers(0, 400, 250).astype(float)
+    py = rng.integers(0, 300, 250).astype(float)
+    v = rng.integers(0, 5, 250)
+    radii = [4.0, 8.0, 16.0]
+    want = _naive_nn(px, py, radii)
+    assert 0 < want["nn_found"] < want["n_pts"]  # the interesting regime
+    for bc in (True, False):
+        got = (
+            pointpat.nn_stats(_df(spark, px, py, v), radii, broadcast_side=bc)
+            .collect()[0]
+            .asDict()
+        )
+        for k, wv in want.items():
+            if isinstance(wv, float):
+                assert got[k] == pytest.approx(wv, abs=0, rel=0), (k, bc)
+            else:
+                assert got[k] == wv, (k, bc)
+
+
+def test_nn_stats_candidate_overreach_filtered(spark):
+    """A corner-bucket candidate farther than r_max must NOT become a
+    point's 'nearest neighbor': isolated point with only an out-of-range
+    candidate in a diagonal bucket reports no NN at all."""
+    # buckets of size 10: (0,0) and (19,19) are diagonal-bucket neighbors
+    # at d² = 722 > r_max² = 100 — candidate generated, must be filtered.
+    px = np.array([0.0, 19.0])
+    py = np.array([0.0, 19.0])
+    v = np.array([1, 2])
+    got = pointpat.nn_stats(_df(spark, px, py, v), [10.0]).collect()[0].asDict()
+    assert got["n_pts"] == 2
+    assert got["nn_found"] == 0
+    assert got["nn_d2_sum"] == 0 and got["nn_q20_sum"] == 0
+    assert got["mean_nn"] is None
+    assert got["g_10"] == 0
+
+
+def test_nn_stats_exact_boundary_and_ties(spark):
+    """NN at EXACTLY r counts as within r; coincident points give d²=0."""
+    px = np.array([0.0, 100.0, 100.0, 500.0, 530.0])
+    py = np.array([0.0, 0.0, 0.0, 0.0, 40.0])
+    v = np.array([1, 2, 3, 4, 5])
+    got = pointpat.nn_stats(_df(spark, px, py, v), [50.0, 100.0]).collect()[0].asDict()
+    # NNs: p0→d=100, p1/p2→d=0 (coincident), p3/p4→d=50 (3-4-5 triangle)
+    assert got["nn_found"] == 5
+    assert got["nn_d2_sum"] == 10000 + 0 + 0 + 2500 + 2500
+    assert got["g_50"] == 4  # everyone but p0
+    assert got["g_100"] == 5
+    assert got["mean_nn"] == pytest.approx((100 + 0 + 0 + 50 + 50) / 5.0)
+
+
+def test_nn_stats_single_point_and_bad_radii(spark):
+    df = _df(spark, np.array([3.0]), np.array([4.0]), np.array([1]))
+    got = pointpat.nn_stats(df, [10.0]).collect()[0].asDict()
+    assert got["n_pts"] == 1 and got["nn_found"] == 0 and got["mean_nn"] is None
+    with pytest.raises(ValueError, match="non-empty"):
+        pointpat.nn_stats(df, [])
+    with pytest.raises(ValueError, match="positive"):
+        pointpat.nn_stats(df, [-1.0])
+
+
+def test_nn_stats_no_python_in_plan(spark):
+    df = _df(spark, np.array([0.0, 1.0]), np.array([0.0, 1.0]), np.array([1, 2]))
+    plan = pointpat.nn_stats(df, [10.0])._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan and "ArrowEval" not in plan
+
+
+# ---------------------------------------------------------------------------
+# kde_raster — quartic kernel density surface at tile centers
+
+
+def _naive_kde(px, py, v, res, h, xmin, ymin, nrows=None, ncols=None):
+    """Brute-force replay: every tile center within h of any point."""
+    out = {}
+    for x, y, val in zip(px, py, v):
+        c0 = int(np.floor((x - h - xmin) / res)) - 1
+        c1 = int(np.floor((x + h - xmin) / res)) + 1
+        r0 = int(np.floor((y - h - ymin) / res)) - 1
+        r1 = int(np.floor((y + h - ymin) / res)) + 1
+        for ci in range(c0, c1 + 1):
+            if ncols is not None and not (0 <= ci < ncols):
+                continue
+            for ri in range(r0, r1 + 1):
+                if nrows is not None and not (0 <= ri < nrows):
+                    continue
+                dx2 = int(2 * x) - (2 * xmin + (2 * ci + 1) * res)
+                dy2 = int(2 * y) - (2 * ymin + (2 * ri + 1) * res)
+                d2 = dx2 * dx2 + dy2 * dy2
+                if d2 <= 4 * h * h:
+                    w = (4 * h * h - d2) ** 2
+                    n, ws, wv = out.get((ri, ci), (0, 0, 0))
+                    out[(ri, ci)] = (n + 1, ws + w, wv + int(val) * w)
+    return out
+
+
+def test_kde_raster_matches_naive(spark):
+    """Engine (sequence-explode fan-out + hash agg) ≡ brute-force replay on
+    random integer points: every tile, all columns, odd AND even res (the
+    doubled-coordinate trick must make half-integer centers exact)."""
+    rng = np.random.default_rng(31)
+    px = rng.integers(0, 200, 120).astype(float)
+    py = rng.integers(0, 150, 120).astype(float)
+    v = rng.integers(0, 9, 120)
+    for res, h in [(10, 25), (7, 15)]:
+        want = _naive_kde(px, py, v, res, h, 0, 0)
+        rows = pointpat.kde_raster(
+            _df(spark, px, py, v), res, h, 0, 0, value_col="val"
+        ).collect()
+        got = {
+            (r["row_i"], r["col_i"]): (r["kde_n"], r["kde_w"], r["kde_wv"])
+            for r in rows
+        }
+        assert got == want, (res, h)
+        # kde_smooth = Nadaraya-Watson Σvw/Σw, NULL iff Σw == 0
+        for r in rows:
+            if r["kde_w"] == 0:
+                assert r["kde_smooth"] is None
+            else:
+                assert r["kde_smooth"] == r["kde_wv"] / r["kde_w"]
+
+
+def test_kde_raster_empty_tile_emitted_and_mean(spark):
+    """A tile containing NO point still gets a density row when a point is
+    within h of its center; kde_mean = kde_w / (16 h⁴) exactly."""
+    # single point at (5,5); res 10, h 20: tile (0,0) center (5,5) d=0,
+    # tile (0,1) center (15,5) d=10 — no point inside it, still emitted.
+    got = {
+        (r["row_i"], r["col_i"]): r
+        for r in pointpat.kde_raster(
+            _df(spark, np.array([5.0]), np.array([5.0]), np.array([1])), 10, 20, 0, 0
+        ).collect()
+    }
+    h2sq = 4 * 20 * 20
+    assert got[(0, 0)]["kde_w"] == h2sq**2  # d=0 ⇒ w=(4h²)²
+    d2 = 20 * 20  # doubled coords: center (15,5) → dx2=20
+    assert got[(0, 1)]["kde_w"] == (h2sq - d2) ** 2
+    assert got[(0, 1)]["kde_mean"] == (h2sq - d2) ** 2 / float(16 * 20**4)
+    # boundary: center at EXACTLY d=h contributes w=0 but counts in kde_n
+    assert got[(0, 2)]["kde_n"] == 1 and got[(0, 2)]["kde_w"] == 0  # d=20=h
+
+
+def test_kde_raster_grid_clip_and_offgrid_point(spark):
+    """nrows/ncols clip candidates; a point off-grid by more than the
+    clipped range must yield NO out-of-bounds tiles (the descending-
+    sequence trap) but still contributes to in-bounds tiles within h."""
+    px = np.array([5.0, 95.0, 500.0])
+    py = np.array([5.0, 5.0, 5.0])
+    v = np.array([1, 1, 1])
+    rows = pointpat.kde_raster(
+        _df(spark, px, py, v), 10, 15, 0, 0, nrows=1, ncols=4
+    ).collect()
+    assert all(0 <= r["col_i"] < 4 and r["row_i"] == 0 for r in rows)
+    want = _naive_kde(px, py, v, 10, 15, 0, 0, nrows=1, ncols=4)
+    got = {(r["row_i"], r["col_i"]): r["kde_n"] for r in rows}
+    assert got == {k: n for k, (n, _, _) in want.items()}
+
+
+def test_kde_raster_fanout_guard_and_bad_args(spark):
+    df = _df(spark, np.array([0.0]), np.array([0.0]), np.array([1]))
+    with pytest.raises(ValueError, match="max_fanout"):
+        pointpat.kde_raster(df, 1, 1000, 0, 0)
+    with pytest.raises(ValueError, match="positive"):
+        pointpat.kde_raster(df, 0, 10, 0, 0)
+
+
+def test_kde_raster_no_python_in_plan(spark):
+    df = _df(spark, np.array([0.0]), np.array([0.0]), np.array([1]))
+    plan = (
+        pointpat.kde_raster(df, 10, 20, 0, 0)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Python" not in plan and "ArrowEval" not in plan

@@ -2694,7 +2694,11 @@ def q_moran_i(spark: SparkSession, sf_dir: str, _raster: DataFrame | None = None
     mi = morans_i(raster, "n_docs")
     pts = docs_with_coords(spark, sf_dir)
     pp = pair_stats(pts, [50.0, 100.0, 200.0], area=3000.0 * 2000.0)
-    nn = nn_stats(pts, [50.0, 100.0, 200.0]).drop("n_pts")
+    # same population as pair_stats (val NOT NULL) so the merged row's
+    # nn_*/g_* columns describe the same point set as n_pts/pc_*
+    nn = nn_stats(pts.where(F.col("val").isNotNull()), [50.0, 100.0, 200.0]).drop(
+        "n_pts"
+    )
     return mi.crossJoin(pp).crossJoin(nn)
 
 
@@ -2721,7 +2725,8 @@ pp AS (
 ),
 pnn AS (SELECT CAST(count(*) AS BIGINT) AS n_pts FROM pp),
 ppd AS (
-  SELECT (a.xi - b.xi) * (a.xi - b.xi) + (a.yi - b.yi) * (a.yi - b.yi) AS d2,
+  SELECT a.doc_id,
+         (a.xi - b.xi) * (a.xi - b.xi) + (a.yi - b.yi) * (a.yi - b.yi) AS d2,
          (a.vi - b.vi) * (a.vi - b.vi) AS sq
   FROM pp a JOIN pp b ON a.doc_id <> b.doc_id
 ),
@@ -2735,15 +2740,9 @@ ppr AS (
     CAST(coalesce(sum(CASE WHEN d2 <= 40000 THEN sq ELSE 0 END), 0) AS BIGINT) AS sv_200
   FROM ppd
 ),
--- nearest-neighbor stats (r5b): per-point min over the same quadratic
--- self-join — genuinely independent of the engine's bucketed plan
-pnd AS (
-  SELECT a.doc_id,
-         min((a.xi - b.xi) * (a.xi - b.xi)
-           + (a.yi - b.yi) * (a.yi - b.yi)) AS nnd2
-  FROM pp a JOIN pp b ON a.doc_id <> b.doc_id
-  GROUP BY a.doc_id
-),
+-- nearest-neighbor stats (r5b): per-point min over the SAME quadratic
+-- pair set (one join, reused) — still independent of the bucketed plan
+pnd AS (SELECT doc_id, min(d2) AS nnd2 FROM ppd GROUP BY doc_id),
 nnw AS (SELECT nnd2 FROM pnd WHERE nnd2 <= 40000),
 nns AS (
   SELECT
@@ -2980,19 +2979,26 @@ WHERE CAST({_SQL_HEX8.format(h="md5('mix1' || CAST(doc_id AS VARCHAR))")} AS DOU
 # test_text.test_simhash_md5_oracle / test_minhash_lsh_finds_near_dups).
 
 
-def q_kde(spark: SparkSession, sf_dir: str, _raster: DataFrame | None = None) -> DataFrame:
+def q_kde(
+    spark: SparkSession,
+    sf_dir: str,
+    _raster: DataFrame | None = None,
+    _spec: GridSpec | None = None,
+) -> DataFrame:
     """Quartic (biweight) kernel density surface at tile centers
     (pointpat.kde_raster, h=150 on the res-100 grid), restricted to the
     occupied tiles so the row set matches the other tile-keyed queries
     (h = 150 ≥ res·√2/2 guarantees every occupied tile has a value).
     All-BIGINT doubled-coordinate kernel ⇒ kde_w / kde_wv exact; kde_mean
     is the single division Σw / 16h⁴. Twin: occupied-tiles × points cross
-    join — genuinely independent of the engine's sequence-explode fan-out."""
+    join — genuinely independent of the engine's sequence-explode fan-out.
+    Composed callers thread the already-computed GridSpec via ``_spec``
+    (grid_spec_for is an eager bbox scan — don't pay it twice)."""
     from .bbox import grid_spec_for
     from .pointpat import kde_raster
 
     d = docs_with_coords(spark, sf_dir)
-    spec = grid_spec_for(d, RES, square=True)
+    spec = _spec if _spec is not None else grid_spec_for(d, RES, square=True)
     kde = kde_raster(
         d,
         int(RES),
@@ -3015,6 +3021,7 @@ kc AS (
          CAST(2 * d.x - (2 * b.xmin + (2 * r.col_i + 1) * 100.0) AS BIGINT) AS dx2,
          CAST(2 * d.y - (2 * b.ymin + (2 * r.row_i + 1) * 100.0) AS BIGINT) AS dy2
   FROM r, d, b
+  WHERE d.val IS NOT NULL  -- engine drops val-NULL points entirely
 )
 SELECT row_i, col_i,
        CAST(count(*) AS BIGINT) AS kde_n,
@@ -3050,8 +3057,12 @@ def q_focal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     classification per tile.
 
     r5b: plus the quartic kernel density surface (q_kde): kde_n/kde_w/
-    kde_mean/kde_wv per tile, exact-BIGINT doubled-coordinate kernel."""
-    raster = _count_raster(spark, sf_dir)
+    kde_mean/kde_wv/kde_smooth per tile, exact-BIGINT doubled-coordinate
+    kernel — the GridSpec is computed once here and threaded down."""
+    t, spec = _sq_tiles(spark, sf_dir)
+    raster = t.groupBy("row_i", "col_i").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
     mean = q_focal_mean(spark, sf_dir, _raster=raster).select(
         "row_i",
         "col_i",
@@ -3070,7 +3081,7 @@ def q_focal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     vs = q_viewshed(spark, sf_dir, _raster=raster).select(
         "row_i", "col_i", "los_n", "visible"
     )
-    kd = q_kde(spark, sf_dir, _raster=raster)
+    kd = q_kde(spark, sf_dir, _raster=raster, _spec=spec)
     return (
         mean.join(gauss, ["row_i", "col_i"])
         .join(vs, ["row_i", "col_i"])

@@ -359,7 +359,11 @@ def kde_raster(
     (BIGINT Σ v·w) plus ``kde_smooth = Σv·w / Σw``, the Nadaraya–Watson
     kernel-regression estimate of the value surface (NULL when every
     contributor sits exactly at d = h, i.e. Σw = 0); one division on
-    exact ints ⇒ bit-reproducible.
+    exact ints ⇒ bit-reproducible. NB when ``value_col`` is given,
+    NULL-valued points are dropped from the surface ENTIRELY (all
+    columns, density included) so every column describes the same
+    population; pass ``value_col=None`` for the pure density of all
+    points.
 
     Plan shape: per point, two chained ``sequence`` explodes fan out to
     the O((2h/res+2)²) candidate tiles (bounded by ``max_fanout`` —
@@ -379,7 +383,8 @@ def kde_raster(
     bandwidth = int(bandwidth)
     if resolution <= 0 or bandwidth <= 0:
         raise ValueError("resolution and bandwidth must be positive")
-    per_axis = 2 * bandwidth // resolution + 2
+    # worst case per axis: ceil(2h/res) + 2 indices (the ±1 slop bounds)
+    per_axis = -(-2 * bandwidth // resolution) + 2
     if per_axis * per_axis > max_fanout:
         raise ValueError(
             f"bandwidth/resolution fan-out {per_axis}^2 exceeds max_fanout="

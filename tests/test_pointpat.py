@@ -171,6 +171,15 @@ def test_nn_stats_matches_naive(spark):
                 assert got[k] == pytest.approx(wv, abs=0, rel=0), (k, bc)
             else:
                 assert got[k] == wv, (k, bc)
+    # exact_int=False path: doubles are exact at these magnitudes, so the
+    # counts and sums must still equal the integer replay numerically
+    got_f = (
+        pointpat.nn_stats(_df(spark, px, py, v), radii, exact_int=False)
+        .collect()[0]
+        .asDict()
+    )
+    for k, wv in want.items():
+        assert float(got_f[k]) == float(wv) if wv is not None else got_f[k] is None, k
 
 
 def test_nn_stats_candidate_overreach_filtered(spark):
@@ -272,6 +281,18 @@ def test_kde_raster_matches_naive(spark):
                 assert r["kde_smooth"] is None
             else:
                 assert r["kde_smooth"] == r["kde_wv"] / r["kde_w"]
+    # exact_int=False (the bench path): double arithmetic is exact at these
+    # magnitudes (w ≤ (2h)⁴ ≪ 2⁵³), so values must still match the replay
+    got_f = {
+        (r["row_i"], r["col_i"]): (r["kde_n"], r["kde_w"], r["kde_wv"])
+        for r in pointpat.kde_raster(
+            _df(spark, px, py, v), 10, 25, 0, 0, value_col="val", exact_int=False
+        ).collect()
+    }
+    want_f = _naive_kde(px, py, v, 10, 25, 0, 0)
+    assert {k: tuple(float(x) for x in t) for k, t in got_f.items()} == {
+        k: tuple(float(x) for x in t) for k, t in want_f.items()
+    }
 
 
 def test_kde_raster_empty_tile_emitted_and_mean(spark):

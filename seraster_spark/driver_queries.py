@@ -2529,8 +2529,12 @@ def q_gi_star(spark: SparkSession, sf_dir: str, _raster: DataFrame | None = None
     region holds no source read NULL (unreachable) in both engines.
 
     r5: also carries the Horn terrain derivatives (q_terrain): exact
-    ddx_num/ddy_num, bit-exact slope_ratio, integer aspect_octant."""
-    from .focal import getis_ord_gi_star, grid_distance
+    ddx_num/ddy_num, bit-exact slope_ratio, integer aspect_octant.
+
+    r5b: plus Local Moran's I (focal.local_morans_i, Anselin LISA) —
+    exact integer dev/lag, I_i = n·D_i·L_i / ΣD² as ONE division,
+    sign-decidable HH/LL/HL/LH/NS quadrant labels."""
+    from .focal import getis_ord_gi_star, grid_distance, local_morans_i
 
     raster = _raster if _raster is not None else _count_raster(spark, sf_dir)
     gi = getis_ord_gi_star(raster, "n_docs")
@@ -2546,7 +2550,14 @@ def q_gi_star(spark: SparkSession, sf_dir: str, _raster: DataFrame | None = None
     tr = terrain(raster, "n_docs", resolution=RES).select(
         "row_i", "col_i", "ddx_num", "ddy_num", "slope_ratio", "aspect_octant"
     )
-    return gi.join(gd, ["row_i", "col_i"], "left").join(tr, ["row_i", "col_i"])
+    li = local_morans_i(raster, "n_docs").select(
+        "row_i", "col_i", "dev_scaled", "lag_scaled", "lag_n", "local_i", "quadrant"
+    )
+    return (
+        gi.join(gd, ["row_i", "col_i"], "left")
+        .join(tr, ["row_i", "col_i"])
+        .join(li, ["row_i", "col_i"])
+    )
 
 
 SQL_GI_CORE = f"""
@@ -2587,10 +2598,43 @@ LEFT JOIN gd ON gd.row_i = w.row_i AND gd.col_i = w.col_i
 """
 
 
+SQL_LISA = f"""
+WITH {_SQL_DOCS}, {_SQL_BBOX}, {_SQL_SQ_CELLS},
+r AS (SELECT row_i, col_i, CAST(count(*) AS BIGINT) AS x FROM c GROUP BY 1, 2),
+st AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS s,
+              CAST(sum(x * x) AS BIGINT) AS s2 FROM r),
+dv AS (SELECT row_i, col_i, st.n * x - st.s AS dev FROM r, st),
+lg AS (
+  SELECT a.row_i, a.col_i,
+         CAST(coalesce(sum(b.dev), 0) AS BIGINT) AS lag_scaled,
+         CAST(count(b.dev) AS BIGINT) AS lag_n
+  FROM dv a LEFT JOIN dv b
+    ON b.row_i BETWEEN a.row_i - 1 AND a.row_i + 1
+   AND b.col_i BETWEEN a.col_i - 1 AND a.col_i + 1
+   AND NOT (b.row_i = a.row_i AND b.col_i = a.col_i)
+  GROUP BY 1, 2
+)
+SELECT dv.row_i, dv.col_i, CAST(dv.dev AS BIGINT) AS dev_scaled,
+       lg.lag_scaled, lg.lag_n,
+       CASE WHEN st.n * (st.n * st.s2 - st.s * st.s) = 0 THEN NULL
+            ELSE CAST(st.n * dv.dev * lg.lag_scaled AS DOUBLE)
+               / CAST(st.n * (st.n * st.s2 - st.s * st.s) AS DOUBLE) END AS local_i,
+       CASE WHEN dv.dev > 0 AND lg.lag_scaled > 0 THEN 'HH'
+            WHEN dv.dev < 0 AND lg.lag_scaled < 0 THEN 'LL'
+            WHEN dv.dev > 0 AND lg.lag_scaled < 0 THEN 'HL'
+            WHEN dv.dev < 0 AND lg.lag_scaled > 0 THEN 'LH'
+            ELSE 'NS' END AS quadrant
+FROM dv JOIN lg ON lg.row_i = dv.row_i AND lg.col_i = dv.col_i, st
+"""
+
+
 SQL_GI_STAR = f"""
-SELECT gs.*, tr.ddx_num, tr.ddy_num, tr.slope_ratio, tr.aspect_octant
+SELECT gs.*, tr.ddx_num, tr.ddy_num, tr.slope_ratio, tr.aspect_octant,
+       li.dev_scaled, li.lag_scaled, li.lag_n, li.local_i, li.quadrant
 FROM ({SQL_GI_CORE}) gs JOIN ({SQL_TERRAIN}) tr
   ON tr.row_i = gs.row_i AND tr.col_i = gs.col_i
+JOIN ({SQL_LISA}) li
+  ON li.row_i = gs.row_i AND li.col_i = gs.col_i
 """
 
 

@@ -531,6 +531,125 @@ def morans_i(
     )
 
 
+def local_morans_i(
+    tiles: DataFrame,
+    value_col: str,
+    queen: bool = True,
+    row_col: str = "row_i",
+    col_col: str = "col_i",
+) -> DataFrame:
+    """Local Moran's I (Anselin 1995 LISA) per tile, binary contiguity.
+
+        I_i = z_i · Σ_{j∈w(i)} z_j / (Σ z² / n),   z = x − x̄
+
+    The per-tile decomposition of :func:`morans_i` — WHERE the spatial
+    autocorrelation lives, the standard companion to the Gi* hot-spot
+    score. With the integer-scaled deviations D_i = n·x_i − S (exact
+    BIGINT for integer ``value_col``) and the neighbor lag
+    L_i = Σ_{j∈w(i), j exists} D_j, the statistic reduces to
+
+        I_i = n · D_i · L_i / ΣD²     with  ΣD² = n·(n·S2 − S²)
+
+    — ONE division on exact BIGINTs ⇒ bit-identical in any engine that
+    replays the expression (the denominator comes closed-form from the
+    1-row (n, S, S2) aggregate: no second pass over tiles). Quadrant
+    labels are sign-decidable on the exact integers: HH/LL (hot/cold
+    cluster), HL/LH (spatial outlier), NS when D_i or L_i is 0 —
+    including isolated tiles (no existing neighbor), whose lag is the
+    empty sum 0. Constant rasters (ΣD² = 0) yield NULL I_i (undefined).
+
+    Scale: one constant-fan-out neighbor explode + one tile-cardinality
+    hash agg + a broadcast 1-row stats join — the morans_i/focal shape.
+    int64 guard: |n·D_i·L_i| is checked in double arithmetic (immune to
+    the wrap it detects) and raises at execution time instead of
+    returning silently wrong scores (the gi_star pattern).
+
+    Returns (row_col, col_col, value_col, dev_scaled, lag_scaled, lag_n,
+    local_i, quadrant).
+    """
+    offsets = neighbor_offsets(radius=1, queen=queen, include_center=False)
+    v = tiles.select(
+        F.col(row_col).alias("r"),
+        F.col(col_col).alias("c"),
+        F.col(value_col).cast("long").alias("x"),
+    )
+    stats = v.agg(
+        F.count(F.lit(1)).cast("long").alias("_n"),
+        F.sum("x").cast("long").alias("_s"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("_s2"),
+    )
+    dv = v.crossJoin(F.broadcast(stats)).select(
+        "r",
+        "c",
+        "x",
+        "_n",
+        "_s",
+        "_s2",
+        (F.col("_n") * F.col("x") - F.col("_s")).alias("dev_scaled"),
+    )
+    lag = (
+        _neighbor_contributions(
+            dv.select("r", "c", "dev_scaled"), "dev_scaled", offsets,
+            row_col="r", col_col="c",
+        )
+        .groupBy("t_row", "t_col")
+        .agg(
+            F.sum("_v").cast("long").alias("lag_scaled"),
+            F.sum("_w").cast("long").alias("lag_n"),
+        )
+    )
+    # LEFT join + zero-coalesce: an isolated tile has an EMPTY lag sum,
+    # not a missing row (the inner-join focal_stats shape would drop it)
+    j = (
+        dv.join(
+            lag,
+            (F.col("r") == F.col("t_row")) & (F.col("c") == F.col("t_col")),
+            "left",
+        )
+        .drop("t_row", "t_col")
+        .withColumn("lag_scaled", F.coalesce(F.col("lag_scaled"), F.lit(0).cast("long")))
+        .withColumn("lag_n", F.coalesce(F.col("lag_n"), F.lit(0).cast("long")))
+    )
+    den = F.col("_n") * (F.col("_n") * F.col("_s2") - F.col("_s") * F.col("_s"))
+    num_raw = F.col("_n") * F.col("dev_scaled") * F.col("lag_scaled")
+    num_est = (
+        F.col("_n").cast("double")
+        * F.col("dev_scaled").cast("double")
+        * F.col("lag_scaled").cast("double")
+    )
+    den_est = F.col("_n").cast("double") * (
+        F.col("_n").cast("double") * F.col("_s2").cast("double")
+        - F.col("_s").cast("double") * F.col("_s").cast("double")
+    )
+    guard_ok = (F.abs(num_est) < F.lit(float(1 << 62))) & (
+        F.abs(den_est) < F.lit(float(1 << 62))
+    )
+    num = F.when(guard_ok, num_raw).otherwise(
+        F.raise_error(
+            "local_morans_i: n*dev*lag or the denominator exceeds int64 — "
+            "aggregate to a coarser grid or downscale values"
+        ).cast("long")
+    )
+    d, l = F.col("dev_scaled"), F.col("lag_scaled")
+    quadrant = (
+        F.when((d > 0) & (l > 0), F.lit("HH"))
+        .when((d < 0) & (l < 0), F.lit("LL"))
+        .when((d > 0) & (l < 0), F.lit("HL"))
+        .when((d < 0) & (l > 0), F.lit("LH"))
+        .otherwise(F.lit("NS"))
+    )
+    return j.select(
+        F.col("r").alias(row_col),
+        F.col("c").alias(col_col),
+        F.col("x").alias(value_col),
+        "dev_scaled",
+        "lag_scaled",
+        "lag_n",
+        F.try_divide(num.cast("double"), den.cast("double")).alias("local_i"),
+        quadrant.alias("quadrant"),
+    )
+
+
 def _checkpoint_tracked(df: DataFrame):
     """``localCheckpoint(eager=True)`` plus a release handle. Spark's public
     API offers no way to free a local checkpoint's storage blocks (the

@@ -222,6 +222,70 @@ def test_moran_rook_matches_naive(spark):
     assert row["moran_i"] == pytest.approx(_numpy_moran(CELLS[:7], queen=False), rel=1e-12)
 
 
+def _numpy_local_moran(cells, queen=True):
+    vals = {(r, c): v for r, c, v in cells}
+    xs = np.array(list(vals.values()), dtype=float)
+    xb, n = xs.mean(), len(xs)
+    m2 = ((xs - xb) ** 2).sum() / n
+    offs = neighbor_offsets(queen=queen)
+    out = {}
+    for (r, c), v in vals.items():
+        lag = sum(
+            vals[(r + dr, c + dc)] - xb
+            for dr, dc in offs
+            if (r + dr, c + dc) in vals
+        )
+        out[(r, c)] = (v - xb) * lag / m2 if m2 else None
+    return out
+
+
+def test_local_moran_matches_naive_and_sums_to_global(spark):
+    """LISA ≡ float replay on both contiguities; the exact integer
+    decomposition Σ_i D_i·L_i = num_scaled (the GLOBAL morans_i
+    numerator, both n-scaled) must hold bit-for-bit."""
+    from seraster_spark.focal import local_morans_i
+
+    for queen in (True, False):
+        rows = local_morans_i(_raster(spark, CELLS), "n", queen=queen).collect()
+        want = _numpy_local_moran(CELLS, queen=queen)
+        assert len(rows) == len(want)
+        for r in rows:
+            assert r["local_i"] == pytest.approx(
+                want[(r["row_i"], r["col_i"])], rel=1e-12
+            ), (queen, r)
+        g = morans_i(_raster(spark, CELLS), "n", queen=queen).first()
+        assert (
+            sum(r["dev_scaled"] * r["lag_scaled"] for r in rows) == g["num_scaled"]
+        )
+
+
+def test_local_moran_quadrants_and_isolated_tile(spark):
+    """Checkerboard: every interior tile is a spatial outlier (HL/LH under
+    rook); the isolated tile in CELLS gets lag 0, local_i 0.0, 'NS'."""
+    from seraster_spark.focal import local_morans_i
+
+    cells = [(r, c, 10 if (r + c) % 2 == 0 else 0) for r in range(4) for c in range(4)]
+    rows = local_morans_i(_raster(spark, cells), "n", queen=False).collect()
+    for r in rows:
+        assert r["quadrant"] in ("HL", "LH"), r  # rook neighbors all opposite
+        assert r["local_i"] < 0
+    # isolated tile (5,5) in CELLS: no neighbors -> lag 0, NS, local_i 0
+    iso = {
+        (r["row_i"], r["col_i"]): r
+        for r in local_morans_i(_raster(spark, CELLS), "n").collect()
+    }[(5, 5)]
+    assert iso["lag_n"] == 0 and iso["lag_scaled"] == 0
+    assert iso["quadrant"] == "NS" and iso["local_i"] == 0.0
+
+
+def test_local_moran_constant_raster_null(spark):
+    from seraster_spark.focal import local_morans_i
+
+    cells = [(r, c, 7) for r in range(3) for c in range(3)]
+    rows = local_morans_i(_raster(spark, cells), "n").collect()
+    assert all(r["local_i"] is None and r["quadrant"] == "NS" for r in rows)
+
+
 def test_gi_star_matches_naive_and_flags_hotspot(spark):
     from seraster_spark.focal import getis_ord_gi_star
 

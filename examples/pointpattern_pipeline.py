@@ -1,0 +1,120 @@
+"""End-to-end point-pattern analysis — the distributed version of a
+spatstat session, run BEFORE rasterization decides what to keep (the
+second-order structure is exactly what binning throws away):
+
+    1. Ripley-K pair counts + semivariogram at multiple radii (pair_stats)
+    2. nearest-neighbor G function + Clark-Evans aggregation index
+       (nn_stats; R < 1 clustered, ~1 CSR, > 2 overdispersed/lattice)
+    3. quartic KDE density surface + Nadaraya-Watson value smoothing at
+       tile centers (kde_raster)
+    4. Local Moran's I (LISA) quadrants over the binned counts — where
+       the clustering lives (HH cores, LH/HL outliers)
+    5. one JSON line: global diagnostics + the densest KDE peaks + the
+       LISA quadrant census
+
+Every statistic here is the exact estimator (no sampling, no edge
+correction) computed by bucketed candidate joins + single hash
+aggregates — the plans scale to a point corpus, not a sample.
+
+Run: python examples/pointpattern_pipeline.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from seraster_spark import assign_tiles, grid_spec_for
+from seraster_spark.driver_queries import docs_with_coords
+from seraster_spark.expressions import unpack_rowcol
+from seraster_spark.focal import local_morans_i
+from seraster_spark.pointpat import kde_raster, nn_stats, pair_stats
+from seraster_spark.session import get_spark
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    spark = get_spark("pointpattern_pipeline", master="local[8]", shuffle_partitions=8)
+
+    d = docs_with_coords(spark, sf_dir)
+    area = 3000.0 * 2000.0
+    radii = [50.0, 100.0, 200.0]
+
+    # 1. second-order structure: K(r) vs CSR expectation pi*r^2
+    pp = pair_stats(d, radii, area=area).first()
+    ripley = {
+        f"r{int(r)}": {
+            "pairs": pp[f"pc_{int(r)}"],
+            "khat": pp[f"khat_{int(r)}"],
+            "csr_expect": math.pi * r * r,
+            "gamma": pp[f"gamma_{int(r)}"],
+        }
+        for r in radii
+    }
+
+    # 2. first-order structure: G function + Clark-Evans index
+    nn = nn_stats(d.where(F.col("val").isNotNull()), radii).first()
+    ce_expected = 0.5 * math.sqrt(area / nn["n_pts"])
+    clark_evans = (nn["mean_nn"] / ce_expected) if nn["mean_nn"] is not None else None
+    g_curve = {f"r{int(r)}": nn[f"g_{int(r)}"] / nn["n_pts"] for r in radii}
+
+    # 3. density + value surface at tile centers (res 100, bandwidth 150)
+    spec = grid_spec_for(d, 100.0, square=True)
+    kde = kde_raster(
+        d, 100, 150, int(spec.xmin), int(spec.ymin),
+        value_col="val", nrows=spec.nrows, ncols=spec.ncols,
+    ).localCheckpoint()  # reused: peaks + join against LISA
+    peaks = [
+        {"row": r["row_i"], "col": r["col_i"],
+         "density": round(r["kde_mean"], 4),
+         "smoothed_val": round(r["kde_smooth"], 1)}
+        for r in kde.orderBy(F.desc("kde_w")).limit(5).collect()
+    ]
+
+    # 4. where the autocorrelation lives: LISA over the binned counts
+    row, col = unpack_rowcol(F.col("cell_id"))
+    raster = (
+        assign_tiles(d, spec)
+        .withColumn("row_i", row.cast("long"))
+        .withColumn("col_i", col.cast("long"))
+        .groupBy("row_i", "col_i")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    )
+    lisa = local_morans_i(raster, "n_docs")
+    census = {
+        r["quadrant"]: r["n"]
+        for r in lisa.groupBy("quadrant").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    # HH tiles that are also KDE peaks = confirmed cluster cores
+    cores = (
+        lisa.filter(F.col("quadrant") == "HH")
+        .join(kde, ["row_i", "col_i"])
+        .count()
+    )
+
+    print(json.dumps({
+        "n_pts": nn["n_pts"],
+        "ripley": ripley,
+        "g_curve": g_curve,
+        "mean_nn_dist": nn["mean_nn"],
+        "clark_evans_R": clark_evans,
+        "verdict": (
+            "clustered" if clark_evans is not None and clark_evans < 0.9
+            else "dispersed/lattice" if clark_evans is not None and clark_evans > 1.1
+            else "~CSR"
+        ),
+        "kde_peaks": peaks,
+        "lisa_census": census,
+        "hh_cluster_cores": cores,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

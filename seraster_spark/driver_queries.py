@@ -2730,7 +2730,12 @@ def q_moran_i(spark: SparkSession, sf_dir: str, _raster: DataFrame | None = None
     empirical G function at the same radii plus the exact-BIGINT NN
     distance sums and the 2⁻²⁰-quantized mean NN distance. Engine:
     bucket join + per-point min + 1-row agg; twin: quadratic per-point
-    min. Columns prefixed nn_/g_."""
+    min. Columns prefixed nn_/g_.
+
+    r5b also: bivariate cross-K / cross-variogram (pair_stats with
+    ``other``) between the ct0 and ct1 kind populations at r=100/200 —
+    Lotwick–Silverman cross pairs, khat normalized by n_a·n_b. Columns
+    prefixed x_; twin: quadratic A×B cross join."""
     from .focal import morans_i
     from .pointpat import nn_stats, pair_stats
 
@@ -2743,7 +2748,14 @@ def q_moran_i(spark: SparkSession, sf_dir: str, _raster: DataFrame | None = None
     nn = nn_stats(pts.where(F.col("val").isNotNull()), [50.0, 100.0, 200.0]).drop(
         "n_pts"
     )
-    return mi.crossJoin(pp).crossJoin(nn)
+    xp = pair_stats(
+        pts.where(F.col("kind") == "ct0"),
+        [100.0, 200.0],
+        area=3000.0 * 2000.0,
+        other=pts.where(F.col("kind") == "ct1"),
+    )
+    xp = xp.select([F.col(c).alias(f"x_{c}") for c in xp.columns])
+    return mi.crossJoin(pp).crossJoin(nn).crossJoin(xp)
 
 
 SQL_MORAN_I = f"""
@@ -2787,6 +2799,30 @@ ppr AS (
 -- nearest-neighbor stats (r5b): per-point min over the SAME quadratic
 -- pair set (one join, reused) — still independent of the bucketed plan
 pnd AS (SELECT doc_id, min(d2) AS nnd2 FROM ppd GROUP BY doc_id),
+-- bivariate cross-K (r5b): quadratic A×B cross join, A=ct0, B=ct1
+xa AS (SELECT CAST(x AS BIGINT) AS xi, CAST(y AS BIGINT) AS yi,
+              CAST(val AS BIGINT) AS vi
+       FROM d WHERE kind = 'ct0' AND x IS NOT NULL AND y IS NOT NULL
+         AND val IS NOT NULL),
+xb AS (SELECT CAST(x AS BIGINT) AS xi, CAST(y AS BIGINT) AS yi,
+              CAST(val AS BIGINT) AS vi
+       FROM d WHERE kind = 'ct1' AND x IS NOT NULL AND y IS NOT NULL
+         AND val IS NOT NULL),
+xn AS (SELECT (SELECT CAST(count(*) AS BIGINT) FROM xa) AS n_a,
+              (SELECT CAST(count(*) AS BIGINT) FROM xb) AS n_b),
+xpd AS (
+  SELECT (a.xi - b.xi) * (a.xi - b.xi) + (a.yi - b.yi) * (a.yi - b.yi) AS d2,
+         (a.vi - b.vi) * (a.vi - b.vi) AS sq
+  FROM xa a, xb b
+),
+xpr AS (
+  SELECT
+    CAST(coalesce(sum(CASE WHEN d2 <= 10000 THEN 1 END), 0) AS BIGINT) AS pc_100,
+    CAST(coalesce(sum(CASE WHEN d2 <= 10000 THEN sq ELSE 0 END), 0) AS BIGINT) AS sv_100,
+    CAST(coalesce(sum(CASE WHEN d2 <= 40000 THEN 1 END), 0) AS BIGINT) AS pc_200,
+    CAST(coalesce(sum(CASE WHEN d2 <= 40000 THEN sq ELSE 0 END), 0) AS BIGINT) AS sv_200
+  FROM xpd
+),
 nnw AS (SELECT nnd2 FROM pnd WHERE nnd2 <= 40000),
 nns AS (
   SELECT
@@ -2819,8 +2855,17 @@ SELECT st.n AS n_tiles, p.w_sum, p.num_scaled, dn.den_scaled,
        CASE WHEN nns.nn_found = 0 THEN NULL
             ELSE (CAST(nns.nn_q20_sum AS DOUBLE) / 1048576.0)
                  / CAST(nns.nn_found AS DOUBLE) END AS mean_nn,
-       nns.g_50, nns.g_100, nns.g_200
-FROM st, dn, p, pnn, ppr, nns
+       nns.g_50, nns.g_100, nns.g_200,
+       xn.n_a AS x_n_pts, xn.n_b AS x_n_other,
+       xpr.pc_100 AS x_pc_100, xpr.sv_100 AS x_sv_100,
+       CAST(xpr.sv_100 AS DOUBLE) / CAST(xpr.pc_100 * 2 AS DOUBLE) AS x_gamma_100,
+       CAST(6000000.0 AS DOUBLE) * CAST(xpr.pc_100 AS DOUBLE)
+         / CAST(xn.n_a * xn.n_b AS DOUBLE) AS x_khat_100,
+       xpr.pc_200 AS x_pc_200, xpr.sv_200 AS x_sv_200,
+       CAST(xpr.sv_200 AS DOUBLE) / CAST(xpr.pc_200 * 2 AS DOUBLE) AS x_gamma_200,
+       CAST(6000000.0 AS DOUBLE) * CAST(xpr.pc_200 AS DOUBLE)
+         / CAST(xn.n_a * xn.n_b AS DOUBLE) AS x_khat_200
+FROM st, dn, p, pnn, ppr, nns, xn, xpr
 """
 
 

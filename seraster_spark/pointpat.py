@@ -59,7 +59,11 @@ def _rlabel(r: float) -> str:
 
 
 def _bucket_candidates(
-    slim: DataFrame, r_max: float, broadcast_side: bool, exact_int: bool
+    slim: DataFrame,
+    r_max: float,
+    broadcast_side: bool,
+    exact_int: bool,
+    right_slim: DataFrame | None = None,
 ) -> DataFrame:
     """Ordered candidate pairs from the r_max bucket grid's 9-neighbor cover.
 
@@ -71,6 +75,10 @@ def _bucket_candidates(
     appears exactly once (a point owns ONE bucket; the 9 neighbor keys
     are distinct). Callers must still filter ``_d2`` against their radius
     — corner buckets admit pairs out to ``r_max·2√2``.
+
+    ``right_slim`` switches to BIVARIATE mode: candidates are (slim ×
+    right_slim) pairs — no self-pair exclusion (the two sets are distinct
+    populations; coincident cross points at d=0 are real pairs).
     """
     has_v = "_v" in slim.columns
     bx = F.floor(F.col("_x") / F.lit(r_max))
@@ -84,7 +92,7 @@ def _bucket_candidates(
     ]
     if has_v:
         rcols.insert(3, F.col("_v").alias("_bv"))
-    right = slim.select(*rcols)
+    right = (slim if right_slim is None else right_slim).select(*rcols)
     offsets = F.array(
         *[
             F.struct(F.lit(dx).alias("ox"), F.lit(dy).alias("oy"))
@@ -104,7 +112,9 @@ def _bucket_candidates(
         (F.col("_by0") + F.col("_o.oy")).alias("_jy"),
     )
     rhs = F.broadcast(right) if broadcast_side else right
-    cand = left.join(rhs, ["_jx", "_jy"]).where(F.col("_pid") != F.col("_bid"))
+    cand = left.join(rhs, ["_jx", "_jy"])
+    if right_slim is None:
+        cand = cand.where(F.col("_pid") != F.col("_bid"))
 
     if exact_int:
         dx = F.col("_x").cast("long") - F.col("_bx_pt").cast("long")
@@ -129,6 +139,7 @@ def pair_stats(
     area: float | None = None,
     broadcast_side: bool = False,
     exact_int: bool = True,
+    other: DataFrame | None = None,
 ) -> DataFrame:
     """1-row DataFrame of cumulative pair statistics at each radius.
 
@@ -141,6 +152,18 @@ def pair_stats(
     (both sides of every pair must be well-defined); duplicate
     coordinates are fine. Self-pairs are excluded by ``id_col``
     inequality, so ids must be unique for exact semantics.
+
+    ``other`` switches to the BIVARIATE statistics (Lotwick–Silverman
+    cross-K; cross-variogram): pairs are (points × other) with NO
+    self-pair exclusion — each cross pair counts once in that one
+    direction, so ``pc`` is the plain cross count (spatstat Kcross
+    convention), ``sv``/``gamma`` become the cross-variogram, an extra
+    ``n_other`` column follows ``n_pts``, and ``khat_<r>`` =
+    area·pc / (n_pts·n_other). K̂_AB > πr² ⇒ the two types attract;
+    < ⇒ they repel. Same plan shape — one bucket equi-join, one global
+    aggregate — with the A side exploding and the B side bucketed (put
+    the SMALLER set on ``other`` with ``broadcast_side=True`` when it
+    is dimension-sized).
     """
     if not radii:
         raise ValueError("radii must be non-empty")
@@ -149,23 +172,26 @@ def pair_stats(
         raise ValueError(f"radii must be positive, got {radii[0]}")
     r_max = radii[-1]
 
-    xc, yc = F.col(x_col), F.col(y_col)
-    slim = points.select(
-        F.col(id_col).alias("_pid"),
-        xc.cast("double").alias("_x"),
-        yc.cast("double").alias("_y"),
-        F.col(value_col).cast("long" if exact_int else "double").alias("_v"),
-    ).where(
-        F.col("_x").isNotNull()
-        & F.col("_y").isNotNull()
-        & ~F.isnan("_x")
-        & ~F.isnan("_y")
-        & F.col("_v").isNotNull()
-    )
+    def _slim(df: DataFrame) -> DataFrame:
+        return df.select(
+            F.col(id_col).alias("_pid"),
+            F.col(x_col).cast("double").alias("_x"),
+            F.col(y_col).cast("double").alias("_y"),
+            F.col(value_col).cast("long" if exact_int else "double").alias("_v"),
+        ).where(
+            F.col("_x").isNotNull()
+            & F.col("_y").isNotNull()
+            & ~F.isnan("_x")
+            & ~F.isnan("_y")
+            & F.col("_v").isNotNull()
+        )
 
-    cand = _bucket_candidates(slim, r_max, broadcast_side, exact_int).select(
-        "_d2", "_sq"
-    )
+    slim = _slim(points)
+    oslim = _slim(other) if other is not None else None
+
+    cand = _bucket_candidates(
+        slim, r_max, broadcast_side, exact_int, right_slim=oslim
+    ).select("_d2", "_sq")
 
     aggs = []
     for r in radii:
@@ -185,8 +211,15 @@ def pair_stats(
 
     n_row = slim.agg(F.count(F.lit(1)).alias("n_pts"))
     out = n_row.crossJoin(stats)
+    if oslim is not None:
+        out = out.crossJoin(oslim.agg(F.count(F.lit(1)).alias("n_other")))
 
-    cols = [F.col("n_pts")]
+    cols = [F.col("n_pts")] + ([F.col("n_other")] if oslim is not None else [])
+    khat_den = (
+        (F.col("n_pts") * (F.col("n_pts") - F.lit(1)))
+        if oslim is None
+        else (F.col("n_pts") * F.col("n_other"))
+    )
     for r in radii:
         lbl = _rlabel(r)
         pc = F.col(f"pc_{lbl}")
@@ -202,7 +235,7 @@ def pair_stats(
             cols.append(
                 F.try_divide(
                     F.lit(float(area)) * pc.cast("double"),
-                    (F.col("n_pts") * (F.col("n_pts") - F.lit(1))).cast("double"),
+                    khat_den.cast("double"),
                 ).alias(f"khat_{lbl}")
             )
     return out.select(*cols)

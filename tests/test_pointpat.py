@@ -120,6 +120,66 @@ def test_pair_stats_no_python_in_plan(spark):
     assert "Python" not in plan and "ArrowEval" not in plan
 
 
+def _naive_cross(ax, ay, av, bx, by, bv, radii, area=None):
+    dx = ax[:, None] - bx[None, :]
+    dy = ay[:, None] - by[None, :]
+    d2 = dx * dx + dy * dy
+    sq = (av[:, None] - bv[None, :]) ** 2
+    out = {"n_pts": len(ax), "n_other": len(bx)}
+    for r in radii:
+        m = d2 <= r * r
+        lbl = pointpat._rlabel(r)
+        pc = int(m.sum())
+        out[f"pc_{lbl}"] = pc
+        out[f"sv_{lbl}"] = int(sq[m].sum())
+        out[f"gamma_{lbl}"] = out[f"sv_{lbl}"] / (2.0 * pc) if pc else None
+        if area is not None:
+            out[f"khat_{lbl}"] = (area * pc) / (len(ax) * len(bx))
+    return out
+
+
+def test_pair_stats_cross_matches_naive(spark):
+    """Bivariate (cross-K) mode ≡ brute-force A×B replay on both join
+    shapes — no self-pair exclusion, khat normalized by n_pts·n_other."""
+    rng = np.random.default_rng(47)
+    ax = rng.integers(0, 300, 150).astype(float)
+    ay = rng.integers(0, 200, 150).astype(float)
+    av = rng.integers(0, 30, 150)
+    bx = rng.integers(0, 300, 80).astype(float)
+    by = rng.integers(0, 200, 80).astype(float)
+    bv = rng.integers(0, 30, 80)
+    radii = [15.0, 60.0]
+    want = _naive_cross(ax, ay, av, bx, by, bv, radii, area=300.0 * 200.0)
+    for bc in (True, False):
+        got = (
+            pointpat.pair_stats(
+                _df(spark, ax, ay, av),
+                radii,
+                area=300.0 * 200.0,
+                broadcast_side=bc,
+                other=_df(spark, bx, by, bv),
+            )
+            .collect()[0]
+            .asDict()
+        )
+        for k, wv in want.items():
+            if isinstance(wv, float):
+                assert got[k] == pytest.approx(wv, abs=0, rel=0), (k, bc)
+            else:
+                assert got[k] == wv, (k, bc)
+
+
+def test_pair_stats_cross_coincident_counts(spark):
+    """A cross pair at d=0 is REAL (distinct populations, no self-pair
+    exclusion even when ids collide across the two sets)."""
+    a = _df(spark, np.array([5.0]), np.array([5.0]), np.array([10]))
+    b = _df(spark, np.array([5.0, 100.0]), np.array([5.0, 5.0]), np.array([4, 9]))
+    got = pointpat.pair_stats(a, [10.0], other=b).collect()[0].asDict()
+    assert got["n_pts"] == 1 and got["n_other"] == 2
+    assert got["pc_10"] == 1  # only the coincident pair is within 10
+    assert got["sv_10"] == (10 - 4) ** 2
+
+
 # ---------------------------------------------------------------------------
 # nn_stats — empirical G function / nearest-neighbor distances
 

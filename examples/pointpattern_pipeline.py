@@ -4,7 +4,8 @@ second-order structure is exactly what binning throws away):
 
     1. Ripley-K pair counts + semivariogram at multiple radii (pair_stats)
     2. nearest-neighbor G function + Clark-Evans aggregation index
-       (nn_stats; R < 1 clustered, ~1 CSR, > 2 overdispersed/lattice)
+       (nn_stats; R < 0.9 clustered, 0.9-1.1 ~CSR, > 1.1 dispersed —
+       up to the 2.149 hexagonal-lattice maximum)
     3. quartic KDE density surface + Nadaraya-Watson value smoothing at
        tile centers (kde_raster)
     4. Local Moran's I (LISA) quadrants over the binned counts — where
@@ -60,9 +61,11 @@ def main() -> None:
 
     # 2. first-order structure: G function + Clark-Evans index
     nn = nn_stats(d.where(F.col("val").isNotNull()), radii).first()
-    ce_expected = 0.5 * math.sqrt(area / nn["n_pts"])
-    clark_evans = (nn["mean_nn"] / ce_expected) if nn["mean_nn"] is not None else None
-    g_curve = {f"r{int(r)}": nn[f"g_{int(r)}"] / nn["n_pts"] for r in radii}
+    if nn["n_pts"] > 0 and nn["mean_nn"] is not None:
+        clark_evans = nn["mean_nn"] / (0.5 * math.sqrt(area / nn["n_pts"]))
+        g_curve = {f"r{int(r)}": nn[f"g_{int(r)}"] / nn["n_pts"] for r in radii}
+    else:
+        clark_evans, g_curve = None, {}
 
     # 3. density + value surface at tile centers (res 100, bandwidth 150)
     spec = grid_spec_for(d, 100.0, square=True)
@@ -91,11 +94,15 @@ def main() -> None:
         r["quadrant"]: r["n"]
         for r in lisa.groupBy("quadrant").agg(F.count(F.lit(1)).alias("n")).collect()
     }
-    # HH tiles that are also KDE peaks = confirmed cluster cores
-    cores = (
-        lisa.filter(F.col("quadrant") == "HH")
-        .join(kde, ["row_i", "col_i"])
-        .count()
+    # how many of the top-5 KDE peaks sit on an HH (hot-core) LISA tile —
+    # cross-confirmation between the density surface and the cluster map
+    peak_keys = {(p["row"], p["col"]) for p in peaks}
+    cores = sum(
+        1
+        for r in lisa.filter(F.col("quadrant") == "HH")
+        .select("row_i", "col_i")
+        .collect()
+        if (r["row_i"], r["col_i"]) in peak_keys
     )
 
     print(json.dumps({
@@ -111,7 +118,7 @@ def main() -> None:
         ),
         "kde_peaks": peaks,
         "lisa_census": census,
-        "hh_cluster_cores": cores,
+        "kde_peaks_on_hh_tiles": cores,
     }))
     spark.stop()
 

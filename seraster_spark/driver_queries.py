@@ -2858,13 +2858,19 @@ SELECT st.n AS n_tiles, p.w_sum, p.num_scaled, dn.den_scaled,
        nns.g_50, nns.g_100, nns.g_200,
        xn.n_a AS x_n_pts, xn.n_b AS x_n_other,
        xpr.pc_100 AS x_pc_100, xpr.sv_100 AS x_sv_100,
-       CAST(xpr.sv_100 AS DOUBLE) / CAST(xpr.pc_100 * 2 AS DOUBLE) AS x_gamma_100,
-       CAST(6000000.0 AS DOUBLE) * CAST(xpr.pc_100 AS DOUBLE)
-         / CAST(xn.n_a * xn.n_b AS DOUBLE) AS x_khat_100,
+       CASE WHEN xpr.pc_100 = 0 THEN NULL
+            ELSE CAST(xpr.sv_100 AS DOUBLE)
+               / CAST(xpr.pc_100 * 2 AS DOUBLE) END AS x_gamma_100,
+       CASE WHEN xn.n_a * xn.n_b = 0 THEN NULL
+            ELSE CAST(6000000.0 AS DOUBLE) * CAST(xpr.pc_100 AS DOUBLE)
+               / CAST(xn.n_a * xn.n_b AS DOUBLE) END AS x_khat_100,
        xpr.pc_200 AS x_pc_200, xpr.sv_200 AS x_sv_200,
-       CAST(xpr.sv_200 AS DOUBLE) / CAST(xpr.pc_200 * 2 AS DOUBLE) AS x_gamma_200,
-       CAST(6000000.0 AS DOUBLE) * CAST(xpr.pc_200 AS DOUBLE)
-         / CAST(xn.n_a * xn.n_b AS DOUBLE) AS x_khat_200
+       CASE WHEN xpr.pc_200 = 0 THEN NULL
+            ELSE CAST(xpr.sv_200 AS DOUBLE)
+               / CAST(xpr.pc_200 * 2 AS DOUBLE) END AS x_gamma_200,
+       CASE WHEN xn.n_a * xn.n_b = 0 THEN NULL
+            ELSE CAST(6000000.0 AS DOUBLE) * CAST(xpr.pc_200 AS DOUBLE)
+               / CAST(xn.n_a * xn.n_b AS DOUBLE) END AS x_khat_200
 FROM st, dn, p, pnn, ppr, nns, xn, xpr
 """
 

@@ -67,8 +67,31 @@ def main() -> None:
     else:
         clark_evans, g_curve = None, {}
 
-    # 3. density + value surface at tile centers (res 100, bandwidth 150)
+    # 2b. empty-space F function: cross-NN from ALL tile centers (empty
+    # included) to the points; F below G at the same r ⇒ clustered
     spec = grid_spec_for(d, 100.0, square=True)
+    centers = (
+        spark.range(spec.nrows)
+        .select(F.col("id").alias("_ri"))
+        .crossJoin(spark.range(spec.ncols).select(F.col("id").alias("_ci")))
+        .select(
+            (F.col("_ri") * spec.ncols + F.col("_ci")).alias("doc_id"),
+            (F.lit(float(spec.xmin)) + F.col("_ci") * 100.0 + 50.0).alias("x"),
+            (F.lit(float(spec.ymin)) + F.col("_ri") * 100.0 + 50.0).alias("y"),
+        )
+    )
+    ff = nn_stats(centers, radii, other=d.where(F.col("val").isNotNull())).first()
+    f_curve = {f"r{int(r)}": ff[f"g_{int(r)}"] / ff["n_pts"] for r in radii}
+    j_fn = next(
+        (
+            (1.0 - g_curve[f"r{int(r)}"]) / (1.0 - f_curve[f"r{int(r)}"])
+            for r in radii
+            if f_curve[f"r{int(r)}"] < 0.95 and g_curve
+        ),
+        None,
+    )
+
+    # 3. density + value surface at tile centers (res 100, bandwidth 150)
     kde = kde_raster(
         d, 100, 150, int(spec.xmin), int(spec.ymin),
         value_col="val", nrows=spec.nrows, ncols=spec.ncols,
@@ -109,6 +132,17 @@ def main() -> None:
         "n_pts": nn["n_pts"],
         "ripley": ripley,
         "g_curve": g_curve,
+        "f_curve": f_curve,
+        # van Lieshout-Baddeley J = (1-G)/(1-F) at the least-saturated
+        # radius (J > 1 dispersed, < 1 clustered, = 1 CSR); saturated
+        # radii (F ~ 1) carry no signal
+        "j_function": j_fn,
+        "fg_verdict": (
+            "no-signal" if j_fn is None
+            else "dispersed" if j_fn > 1.05
+            else "clustered" if j_fn < 0.95
+            else "~CSR"
+        ),
         "mean_nn_dist": nn["mean_nn"],
         "clark_evans_R": clark_evans,
         "verdict": (

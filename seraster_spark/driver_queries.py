@@ -2735,11 +2735,25 @@ def q_moran_i(spark: SparkSession, sf_dir: str, _raster: DataFrame | None = None
     r5b also: bivariate cross-K / cross-variogram (pair_stats with
     ``other``) between the ct0 and ct1 kind populations at r=100/200 —
     Lotwick–Silverman cross pairs, khat normalized by n_a·n_b. Columns
-    prefixed x_; twin: quadratic A×B cross join."""
+    prefixed x_; twin: quadratic A×B cross join.
+
+    r5b also: the empty-space F function (nn_stats cross mode from the
+    FULL grid's tile centers to the points — the CDF of point-to-pattern
+    distance, spatstat Fest; F < G ⇒ clustered). Columns prefixed f_;
+    twin: quadratic centers × points min over generate_series centers."""
     from .focal import morans_i
     from .pointpat import nn_stats, pair_stats
 
-    raster = _raster if _raster is not None else _count_raster(spark, sf_dir)
+    if _raster is not None:
+        raster = _raster
+        from .bbox import grid_spec_for
+
+        spec = grid_spec_for(docs_with_coords(spark, sf_dir), RES, square=True)
+    else:
+        t, spec = _sq_tiles(spark, sf_dir)
+        raster = t.groupBy("row_i", "col_i").agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs")
+        )
     mi = morans_i(raster, "n_docs")
     pts = docs_with_coords(spark, sf_dir)
     pp = pair_stats(pts, [50.0, 100.0, 200.0], area=3000.0 * 2000.0)
@@ -2755,7 +2769,23 @@ def q_moran_i(spark: SparkSession, sf_dir: str, _raster: DataFrame | None = None
         other=pts.where(F.col("kind") == "ct1"),
     )
     xp = xp.select([F.col(c).alias(f"x_{c}") for c in xp.columns])
-    return mi.crossJoin(pp).crossJoin(nn).crossJoin(xp)
+    # F function: regular sample locations = ALL tile centers of the padded
+    # grid (empty tiles included — that's what makes it the EMPTY-space fn)
+    centers = (
+        spark.range(spec.nrows)
+        .select(F.col("id").alias("_ri"))
+        .crossJoin(spark.range(spec.ncols).select(F.col("id").alias("_ci")))
+        .select(
+            (F.col("_ri") * F.lit(spec.ncols) + F.col("_ci")).alias("doc_id"),
+            (F.lit(float(spec.xmin)) + F.col("_ci") * F.lit(RES) + F.lit(RES / 2)).alias("x"),
+            (F.lit(float(spec.ymin)) + F.col("_ri") * F.lit(RES) + F.lit(RES / 2)).alias("y"),
+        )
+    )
+    ff = nn_stats(
+        centers, [100.0, 200.0], other=pts.where(F.col("val").isNotNull())
+    )
+    ff = ff.select([F.col(c).alias(f"f_{c}") for c in ff.columns])
+    return mi.crossJoin(pp).crossJoin(nn).crossJoin(xp).crossJoin(ff)
 
 
 SQL_MORAN_I = f"""
@@ -2823,6 +2853,34 @@ xpr AS (
     CAST(coalesce(sum(CASE WHEN d2 <= 40000 THEN sq ELSE 0 END), 0) AS BIGINT) AS sv_200
   FROM xpd
 ),
+-- empty-space F function (r5b): regular sample centers over the FULL
+-- padded grid (generate_series), quadratic centers × points min
+gr AS (SELECT unnest(generate_series(0,
+         CAST(ceil((b.ymax - b.ymin) / 100.0) AS INT) - 1)) AS row_i FROM b),
+gc AS (SELECT unnest(generate_series(0,
+         CAST(ceil((b.xmax - b.xmin) / 100.0) AS INT) - 1)) AS col_i FROM b),
+ctr AS (SELECT CAST(b.xmin + gc.col_i * 100 + 50 AS BIGINT) AS cx,
+               CAST(b.ymin + gr.row_i * 100 + 50 AS BIGINT) AS cy
+        FROM gr, gc, b),
+fct AS (SELECT CAST(count(*) AS BIGINT) AS f_n FROM ctr),
+fnd AS (
+  SELECT ctr.cx, ctr.cy,
+         min((ctr.cx - pp.xi) * (ctr.cx - pp.xi)
+           + (ctr.cy - pp.yi) * (ctr.cy - pp.yi)) AS nnd2
+  FROM ctr, pp
+  GROUP BY 1, 2
+),
+fnw AS (SELECT nnd2 FROM fnd WHERE nnd2 <= 40000),
+fns AS (
+  SELECT
+    CAST(count(*) AS BIGINT) AS f_found,
+    CAST(coalesce(sum(nnd2), 0) AS BIGINT) AS f_d2_sum,
+    CAST(coalesce(sum(CAST(floor(sqrt(CAST(nnd2 AS DOUBLE)) * 1048576.0)
+                           AS BIGINT)), 0) AS BIGINT) AS f_q20_sum,
+    CAST(coalesce(sum(CASE WHEN nnd2 <= 10000 THEN 1 END), 0) AS BIGINT) AS f_g_100,
+    CAST(coalesce(sum(CASE WHEN nnd2 <= 40000 THEN 1 END), 0) AS BIGINT) AS f_g_200
+  FROM fnw
+),
 nnw AS (SELECT nnd2 FROM pnd WHERE nnd2 <= 40000),
 nns AS (
   SELECT
@@ -2870,8 +2928,14 @@ SELECT st.n AS n_tiles, p.w_sum, p.num_scaled, dn.den_scaled,
                / CAST(xpr.pc_200 * 2 AS DOUBLE) END AS x_gamma_200,
        CASE WHEN xn.n_a * xn.n_b = 0 THEN NULL
             ELSE CAST(6000000.0 AS DOUBLE) * CAST(xpr.pc_200 AS DOUBLE)
-               / CAST(xn.n_a * xn.n_b AS DOUBLE) END AS x_khat_200
-FROM st, dn, p, pnn, ppr, nns, xn, xpr
+               / CAST(xn.n_a * xn.n_b AS DOUBLE) END AS x_khat_200,
+       fct.f_n AS f_n_pts, fns.f_found AS f_nn_found,
+       fns.f_d2_sum AS f_nn_d2_sum, fns.f_q20_sum AS f_nn_q20_sum,
+       CASE WHEN fns.f_found = 0 THEN NULL
+            ELSE (CAST(fns.f_q20_sum AS DOUBLE) / 1048576.0)
+                 / CAST(fns.f_found AS DOUBLE) END AS f_mean_nn,
+       fns.f_g_100 AS f_g_100, fns.f_g_200 AS f_g_200
+FROM st, dn, p, pnn, ppr, nns, xn, xpr, fct, fns
 """
 
 

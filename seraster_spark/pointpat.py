@@ -256,6 +256,7 @@ def nn_stats(
     id_col: str = "doc_id",
     broadcast_side: bool = False,
     exact_int: bool = True,
+    other: DataFrame | None = None,
 ) -> DataFrame:
     """Nearest-neighbor distance statistics: the empirical G function.
 
@@ -264,6 +265,17 @@ def nn_stats(
     neighbor — together the two standard point-pattern diagnostics,
     Diggle 2003 ch. 4; spatstat's ``Gest``/``nndist``). Not in the
     reference (SEraster has no point-pattern stats; R/main.R).
+
+    ``other`` switches to CROSS nearest-neighbor mode: each ``points``
+    row's NN is sought in ``other`` instead (no self-pair exclusion;
+    a coincident cross point is a real d=0 neighbor). Two classics fall
+    out: spatstat's empty-space F function (``points`` = a regular grid
+    of sample locations, ``other`` = the data points — the CDF of
+    point-to-pattern distance; compare F against G for the
+    clustered/dispersed verdict) and "distance to nearest facility"
+    (``points`` = customers, ``other`` = facilities; put a
+    dimension-sized facility set on ``other`` with
+    ``broadcast_side=True``).
 
     Exact within ``r_max = max(radii)`` (no sampling, no edge
     correction): per point, the minimum squared distance over the
@@ -299,20 +311,24 @@ def nn_stats(
         raise ValueError(f"radii must be positive, got {radii[0]}")
     r_max = radii[-1]
 
-    slim = points.select(
-        F.col(id_col).alias("_pid"),
-        F.col(x_col).cast("double").alias("_x"),
-        F.col(y_col).cast("double").alias("_y"),
-    ).where(
-        F.col("_x").isNotNull()
-        & F.col("_y").isNotNull()
-        & ~F.isnan("_x")
-        & ~F.isnan("_y")
-    )
+    def _slim(df: DataFrame) -> DataFrame:
+        return df.select(
+            F.col(id_col).alias("_pid"),
+            F.col(x_col).cast("double").alias("_x"),
+            F.col(y_col).cast("double").alias("_y"),
+        ).where(
+            F.col("_x").isNotNull()
+            & F.col("_y").isNotNull()
+            & ~F.isnan("_x")
+            & ~F.isnan("_y")
+        )
+
+    slim = _slim(points)
+    oslim = _slim(other) if other is not None else None
 
     rmax2 = F.lit(int(round(r_max * r_max))) if exact_int else F.lit(r_max * r_max)
     nnd = (
-        _bucket_candidates(slim, r_max, broadcast_side, exact_int)
+        _bucket_candidates(slim, r_max, broadcast_side, exact_int, right_slim=oslim)
         .where(F.col("_d2") <= rmax2)
         .groupBy("_pid")
         .agg(F.min("_d2").alias("_nnd2"))

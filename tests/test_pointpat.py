@@ -283,6 +283,63 @@ def test_nn_stats_single_point_and_bad_radii(spark):
         pointpat.nn_stats(df, [-1.0])
 
 
+def _naive_cross_nn(ax, ay, bx, by, radii):
+    dx = ax[:, None] - bx[None, :]
+    dy = ay[:, None] - by[None, :]
+    d2 = (dx * dx + dy * dy).astype(np.int64)
+    nnd2 = d2.min(axis=1)
+    r_max = max(radii)
+    within = nnd2[nnd2 <= int(r_max * r_max)]
+    out = {
+        "n_pts": len(ax),
+        "nn_found": int(len(within)),
+        "nn_d2_sum": int(within.sum()) if len(within) else 0,
+        "nn_q20_sum": int(np.floor(np.sqrt(within.astype(float)) * 1048576.0).sum())
+        if len(within)
+        else 0,
+    }
+    out["mean_nn"] = (
+        (out["nn_q20_sum"] / 1048576.0) / out["nn_found"] if out["nn_found"] else None
+    )
+    for r in radii:
+        out[f"g_{pointpat._rlabel(r)}"] = int((within <= int(r * r)).sum())
+    return out
+
+
+def test_nn_stats_cross_matches_naive(spark):
+    """Cross-NN (the F-function / nearest-facility shape) ≡ brute-force
+    A→B replay on both join shapes; coincident cross points are real d=0
+    neighbors (no self-pair exclusion even when ids collide)."""
+    rng = np.random.default_rng(59)
+    ax = rng.integers(0, 300, 180).astype(float)
+    ay = rng.integers(0, 200, 180).astype(float)
+    bx = rng.integers(0, 300, 40).astype(float)
+    by = rng.integers(0, 200, 40).astype(float)
+    radii = [8.0, 20.0, 40.0]
+    want = _naive_cross_nn(ax, ay, bx, by, radii)
+    assert 0 < want["nn_found"] < want["n_pts"]
+    av, bv = np.zeros(len(ax), int), np.zeros(len(bx), int)
+    for bc in (True, False):
+        got = (
+            pointpat.nn_stats(
+                _df(spark, ax, ay, av), radii, broadcast_side=bc,
+                other=_df(spark, bx, by, bv),
+            )
+            .collect()[0]
+            .asDict()
+        )
+        for k, wv in want.items():
+            if isinstance(wv, float):
+                assert got[k] == pytest.approx(wv, abs=0, rel=0), (k, bc)
+            else:
+                assert got[k] == wv, (k, bc)
+    # coincident cross point with the SAME id on both sides: real d=0 NN
+    a = _df(spark, np.array([7.0]), np.array([7.0]), np.array([0]))
+    b = _df(spark, np.array([7.0]), np.array([7.0]), np.array([0]))
+    row = pointpat.nn_stats(a, [5.0], other=b).collect()[0]
+    assert row["nn_found"] == 1 and row["nn_d2_sum"] == 0 and row["g_5"] == 1
+
+
 def test_nn_stats_no_python_in_plan(spark):
     df = _df(spark, np.array([0.0, 1.0]), np.array([0.0, 1.0]), np.array([1, 2]))
     plan = pointpat.nn_stats(df, [10.0])._jdf.queryExecution().executedPlan().toString()

@@ -2756,7 +2756,10 @@ def q_moran_i(spark: SparkSession, sf_dir: str, _raster: DataFrame | None = None
         )
     mi = morans_i(raster, "n_docs")
     pts = docs_with_coords(spark, sf_dir)
-    pp = pair_stats(pts, [50.0, 100.0, 200.0], area=3000.0 * 2000.0)
+    # split_axes (r5b): directional variogram columns pc/sv/gamma_{ew,ns}_<r>
+    pp = pair_stats(
+        pts, [50.0, 100.0, 200.0], area=3000.0 * 2000.0, split_axes=True
+    )
     # same population as pair_stats (val NOT NULL) so the merged row's
     # nn_*/g_* columns describe the same point set as n_pts/pc_*
     nn = nn_stats(pts.where(F.col("val").isNotNull()), [50.0, 100.0, 200.0]).drop(
@@ -2813,7 +2816,10 @@ pnn AS (SELECT CAST(count(*) AS BIGINT) AS n_pts FROM pp),
 ppd AS (
   SELECT a.doc_id,
          (a.xi - b.xi) * (a.xi - b.xi) + (a.yi - b.yi) * (a.yi - b.yi) AS d2,
-         (a.vi - b.vi) * (a.vi - b.vi) AS sq
+         (a.vi - b.vi) * (a.vi - b.vi) AS sq,
+         CASE WHEN abs(a.xi - b.xi) > abs(a.yi - b.yi) THEN 0
+              WHEN abs(a.yi - b.yi) > abs(a.xi - b.xi) THEN 1
+              ELSE 2 END AS axc
   FROM pp a JOIN pp b ON a.doc_id <> b.doc_id
 ),
 ppr AS (
@@ -2823,7 +2829,19 @@ ppr AS (
     CAST(coalesce(sum(CASE WHEN d2 <= 10000 THEN 1 END), 0) AS BIGINT) AS pc_100,
     CAST(coalesce(sum(CASE WHEN d2 <= 10000 THEN sq ELSE 0 END), 0) AS BIGINT) AS sv_100,
     CAST(coalesce(sum(CASE WHEN d2 <= 40000 THEN 1 END), 0) AS BIGINT) AS pc_200,
-    CAST(coalesce(sum(CASE WHEN d2 <= 40000 THEN sq ELSE 0 END), 0) AS BIGINT) AS sv_200
+    CAST(coalesce(sum(CASE WHEN d2 <= 40000 THEN sq ELSE 0 END), 0) AS BIGINT) AS sv_200,
+    CAST(coalesce(sum(CASE WHEN d2 <= 2500 AND axc = 0 THEN 1 END), 0) AS BIGINT) AS pc_ew_50,
+    CAST(coalesce(sum(CASE WHEN d2 <= 2500 AND axc = 0 THEN sq ELSE 0 END), 0) AS BIGINT) AS sv_ew_50,
+    CAST(coalesce(sum(CASE WHEN d2 <= 10000 AND axc = 0 THEN 1 END), 0) AS BIGINT) AS pc_ew_100,
+    CAST(coalesce(sum(CASE WHEN d2 <= 10000 AND axc = 0 THEN sq ELSE 0 END), 0) AS BIGINT) AS sv_ew_100,
+    CAST(coalesce(sum(CASE WHEN d2 <= 40000 AND axc = 0 THEN 1 END), 0) AS BIGINT) AS pc_ew_200,
+    CAST(coalesce(sum(CASE WHEN d2 <= 40000 AND axc = 0 THEN sq ELSE 0 END), 0) AS BIGINT) AS sv_ew_200,
+    CAST(coalesce(sum(CASE WHEN d2 <= 2500 AND axc = 1 THEN 1 END), 0) AS BIGINT) AS pc_ns_50,
+    CAST(coalesce(sum(CASE WHEN d2 <= 2500 AND axc = 1 THEN sq ELSE 0 END), 0) AS BIGINT) AS sv_ns_50,
+    CAST(coalesce(sum(CASE WHEN d2 <= 10000 AND axc = 1 THEN 1 END), 0) AS BIGINT) AS pc_ns_100,
+    CAST(coalesce(sum(CASE WHEN d2 <= 10000 AND axc = 1 THEN sq ELSE 0 END), 0) AS BIGINT) AS sv_ns_100,
+    CAST(coalesce(sum(CASE WHEN d2 <= 40000 AND axc = 1 THEN 1 END), 0) AS BIGINT) AS pc_ns_200,
+    CAST(coalesce(sum(CASE WHEN d2 <= 40000 AND axc = 1 THEN sq ELSE 0 END), 0) AS BIGINT) AS sv_ns_200
   FROM ppd
 ),
 -- nearest-neighbor stats (r5b): per-point min over the SAME quadratic
@@ -2909,6 +2927,30 @@ SELECT st.n AS n_tiles, p.w_sum, p.num_scaled, dn.den_scaled,
        CAST(ppr.sv_200 AS DOUBLE) / CAST(ppr.pc_200 * 2 AS DOUBLE) AS gamma_200,
        CAST(6000000.0 AS DOUBLE) * CAST(ppr.pc_200 AS DOUBLE)
          / CAST(pnn.n_pts * (pnn.n_pts - 1) AS DOUBLE) AS khat_200,
+       ppr.pc_ew_50, ppr.sv_ew_50,
+       CASE WHEN ppr.pc_ew_50 = 0 THEN NULL
+            ELSE CAST(ppr.sv_ew_50 AS DOUBLE)
+               / CAST(ppr.pc_ew_50 * 2 AS DOUBLE) END AS gamma_ew_50,
+       ppr.pc_ew_100, ppr.sv_ew_100,
+       CASE WHEN ppr.pc_ew_100 = 0 THEN NULL
+            ELSE CAST(ppr.sv_ew_100 AS DOUBLE)
+               / CAST(ppr.pc_ew_100 * 2 AS DOUBLE) END AS gamma_ew_100,
+       ppr.pc_ew_200, ppr.sv_ew_200,
+       CASE WHEN ppr.pc_ew_200 = 0 THEN NULL
+            ELSE CAST(ppr.sv_ew_200 AS DOUBLE)
+               / CAST(ppr.pc_ew_200 * 2 AS DOUBLE) END AS gamma_ew_200,
+       ppr.pc_ns_50, ppr.sv_ns_50,
+       CASE WHEN ppr.pc_ns_50 = 0 THEN NULL
+            ELSE CAST(ppr.sv_ns_50 AS DOUBLE)
+               / CAST(ppr.pc_ns_50 * 2 AS DOUBLE) END AS gamma_ns_50,
+       ppr.pc_ns_100, ppr.sv_ns_100,
+       CASE WHEN ppr.pc_ns_100 = 0 THEN NULL
+            ELSE CAST(ppr.sv_ns_100 AS DOUBLE)
+               / CAST(ppr.pc_ns_100 * 2 AS DOUBLE) END AS gamma_ns_100,
+       ppr.pc_ns_200, ppr.sv_ns_200,
+       CASE WHEN ppr.pc_ns_200 = 0 THEN NULL
+            ELSE CAST(ppr.sv_ns_200 AS DOUBLE)
+               / CAST(ppr.pc_ns_200 * 2 AS DOUBLE) END AS gamma_ns_200,
        nns.nn_found, nns.nn_d2_sum, nns.nn_q20_sum,
        CASE WHEN nns.nn_found = 0 THEN NULL
             ELSE (CAST(nns.nn_q20_sum AS DOUBLE) / 1048576.0)

@@ -64,6 +64,7 @@ def _bucket_candidates(
     broadcast_side: bool,
     exact_int: bool,
     right_slim: DataFrame | None = None,
+    with_axis: bool = False,
 ) -> DataFrame:
     """Ordered candidate pairs from the r_max bucket grid's 9-neighbor cover.
 
@@ -79,6 +80,11 @@ def _bucket_candidates(
     ``right_slim`` switches to BIVARIATE mode: candidates are (slim ×
     right_slim) pairs — no self-pair exclusion (the two sets are distinct
     populations; coincident cross points at d=0 are real pairs).
+
+    ``with_axis`` adds ``_ax``: 0 when |dx| > |dy| (E–W-dominant pair),
+    1 when |dy| > |dx| (N–S), 2 on the diagonal tie — an
+    integer-decidable 45°-sector split (exact, unlike irrational
+    angle-based sectors).
     """
     has_v = "_v" in slim.columns
     bx = F.floor(F.col("_x") / F.lit(r_max))
@@ -126,6 +132,14 @@ def _bucket_candidates(
     if has_v:
         dv = F.col("_v") - F.col("_bv")
         out.append((dv * dv).alias("_sq"))
+    if with_axis:
+        adx, ady = F.abs(dx), F.abs(dy)
+        out.append(
+            F.when(adx > ady, F.lit(0))
+            .when(ady > adx, F.lit(1))
+            .otherwise(F.lit(2))
+            .alias("_ax")
+        )
     return cand.select(*out)
 
 
@@ -140,6 +154,7 @@ def pair_stats(
     broadcast_side: bool = False,
     exact_int: bool = True,
     other: DataFrame | None = None,
+    split_axes: bool = False,
 ) -> DataFrame:
     """1-row DataFrame of cumulative pair statistics at each radius.
 
@@ -152,6 +167,16 @@ def pair_stats(
     (both sides of every pair must be well-defined); duplicate
     coordinates are fine. Self-pairs are excluded by ``id_col``
     inequality, so ids must be unique for exact semantics.
+
+    ``split_axes=True`` adds the DIRECTIONAL (anisotropic) variogram:
+    per radius, ``pc_ew_<r>``/``sv_ew_<r>`` over pairs with |dx| > |dy|
+    and ``pc_ns_<r>``/``sv_ns_<r>`` over |dy| > |dx| (exact diagonal
+    ties belong to neither — derivable as total − ew − ns), plus
+    ``gamma_ew_<r>``/``gamma_ns_<r>``. The 45°-sector split is
+    integer-decidable ⇒ bit-exact, unlike irrational angle sectors;
+    γ̂_ew ≫ γ̂_ns (or vice versa) reveals anisotropy a pooled
+    variogram averages away — the standard geostatistics diagnostic
+    before directional kriging.
 
     ``other`` switches to the BIVARIATE statistics (Lotwick–Silverman
     cross-K; cross-variogram): pairs are (points × other) with NO
@@ -190,23 +215,36 @@ def pair_stats(
     oslim = _slim(other) if other is not None else None
 
     cand = _bucket_candidates(
-        slim, r_max, broadcast_side, exact_int, right_slim=oslim
-    ).select("_d2", "_sq")
+        slim, r_max, broadcast_side, exact_int, right_slim=oslim,
+        with_axis=split_axes,
+    ).select("_d2", "_sq", *(["_ax"] if split_axes else []))
 
-    aggs = []
-    for r in radii:
-        lbl = _rlabel(r)
-        r2 = F.lit(r * r) if not exact_int else F.lit(int(round(r * r)))
-        within = F.col("_d2") <= r2
-        aggs.append(
-            F.coalesce(F.sum(within.cast("long")), F.lit(0).cast("long")).alias(
-                f"pc_{lbl}"
+    def _pair_aggs(lbl_suffix: str, extra) -> list:
+        """pc/sv aggregate pair under an extra predicate (axis class)."""
+        out = []
+        for r in radii:
+            lbl = _rlabel(r) if not lbl_suffix else f"{lbl_suffix}_{_rlabel(r)}"
+            r2 = F.lit(r * r) if not exact_int else F.lit(int(round(r * r)))
+            within = (F.col("_d2") <= r2) & extra
+            out.append(
+                F.coalesce(F.sum(within.cast("long")), F.lit(0).cast("long")).alias(
+                    f"pc_{lbl}"
+                )
             )
-        )
-        sv = F.sum(F.when(within, F.col("_sq")).otherwise(F.lit(0)))
-        if exact_int:
-            sv = sv.cast("long")
-        aggs.append(F.coalesce(sv, F.lit(0).cast("long" if exact_int else "double")).alias(f"sv_{lbl}"))
+            sv = F.sum(F.when(within, F.col("_sq")).otherwise(F.lit(0)))
+            if exact_int:
+                sv = sv.cast("long")
+            out.append(
+                F.coalesce(sv, F.lit(0).cast("long" if exact_int else "double")).alias(
+                    f"sv_{lbl}"
+                )
+            )
+        return out
+
+    aggs = _pair_aggs("", F.lit(True))
+    if split_axes:
+        aggs += _pair_aggs("ew", F.col("_ax") == 0)
+        aggs += _pair_aggs("ns", F.col("_ax") == 1)
     stats = cand.agg(*aggs)
 
     n_row = slim.agg(F.count(F.lit(1)).alias("n_pts"))
@@ -238,6 +276,19 @@ def pair_stats(
                     khat_den.cast("double"),
                 ).alias(f"khat_{lbl}")
             )
+    if split_axes:
+        for ax in ("ew", "ns"):
+            for r in radii:
+                lbl = f"{ax}_{_rlabel(r)}"
+                pc = F.col(f"pc_{lbl}")
+                sv = F.col(f"sv_{lbl}")
+                cols += [
+                    pc,
+                    sv,
+                    F.try_divide(
+                        sv.cast("double"), (pc * F.lit(2)).cast("double")
+                    ).alias(f"gamma_{lbl}"),
+                ]
     return out.select(*cols)
 
 

@@ -120,6 +120,40 @@ def test_pair_stats_no_python_in_plan(spark):
     assert "Python" not in plan and "ArrowEval" not in plan
 
 
+def test_pair_stats_split_axes_matches_naive(spark):
+    """Directional (anisotropic) variogram: EW = |dx|>|dy|, NS = |dy|>|dx|,
+    exact diagonal ties in neither — replayed brute-force, and an
+    anisotropic field (value = x) must show gamma_ew >> gamma_ns."""
+    rng = np.random.default_rng(71)
+    px = rng.integers(0, 200, 200).astype(float)
+    py = rng.integers(0, 200, 200).astype(float)
+    v = px.astype(int)  # value gradient along x -> EW pairs differ most
+    radii = [20.0, 60.0]
+    dx = px[:, None] - px[None, :]
+    dy = py[:, None] - py[None, :]
+    d2 = dx * dx + dy * dy
+    np.fill_diagonal(d2, np.inf)
+    sq = (v[:, None] - v[None, :]) ** 2
+    ew = np.abs(dx) > np.abs(dy)
+    ns = np.abs(dy) > np.abs(dx)
+    got = (
+        pointpat.pair_stats(_df(spark, px, py, v), radii, split_axes=True)
+        .collect()[0]
+        .asDict()
+    )
+    for r in radii:
+        lbl = pointpat._rlabel(r)
+        m = d2 <= r * r
+        assert got[f"pc_{lbl}"] == int(m.sum())
+        assert got[f"pc_ew_{lbl}"] == int((m & ew).sum())
+        assert got[f"pc_ns_{lbl}"] == int((m & ns).sum())
+        assert got[f"sv_ew_{lbl}"] == int(sq[m & ew].sum())
+        assert got[f"sv_ns_{lbl}"] == int(sq[m & ns].sum())
+        # diagonal ties belong to neither class (derivable by difference)
+        assert got[f"pc_ew_{lbl}"] + got[f"pc_ns_{lbl}"] <= got[f"pc_{lbl}"]
+    assert got["gamma_ew_60"] > 3 * got["gamma_ns_60"]  # anisotropy detected
+
+
 def _naive_cross(ax, ay, av, bx, by, bv, radii, area=None):
     dx = ax[:, None] - bx[None, :]
     dy = ay[:, None] - by[None, :]

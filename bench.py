@@ -300,6 +300,18 @@ def bench_queries(spark, sf_dir: str, n_docs: int):
 
     timed("pair_stats", pair_stats_q)
 
+    # q5d2: per-point nearest-neighbor stats (empirical G) — same bucket
+    # cover as pair_stats but adds the groupBy(id) min: 2M per-point
+    # states (one BIGINT each) through a map-side-combining shuffle.
+    def nn_stats_q():
+        from seraster_spark.pointpat import nn_stats
+
+        return force(
+            nn_stats(docs.select("doc_id", "x", "y"), [0.5, 1.0], exact_int=False)
+        )
+
+    timed("nn_stats", nn_stats_q)
+
     # q5e: quartic KDE density surface over the full corpus, res-20 grid,
     # h=30 -> fan-out (2h/res+2)^2 = 25 candidates/point (~50M at sf0.1)
     # streaming through map-side partial aggregation into a ~15k-tile

@@ -35,7 +35,7 @@ from seraster_spark import assign_tiles, grid_spec_for
 from seraster_spark.driver_queries import docs_with_coords
 from seraster_spark.expressions import unpack_rowcol
 from seraster_spark.focal import local_morans_i
-from seraster_spark.pointpat import kde_raster, nn_stats, pair_stats
+from seraster_spark.pointpat import grid_centers, kde_raster, nn_stats, pair_stats
 from seraster_spark.session import get_spark
 
 
@@ -70,23 +70,16 @@ def main() -> None:
     # 2b. empty-space F function: cross-NN from ALL tile centers (empty
     # included) to the points; F below G at the same r ⇒ clustered
     spec = grid_spec_for(d, 100.0, square=True)
-    centers = (
-        spark.range(spec.nrows)
-        .select(F.col("id").alias("_ri"))
-        .crossJoin(spark.range(spec.ncols).select(F.col("id").alias("_ci")))
-        .select(
-            (F.col("_ri") * spec.ncols + F.col("_ci")).alias("doc_id"),
-            (F.lit(float(spec.xmin)) + F.col("_ci") * 100.0 + 50.0).alias("x"),
-            (F.lit(float(spec.ymin)) + F.col("_ri") * 100.0 + 50.0).alias("y"),
-        )
-    )
-    ff = nn_stats(centers, radii, other=d.where(F.col("val").isNotNull())).first()
+    ff = nn_stats(
+        grid_centers(spark, spec), radii, other=d.where(F.col("val").isNotNull())
+    ).first()
     f_curve = {f"r{int(r)}": ff[f"g_{int(r)}"] / ff["n_pts"] for r in radii}
+    # J is informative only where F is neither empty nor saturated
     j_fn = next(
         (
             (1.0 - g_curve[f"r{int(r)}"]) / (1.0 - f_curve[f"r{int(r)}"])
             for r in radii
-            if f_curve[f"r{int(r)}"] < 0.95 and g_curve
+            if 0.05 < f_curve[f"r{int(r)}"] < 0.95 and g_curve
         ),
         None,
     )

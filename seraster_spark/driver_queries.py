@@ -101,14 +101,22 @@ def _sq_tiles(spark: SparkSession, sf_dir: str, res: float = RES) -> tuple[DataF
 # query implementations
 
 
-def _count_raster(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _count_raster_spec(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, GridSpec]:
     """The (row_i, col_i, n_docs) count raster every focal/terrain/viewshed
-    query operates on — composed queries build it ONCE and pass it down so
-    one oracle evaluation scans the corpus once, not once per sub-query."""
-    t, _ = _sq_tiles(spark, sf_dir)
-    return t.groupBy("row_i", "col_i").agg(
-        F.count(F.lit(1)).cast("long").alias("n_docs")
+    query operates on, plus its GridSpec — composed queries build BOTH once
+    and thread them down so one oracle evaluation scans the corpus once,
+    not once per sub-query."""
+    t, spec = _sq_tiles(spark, sf_dir)
+    return (
+        t.groupBy("row_i", "col_i").agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs")
+        ),
+        spec,
     )
+
+
+def _count_raster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _count_raster_spec(spark, sf_dir)[0]
 
 
 def q_bbox_pad(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2713,7 +2721,12 @@ GROUP BY 1
 """
 
 
-def q_moran_i(spark: SparkSession, sf_dir: str, _raster: DataFrame | None = None) -> DataFrame:
+def q_moran_i(
+    spark: SparkSession,
+    sf_dir: str,
+    _raster: DataFrame | None = None,
+    _spec: GridSpec | None = None,
+) -> DataFrame:
     """Global Moran's I (queen contiguity, binary weights) of the per-tile
     doc counts. Integer-scaled deviations (n·x − Σx) keep numerator and
     denominator exact BIGINTs; the statistic is the single final division,
@@ -2746,14 +2759,14 @@ def q_moran_i(spark: SparkSession, sf_dir: str, _raster: DataFrame | None = None
 
     if _raster is not None:
         raster = _raster
-        from .bbox import grid_spec_for
+        if _spec is not None:
+            spec = _spec
+        else:
+            from .bbox import grid_spec_for
 
-        spec = grid_spec_for(docs_with_coords(spark, sf_dir), RES, square=True)
+            spec = grid_spec_for(docs_with_coords(spark, sf_dir), RES, square=True)
     else:
-        t, spec = _sq_tiles(spark, sf_dir)
-        raster = t.groupBy("row_i", "col_i").agg(
-            F.count(F.lit(1)).cast("long").alias("n_docs")
-        )
+        raster, spec = _count_raster_spec(spark, sf_dir)
     mi = morans_i(raster, "n_docs")
     pts = docs_with_coords(spark, sf_dir)
     # split_axes (r5b): directional variogram columns pc/sv/gamma_{ew,ns}_<r>
@@ -2774,18 +2787,12 @@ def q_moran_i(spark: SparkSession, sf_dir: str, _raster: DataFrame | None = None
     xp = xp.select([F.col(c).alias(f"x_{c}") for c in xp.columns])
     # F function: regular sample locations = ALL tile centers of the padded
     # grid (empty tiles included — that's what makes it the EMPTY-space fn)
-    centers = (
-        spark.range(spec.nrows)
-        .select(F.col("id").alias("_ri"))
-        .crossJoin(spark.range(spec.ncols).select(F.col("id").alias("_ci")))
-        .select(
-            (F.col("_ri") * F.lit(spec.ncols) + F.col("_ci")).alias("doc_id"),
-            (F.lit(float(spec.xmin)) + F.col("_ci") * F.lit(RES) + F.lit(RES / 2)).alias("x"),
-            (F.lit(float(spec.ymin)) + F.col("_ri") * F.lit(RES) + F.lit(RES / 2)).alias("y"),
-        )
-    )
+    from .pointpat import grid_centers
+
     ff = nn_stats(
-        centers, [100.0, 200.0], other=pts.where(F.col("val").isNotNull())
+        grid_centers(spark, spec),
+        [100.0, 200.0],
+        other=pts.where(F.col("val").isNotNull()),
     )
     ff = ff.select([F.col(c).alias(f"f_{c}") for c in ff.columns])
     return mi.crossJoin(pp).crossJoin(nn).crossJoin(xp).crossJoin(ff)
@@ -3260,10 +3267,7 @@ def q_focal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     r5b: plus the quartic kernel density surface (q_kde): kde_n/kde_w/
     kde_mean/kde_wv/kde_smooth per tile, exact-BIGINT doubled-coordinate
     kernel — the GridSpec is computed once here and threaded down."""
-    t, spec = _sq_tiles(spark, sf_dir)
-    raster = t.groupBy("row_i", "col_i").agg(
-        F.count(F.lit(1)).cast("long").alias("n_docs")
-    )
+    raster, spec = _count_raster_spec(spark, sf_dir)
     mean = q_focal_mean(spark, sf_dir, _raster=raster).select(
         "row_i",
         "col_i",

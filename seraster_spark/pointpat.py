@@ -419,6 +419,28 @@ def nn_stats(
     )
 
 
+def grid_centers(spark, spec) -> DataFrame:
+    """All tile centers of a GridSpec's padded grid, row-major ids —
+    the regular sample-location set for the empty-space F function
+    (``nn_stats(grid_centers(...), other=points)``) and for evaluating
+    any fitted surface on the full grid. Pure ``range``×``range`` fan
+    (nrows·ncols rows — grid-cardinality, never corpus-cardinality);
+    centers are exact when xmin/ymin/resolution are integral and res is
+    even (odd res needs the doubled-coordinate treatment — see
+    :func:`kde_raster`)."""
+    res = float(spec.resolution)
+    return (
+        spark.range(spec.nrows)
+        .select(F.col("id").alias("_ri"))
+        .crossJoin(spark.range(spec.ncols).select(F.col("id").alias("_ci")))
+        .select(
+            (F.col("_ri") * F.lit(spec.ncols) + F.col("_ci")).alias("doc_id"),
+            (F.lit(float(spec.xmin)) + F.col("_ci") * F.lit(res) + F.lit(res / 2)).alias("x"),
+            (F.lit(float(spec.ymin)) + F.col("_ri") * F.lit(res) + F.lit(res / 2)).alias("y"),
+        )
+    )
+
+
 def kde_raster(
     points: DataFrame,
     resolution: int,

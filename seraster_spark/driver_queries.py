@@ -2785,6 +2785,18 @@ def q_moran_i(
         other=pts.where(F.col("kind") == "ct1"),
     )
     xp = xp.select([F.col(c).alias(f"x_{c}") for c in xp.columns])
+    # Knox space-time interaction (r5b): t derived deterministically from
+    # doc_id, same val-filtered population as pair_stats; r=100, tau=50
+    from .pointpat import knox
+
+    kx = knox(
+        pts.where(F.col("val").isNotNull()).withColumn(
+            "t", F.pmod(F.col("doc_id") * 13, F.lit(1000)).cast("long")
+        ),
+        100.0,
+        50.0,
+    ).drop("n_pts")
+    kx = kx.select([F.col(c).alias(f"kx_{c}") for c in kx.columns])
     # F function: regular sample locations = ALL tile centers of the padded
     # grid (empty tiles included — that's what makes it the EMPTY-space fn)
     from .pointpat import grid_centers
@@ -2795,7 +2807,9 @@ def q_moran_i(
         other=pts.where(F.col("val").isNotNull()),
     )
     ff = ff.select([F.col(c).alias(f"f_{c}") for c in ff.columns])
-    return mi.crossJoin(pp).crossJoin(nn).crossJoin(xp).crossJoin(ff)
+    return (
+        mi.crossJoin(pp).crossJoin(nn).crossJoin(xp).crossJoin(ff).crossJoin(kx)
+    )
 
 
 SQL_MORAN_I = f"""
@@ -2816,7 +2830,8 @@ p AS (
 -- independent of the engine's bucketed 9-neighbor candidate plan
 pp AS (
   SELECT doc_id, CAST(x AS BIGINT) AS xi, CAST(y AS BIGINT) AS yi,
-         CAST(val AS BIGINT) AS vi
+         CAST(val AS BIGINT) AS vi,
+         CAST((doc_id * 13) % 1000 AS BIGINT) AS ti
   FROM d WHERE x IS NOT NULL AND y IS NOT NULL AND val IS NOT NULL
 ),
 pnn AS (SELECT CAST(count(*) AS BIGINT) AS n_pts FROM pp),
@@ -2826,8 +2841,18 @@ ppd AS (
          (a.vi - b.vi) * (a.vi - b.vi) AS sq,
          CASE WHEN abs(a.xi - b.xi) > abs(a.yi - b.yi) THEN 0
               WHEN abs(a.yi - b.yi) > abs(a.xi - b.xi) THEN 1
-              ELSE 2 END AS axc
+              ELSE 2 END AS axc,
+         abs(a.ti - b.ti) AS adt
   FROM pp a JOIN pp b ON a.doc_id <> b.doc_id
+),
+-- Knox space-time interaction (r5b) over the same pair set
+kxs AS (
+  SELECT
+    CAST(coalesce(sum(CASE WHEN d2 <= 10000 THEN 1 END), 0) AS BIGINT) AS s_pairs,
+    CAST(coalesce(sum(CASE WHEN adt <= 50 THEN 1 END), 0) AS BIGINT) AS t_pairs,
+    CAST(coalesce(sum(CASE WHEN d2 <= 10000 AND adt <= 50 THEN 1 END), 0)
+         AS BIGINT) AS st_pairs
+  FROM ppd
 ),
 ppr AS (
   SELECT
@@ -2983,8 +3008,19 @@ SELECT st.n AS n_tiles, p.w_sum, p.num_scaled, dn.den_scaled,
        CASE WHEN fns.f_found = 0 THEN NULL
             ELSE (CAST(fns.f_q20_sum AS DOUBLE) / 1048576.0)
                  / CAST(fns.f_found AS DOUBLE) END AS f_mean_nn,
-       fns.f_g_100 AS f_g_100, fns.f_g_200 AS f_g_200
-FROM st, dn, p, pnn, ppr, nns, xn, xpr, fct, fns
+       fns.f_g_100 AS f_g_100, fns.f_g_200 AS f_g_200,
+       kxs.s_pairs AS kx_s_pairs, kxs.t_pairs AS kx_t_pairs,
+       kxs.st_pairs AS kx_st_pairs,
+       CASE WHEN pnn.n_pts < 2 THEN NULL
+            ELSE CAST(kxs.s_pairs AS DOUBLE) * CAST(kxs.t_pairs AS DOUBLE)
+               / CAST(pnn.n_pts * (pnn.n_pts - 1) AS DOUBLE)
+       END AS kx_knox_expected,
+       CASE WHEN pnn.n_pts < 2 OR kxs.s_pairs * kxs.t_pairs = 0 THEN NULL
+            ELSE CAST(kxs.st_pairs AS DOUBLE)
+               / (CAST(kxs.s_pairs AS DOUBLE) * CAST(kxs.t_pairs AS DOUBLE)
+                  / CAST(pnn.n_pts * (pnn.n_pts - 1) AS DOUBLE))
+       END AS kx_knox_ratio
+FROM st, dn, p, pnn, ppr, nns, xn, xpr, fct, fns, kxs
 """
 
 

@@ -85,8 +85,12 @@ def _bucket_candidates(
     1 when |dy| > |dx| (N–S), 2 on the diagonal tie — an
     integer-decidable 45°-sector split (exact, unlike irrational
     angle-based sectors).
+
+    When ``slim`` carries ``_t`` (a time coordinate), the output also
+    carries ``_adt`` = |tᵢ − tⱼ| — the space–time (Knox) shape.
     """
     has_v = "_v" in slim.columns
+    has_t = "_t" in slim.columns
     bx = F.floor(F.col("_x") / F.lit(r_max))
     by = F.floor(F.col("_y") / F.lit(r_max))
     rcols = [
@@ -98,6 +102,8 @@ def _bucket_candidates(
     ]
     if has_v:
         rcols.insert(3, F.col("_v").alias("_bv"))
+    if has_t:
+        rcols.insert(3, F.col("_t").alias("_bt"))
     right = (slim if right_slim is None else right_slim).select(*rcols)
     offsets = F.array(
         *[
@@ -106,7 +112,9 @@ def _bucket_candidates(
             for dy in (-1, 0, 1)
         ]
     )
-    lcols = ["_pid", "_x", "_y"] + (["_v"] if has_v else [])
+    lcols = ["_pid", "_x", "_y"] + (["_v"] if has_v else []) + (
+        ["_t"] if has_t else []
+    )
     left = slim.select(
         *lcols,
         F.explode(offsets).alias("_o"),
@@ -140,6 +148,8 @@ def _bucket_candidates(
             .otherwise(F.lit(2))
             .alias("_ax")
         )
+    if has_t:
+        out.append(F.abs(F.col("_t") - F.col("_bt")).alias("_adt"))
     return cand.select(*out)
 
 
@@ -416,6 +426,109 @@ def nn_stats(
         "nn_q20_sum",
         mean_nn,
         *[f"g_{_rlabel(r)}" for r in radii],
+    )
+
+
+def knox(
+    points: DataFrame,
+    radius: float,
+    tau: float,
+    x_col: str = "x",
+    y_col: str = "y",
+    t_col: str = "t",
+    id_col: str = "doc_id",
+    broadcast_side: bool = False,
+    exact_int: bool = True,
+) -> DataFrame:
+    """Knox space–time interaction statistic (Knox 1964; the standard
+    epidemiology test for space–time clustering — disease outbreaks,
+    event bursts): of all ordered point pairs, how many are close in
+    space (d ≤ radius), close in time (|dt| ≤ tau), and close in BOTH —
+    versus the count expected if space- and time-closeness were
+    independent, ``s_pairs·t_pairs / (n·(n−1))``.
+
+    Plan: TWO independent candidate covers, each complete for its own
+    closeness relation and each matching every qualifying ordered pair
+    exactly once —
+
+    1. the 2-D bucket grid of size ``radius`` (:func:`_bucket_candidates`
+       with ``_t`` carried through, so ``st_pairs`` falls out of the
+       same join), and
+    2. a 1-D time-bucket join (``floor(t/tau)``, 3 literal offsets) for
+       ``t_pairs`` — time-close pairs that are spatially FAR never enter
+       the space cover, so they need their own.
+
+    Both covers stream through single global aggregates; nothing
+    materializes. With ``exact_int`` every d², |dt| and count is exact
+    BIGINT; ``knox_expected`` (two exact counts multiplied then divided
+    in doubles, fixed order) and ``knox_ratio = st_pairs /
+    knox_expected`` (> 1 ⇒ space–time interaction) are deterministic
+    IEEE sequences, bit-identical in any engine replaying them.
+
+    Returns 1 row: (n_pts, s_pairs, t_pairs, st_pairs, knox_expected,
+    knox_ratio). NULL ratio/expected when n < 2 or no time pairs.
+    """
+    if radius <= 0 or tau <= 0:
+        raise ValueError("radius and tau must be positive")
+    slim = points.select(
+        F.col(id_col).alias("_pid"),
+        F.col(x_col).cast("double").alias("_x"),
+        F.col(y_col).cast("double").alias("_y"),
+        F.col(t_col).cast("long" if exact_int else "double").alias("_t"),
+    ).where(
+        F.col("_x").isNotNull()
+        & F.col("_y").isNotNull()
+        & ~F.isnan("_x")
+        & ~F.isnan("_y")
+        & F.col("_t").isNotNull()
+    )
+
+    r2 = F.lit(int(round(radius * radius))) if exact_int else F.lit(radius * radius)
+    tau_l = F.lit(int(round(tau))) if exact_int else F.lit(float(tau))
+    sp = (
+        _bucket_candidates(slim, float(radius), broadcast_side, exact_int)
+        .where(F.col("_d2") <= r2)
+        .agg(
+            F.coalesce(F.count(F.lit(1)), F.lit(0)).cast("long").alias("s_pairs"),
+            F.coalesce(
+                F.sum((F.col("_adt") <= tau_l).cast("long")), F.lit(0).cast("long")
+            ).alias("st_pairs"),
+        )
+    )
+
+    # 1-D time cover: bucket size tau, 3 neighbor offsets — complete for
+    # |dt| <= tau, each ordered pair matched exactly once per direction
+    tb = F.floor(F.col("_t") / F.lit(float(tau)))
+    tright = slim.select(
+        F.col("_pid").alias("_bid"), F.col("_t").alias("_bt"), tb.alias("_jt")
+    )
+    tleft = slim.select(
+        "_pid",
+        "_t",
+        F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1))).alias("_o"),
+        tb.alias("_tb0"),
+    ).select("_pid", "_t", (F.col("_tb0") + F.col("_o")).alias("_jt"))
+    trhs = F.broadcast(tright) if broadcast_side else tright
+    tp = (
+        tleft.join(trhs, ["_jt"])
+        .where(F.col("_pid") != F.col("_bid"))
+        .where(F.abs(F.col("_t") - F.col("_bt")) <= tau_l)
+        .agg(F.coalesce(F.count(F.lit(1)), F.lit(0)).cast("long").alias("t_pairs"))
+    )
+
+    n_row = slim.agg(F.count(F.lit(1)).alias("n_pts"))
+    out = n_row.crossJoin(sp).crossJoin(tp)
+    expected = F.try_divide(
+        F.col("s_pairs").cast("double") * F.col("t_pairs").cast("double"),
+        (F.col("n_pts") * (F.col("n_pts") - F.lit(1))).cast("double"),
+    )
+    return out.select(
+        "n_pts",
+        "s_pairs",
+        "t_pairs",
+        "st_pairs",
+        expected.alias("knox_expected"),
+        F.try_divide(F.col("st_pairs").cast("double"), expected).alias("knox_ratio"),
     )
 
 

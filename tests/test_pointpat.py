@@ -381,6 +381,73 @@ def test_nn_stats_no_python_in_plan(spark):
 
 
 # ---------------------------------------------------------------------------
+# knox — space-time interaction
+
+
+def _df_t(spark, px, py, t):
+    rows = [
+        (int(i), float(x), float(y), int(tv))
+        for i, (x, y, tv) in enumerate(zip(px, py, t))
+    ]
+    return spark.createDataFrame(rows, "doc_id long, x double, y double, t long")
+
+
+def test_knox_matches_naive(spark):
+    """Knox ≡ brute-force replay on random integer (x, y, t) points, both
+    join shapes: space, time, and space-AND-time ordered pair counts plus
+    the independence-expected count and ratio."""
+    rng = np.random.default_rng(83)
+    px = rng.integers(0, 250, 200).astype(float)
+    py = rng.integers(0, 250, 200).astype(float)
+    t = rng.integers(0, 500, 200)
+    r, tau = 30.0, 20.0
+    dx = px[:, None] - px[None, :]
+    dy = py[:, None] - py[None, :]
+    d2 = dx * dx + dy * dy
+    np.fill_diagonal(d2, np.inf)
+    dt = np.abs(t[:, None] - t[None, :]).astype(float)
+    np.fill_diagonal(dt, np.inf)
+    s = int((d2 <= r * r).sum())
+    tt = int((dt <= tau).sum())
+    st = int(((d2 <= r * r) & (dt <= tau)).sum())
+    n = len(px)
+    for bc in (True, False):
+        got = (
+            pointpat.knox(_df_t(spark, px, py, t), r, tau, broadcast_side=bc)
+            .collect()[0]
+            .asDict()
+        )
+        assert got["n_pts"] == n and got["s_pairs"] == s, bc
+        assert got["t_pairs"] == tt and got["st_pairs"] == st, bc
+        exp = (s * tt) / (n * (n - 1.0))
+        assert got["knox_expected"] == pytest.approx(exp, rel=0, abs=0), bc
+        assert got["knox_ratio"] == pytest.approx(st / exp, rel=0, abs=0), bc
+    assert 0 < st < min(s, tt)  # the interesting regime
+
+
+def test_knox_boundaries_and_disjoint_covers(spark):
+    """Pairs at EXACTLY d=r / |dt|=tau count; a time-close pair that is
+    spatially far shows up in t_pairs only (its own 1-D cover), and a
+    space-close pair far in time in s_pairs only."""
+    # p0-p1: d=100 exactly, dt=500 (time-far). p0-p2: d=5000, dt=50 exactly.
+    px = np.array([0.0, 100.0, 5000.0])
+    py = np.array([0.0, 0.0, 0.0])
+    t = np.array([0, 500, 50])
+    got = pointpat.knox(_df_t(spark, px, py, t), 100.0, 50.0).collect()[0].asDict()
+    assert got["s_pairs"] == 2  # p0<->p1 at exactly r
+    assert got["t_pairs"] == 2  # p0<->p2 at exactly tau
+    assert got["st_pairs"] == 0
+    with pytest.raises(ValueError, match="positive"):
+        pointpat.knox(_df_t(spark, px, py, t), 0.0, 50.0)
+
+
+def test_knox_no_python_in_plan(spark):
+    df = _df_t(spark, np.array([0.0, 1.0]), np.array([0.0, 1.0]), np.array([1, 2]))
+    plan = pointpat.knox(df, 10.0, 5.0)._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan and "ArrowEval" not in plan
+
+
+# ---------------------------------------------------------------------------
 # kde_raster — quartic kernel density surface at tile centers
 
 

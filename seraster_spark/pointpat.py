@@ -460,36 +460,57 @@ def knox(
 
     Both covers stream through single global aggregates; nothing
     materializes. With ``exact_int`` every d², |dt| and count is exact
-    BIGINT; ``knox_expected`` (two exact counts multiplied then divided
-    in doubles, fixed order) and ``knox_ratio = st_pairs /
+    BIGINT (``t`` is truncated to integer — like the coordinate
+    contract of :func:`pair_stats`; NaN times are dropped with the NaN
+    coordinates); the thresholds are compared as the TRUE
+    ``radius²``/``tau`` doubles, so fractional radii stay complete
+    against their same-sized bucket covers (a rounded-up threshold
+    would admit pairs the cover never joins) — exact while
+    d² < 2⁵³. ``knox_expected`` (two exact counts multiplied then
+    divided in doubles, fixed order) and ``knox_ratio = st_pairs /
     knox_expected`` (> 1 ⇒ space–time interaction) are deterministic
     IEEE sequences, bit-identical in any engine replaying them.
 
     Returns 1 row: (n_pts, s_pairs, t_pairs, st_pairs, knox_expected,
-    knox_ratio). NULL ratio/expected when n < 2 or no time pairs.
+    knox_ratio). knox_ratio is NULL when n < 2 or no time pairs exist
+    (knox_expected is 0.0, not NULL, in the latter case).
     """
     if radius <= 0 or tau <= 0:
         raise ValueError("radius and tau must be positive")
-    slim = points.select(
-        F.col(id_col).alias("_pid"),
-        F.col(x_col).cast("double").alias("_x"),
-        F.col(y_col).cast("double").alias("_y"),
-        F.col(t_col).cast("long" if exact_int else "double").alias("_t"),
-    ).where(
-        F.col("_x").isNotNull()
-        & F.col("_y").isNotNull()
-        & ~F.isnan("_x")
-        & ~F.isnan("_y")
-        & F.col("_t").isNotNull()
+    slim = (
+        points.select(
+            F.col(id_col).alias("_pid"),
+            F.col(x_col).cast("double").alias("_x"),
+            F.col(y_col).cast("double").alias("_y"),
+            F.col(t_col).cast("double").alias("_td"),
+        )
+        .where(
+            F.col("_x").isNotNull()
+            & F.col("_y").isNotNull()
+            & ~F.isnan("_x")
+            & ~F.isnan("_y")
+            & F.col("_td").isNotNull()
+            & ~F.isnan("_td")
+        )
+        .select(
+            "_pid",
+            "_x",
+            "_y",
+            F.col("_td").cast("long" if exact_int else "double").alias("_t"),
+        )
     )
 
-    r2 = F.lit(int(round(radius * radius))) if exact_int else F.lit(radius * radius)
-    tau_l = F.lit(int(round(tau))) if exact_int else F.lit(float(tau))
+    # TRUE thresholds as doubles: a round()ed integer threshold can exceed
+    # the bucket size and admit pairs the cover never generates (silent
+    # undercount); BIGINT-vs-DOUBLE comparison is exact below 2^53 and
+    # identical in DuckDB
+    r2 = F.lit(float(radius) * float(radius))
+    tau_l = F.lit(float(tau))
     sp = (
         _bucket_candidates(slim, float(radius), broadcast_side, exact_int)
         .where(F.col("_d2") <= r2)
         .agg(
-            F.coalesce(F.count(F.lit(1)), F.lit(0)).cast("long").alias("s_pairs"),
+            F.count(F.lit(1)).alias("s_pairs"),
             F.coalesce(
                 F.sum((F.col("_adt") <= tau_l).cast("long")), F.lit(0).cast("long")
             ).alias("st_pairs"),
@@ -513,7 +534,7 @@ def knox(
         tleft.join(trhs, ["_jt"])
         .where(F.col("_pid") != F.col("_bid"))
         .where(F.abs(F.col("_t") - F.col("_bt")) <= tau_l)
-        .agg(F.coalesce(F.count(F.lit(1)), F.lit(0)).cast("long").alias("t_pairs"))
+        .agg(F.count(F.lit(1)).alias("t_pairs"))
     )
 
     n_row = slim.agg(F.count(F.lit(1)).alias("n_pts"))

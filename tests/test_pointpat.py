@@ -441,6 +441,36 @@ def test_knox_boundaries_and_disjoint_covers(spark):
         pointpat.knox(_df_t(spark, px, py, t), 0.0, 50.0)
 
 
+def test_knox_fractional_thresholds_complete(spark):
+    """Fractional radius/tau: the filters must use the TRUE thresholds —
+    a rounded-up integer threshold (tau 19.5 → 20) would admit dt=20
+    pairs the tau-sized bucket cover never joins (position-dependent
+    undercount), and radius 1.9 → r²=4 would admit d=2 pairs likewise."""
+    px = np.array([0.0, 17.0, 19.0, 300.0])
+    py = np.array([0.0, 0.0, 0.0, 0.0])
+    t = np.array([19, 39, 0, 20])
+    # true thresholds: d(17,19)=2 > 1.9; dt(19,39)=20 > 19.5; dt(0,20)=20 > 19.5
+    got = pointpat.knox(_df_t(spark, px, py, t), 1.9, 19.5).collect()[0].asDict()
+    dx = px[:, None] - px[None, :]
+    d2 = dx * dx
+    np.fill_diagonal(d2, np.inf)
+    dt = np.abs(t[:, None] - t[None, :]).astype(float)
+    np.fill_diagonal(dt, np.inf)
+    assert got["s_pairs"] == int((d2 <= 1.9 * 1.9).sum())
+    assert got["t_pairs"] == int((dt <= 19.5).sum())
+    assert got["st_pairs"] == int(((d2 <= 1.9 * 1.9) & (dt <= 19.5)).sum())
+
+
+def test_knox_nan_time_dropped(spark):
+    """NaN time coordinates are dropped like NaN x/y (not an ANSI crash,
+    not a population-skewing passthrough)."""
+    rows = [(1, 0.0, 0.0, 1.0), (2, 3.0, 0.0, 2.0), (3, 1.0, 0.0, float("nan"))]
+    df = spark.createDataFrame(rows, "doc_id long, x double, y double, t double")
+    got = pointpat.knox(df, 10.0, 5.0).collect()[0].asDict()
+    assert got["n_pts"] == 2
+    assert got["s_pairs"] == 2 and got["t_pairs"] == 2 and got["st_pairs"] == 2
+
+
 def test_knox_no_python_in_plan(spark):
     df = _df_t(spark, np.array([0.0, 1.0]), np.array([0.0, 1.0]), np.array([1, 2]))
     plan = pointpat.knox(df, 10.0, 5.0)._jdf.queryExecution().executedPlan().toString()

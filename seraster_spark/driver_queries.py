@@ -2797,6 +2797,10 @@ def q_moran_i(
         50.0,
     ).drop("n_pts")
     kx = kx.select([F.col(c).alias(f"kx_{c}") for c in kx.columns])
+    # quadrat VMR / chi-square CSR test over the FULL grid (r5b)
+    from .focal import quadrat_vmr
+
+    qv = quadrat_vmr(raster, "n_docs", spec.nrows * spec.ncols)
     # F function: regular sample locations = ALL tile centers of the padded
     # grid (empty tiles included — that's what makes it the EMPTY-space fn)
     from .pointpat import grid_centers
@@ -2808,7 +2812,12 @@ def q_moran_i(
     )
     ff = ff.select([F.col(c).alias(f"f_{c}") for c in ff.columns])
     return (
-        mi.crossJoin(pp).crossJoin(nn).crossJoin(xp).crossJoin(ff).crossJoin(kx)
+        mi.crossJoin(pp)
+        .crossJoin(nn)
+        .crossJoin(xp)
+        .crossJoin(ff)
+        .crossJoin(kx)
+        .crossJoin(qv)
     )
 
 
@@ -2844,6 +2853,18 @@ ppd AS (
               ELSE 2 END AS axc,
          abs(a.ti - b.ti) AS adt
   FROM pp a JOIN pp b ON a.doc_id <> b.doc_id
+),
+-- quadrat VMR / chi-square CSR (r5b): N = full-grid cell count from the
+-- bbox; empty tiles contribute 0 so the occupied sums suffice
+qvc AS (
+  SELECT CAST(ceil((b.xmax - b.xmin) / 100.0)
+            * ceil((b.ymax - b.ymin) / 100.0) AS BIGINT) AS q_cells
+  FROM b
+),
+qvs AS (
+  SELECT CAST(coalesce(sum(x), 0) AS BIGINT) AS q_sum,
+         CAST(coalesce(sum(x * x), 0) AS BIGINT) AS q_sumsq
+  FROM r
 ),
 -- Knox space-time interaction (r5b) over the same pair set
 kxs AS (
@@ -3019,8 +3040,16 @@ SELECT st.n AS n_tiles, p.w_sum, p.num_scaled, dn.den_scaled,
             ELSE CAST(kxs.st_pairs AS DOUBLE)
                / (CAST(kxs.s_pairs AS DOUBLE) * CAST(kxs.t_pairs AS DOUBLE)
                   / CAST(pnn.n_pts * (pnn.n_pts - 1) AS DOUBLE))
-       END AS kx_knox_ratio
-FROM st, dn, p, pnn, ppr, nns, xn, xpr, fct, fns, kxs
+       END AS kx_knox_ratio,
+       qvc.q_cells, qvs.q_sum, qvs.q_sumsq,
+       CASE WHEN qvs.q_sum = 0 THEN NULL
+            ELSE CAST(qvc.q_cells * qvs.q_sumsq - qvs.q_sum * qvs.q_sum AS DOUBLE)
+               / CAST(qvc.q_cells * qvs.q_sum AS DOUBLE) END AS q_vmr,
+       CASE WHEN qvs.q_sum = 0 THEN NULL
+            ELSE CAST(qvc.q_cells - 1 AS DOUBLE)
+               * (CAST(qvc.q_cells * qvs.q_sumsq - qvs.q_sum * qvs.q_sum AS DOUBLE)
+                  / CAST(qvc.q_cells * qvs.q_sum AS DOUBLE)) END AS q_chi2
+FROM st, dn, p, pnn, ppr, nns, xn, xpr, fct, fns, kxs, qvc, qvs
 """
 
 

@@ -531,6 +531,49 @@ def morans_i(
     )
 
 
+def quadrat_vmr(
+    tiles: DataFrame,
+    value_col: str,
+    n_cells: int,
+) -> DataFrame:
+    """Quadrat-count variance-to-mean ratio over the FULL grid — the
+    index of dispersion / chi-square test for complete spatial
+    randomness (Fisher; spatstat ``quadrat.test``): VMR ≈ 1 under CSR
+    (Poisson), > 1 clustered, < 1 regular. ``n_cells`` is the total
+    quadrat count INCLUDING empty tiles (nrows·ncols of the GridSpec);
+    absent tiles contribute x = 0, so Σx and Σx² over the occupied
+    raster already equal the full-grid sums and one aggregate over the
+    raster suffices — no empty-tile materialization.
+
+        VMR = var/mean = (N·Σx² − S²) / (N·S)
+
+    one division on exact BIGINTs (integer ``value_col``) ⇒ bit-exact;
+    ``q_chi2 = (N−1)·VMR`` is the chi-square statistic with N−1 dof
+    (one further exact-input IEEE multiply). NULL when S = 0.
+
+    Returns 1 row: (q_cells, q_sum, q_sumsq, q_vmr, q_chi2).
+    """
+    if n_cells <= 0:
+        raise ValueError("n_cells must be positive")
+    x = F.col(value_col).cast("long")
+    qs = tiles.agg(
+        F.coalesce(F.sum(x), F.lit(0)).cast("long").alias("q_sum"),
+        F.coalesce(F.sum(x * x), F.lit(0)).cast("long").alias("q_sumsq"),
+    )
+    n = F.lit(int(n_cells))
+    vmr = F.try_divide(
+        (n * F.col("q_sumsq") - F.col("q_sum") * F.col("q_sum")).cast("double"),
+        (n * F.col("q_sum")).cast("double"),
+    )
+    return qs.select(
+        n.cast("long").alias("q_cells"),
+        "q_sum",
+        "q_sumsq",
+        vmr.alias("q_vmr"),
+        (F.lit(float(n_cells - 1)) * vmr).alias("q_chi2"),
+    )
+
+
 def local_morans_i(
     tiles: DataFrame,
     value_col: str,

@@ -278,6 +278,50 @@ def test_local_moran_quadrants_and_isolated_tile(spark):
     assert iso["quadrant"] == "NS" and iso["local_i"] == 0.0
 
 
+def test_quadrat_vmr_matches_naive(spark):
+    """VMR ≡ numpy replay over the FULL grid (empty quadrats as zeros);
+    a clustered pattern (all mass in one tile) reads VMR >> 1, a uniform
+    one-per-cell pattern reads VMR = 0."""
+    from seraster_spark.focal import quadrat_vmr
+
+    rng = np.random.default_rng(97)
+    cells = [
+        (int(r), int(c), int(v))
+        for r, c, v in zip(
+            rng.integers(0, 6, 20), rng.integers(0, 6, 20), rng.integers(1, 9, 20)
+        )
+    ]
+    # dedup tile keys (keep last) to mimic a raster
+    cells = list({(r, c): (r, c, v) for r, c, v in cells}.values())
+    n_cells = 36
+    got = quadrat_vmr(_raster(spark, cells), "n", n_cells).collect()[0].asDict()
+    xs = np.zeros(n_cells)
+    for r, c, v in cells:
+        xs[r * 6 + c] = v
+    s, q = int(xs.sum()), int((xs * xs).sum())
+    assert got["q_cells"] == n_cells and got["q_sum"] == s and got["q_sumsq"] == q
+    assert got["q_vmr"] == (n_cells * q - s * s) / (n_cells * s)
+    assert got["q_chi2"] == (n_cells - 1.0) * ((n_cells * q - s * s) / (n_cells * s))
+    assert got["q_vmr"] == pytest.approx(xs.var() / xs.mean(), rel=1e-12)
+    # clustered: one tile holds everything -> VMR = (N·S² − S²)/(N·S)
+    clus = quadrat_vmr(_raster(spark, [(0, 0, 12)]), "n", 9).collect()[0]
+    assert clus["q_vmr"] == pytest.approx((9 * 144 - 144) / (9 * 12.0))
+    assert clus["q_vmr"] > 1
+    # uniform one-per-cell: variance 0
+    uni = [(r, c, 1) for r in range(3) for c in range(3)]
+    assert quadrat_vmr(_raster(spark, uni), "n", 9).collect()[0]["q_vmr"] == 0.0
+
+
+def test_quadrat_vmr_degenerate(spark):
+    from seraster_spark.focal import quadrat_vmr
+
+    empty = _raster(spark, [(0, 0, 1)]).filter("row_i > 99")
+    row = quadrat_vmr(empty, "n", 4).collect()[0]
+    assert row["q_sum"] == 0 and row["q_vmr"] is None and row["q_chi2"] is None
+    with pytest.raises(ValueError, match="positive"):
+        quadrat_vmr(empty, "n", 0)
+
+
 def test_local_moran_constant_raster_null(spark):
     from seraster_spark.focal import local_morans_i
 

@@ -3046,9 +3046,8 @@ SELECT st.n AS n_tiles, p.w_sum, p.num_scaled, dn.den_scaled,
             ELSE CAST(qvc.q_cells * qvs.q_sumsq - qvs.q_sum * qvs.q_sum AS DOUBLE)
                / CAST(qvc.q_cells * qvs.q_sum AS DOUBLE) END AS q_vmr,
        CASE WHEN qvs.q_sum = 0 THEN NULL
-            ELSE CAST(qvc.q_cells - 1 AS DOUBLE)
-               * (CAST(qvc.q_cells * qvs.q_sumsq - qvs.q_sum * qvs.q_sum AS DOUBLE)
-                  / CAST(qvc.q_cells * qvs.q_sum AS DOUBLE)) END AS q_chi2
+            ELSE CAST(qvc.q_cells * qvs.q_sumsq - qvs.q_sum * qvs.q_sum AS DOUBLE)
+               / CAST(qvs.q_sum AS DOUBLE) END AS q_chi2
 FROM st, dn, p, pnn, ppr, nns, xn, xpr, fct, fns, kxs, qvc, qvs
 """
 

@@ -546,10 +546,15 @@ def quadrat_vmr(
     raster suffices — no empty-tile materialization.
 
         VMR = var/mean = (N·Σx² − S²) / (N·S)
+        X²  = Σ(x − x̄)²/x̄ = N·VMR = (N·Σx² − S²) / S
 
-    one division on exact BIGINTs (integer ``value_col``) ⇒ bit-exact;
-    ``q_chi2 = (N−1)·VMR`` is the chi-square statistic with N−1 dof
-    (one further exact-input IEEE multiply). NULL when S = 0.
+    each ONE division on exact BIGINTs (integer ``value_col``) ⇒
+    bit-exact. ``q_chi2`` is the quadrat.test statistic, compared
+    against chi-square with N−1 dof (NB it equals N·VMR_population =
+    (N−1)·VMR_sample — the dof lives in the reference distribution,
+    not the statistic). NULL when S = 0. Raises at execution time if
+    the raster holds MORE occupied tiles than ``n_cells`` — an
+    undersized N would otherwise return an impossible negative VMR.
 
     Returns 1 row: (q_cells, q_sum, q_sumsq, q_vmr, q_chi2).
     """
@@ -559,18 +564,26 @@ def quadrat_vmr(
     qs = tiles.agg(
         F.coalesce(F.sum(x), F.lit(0)).cast("long").alias("q_sum"),
         F.coalesce(F.sum(x * x), F.lit(0)).cast("long").alias("q_sumsq"),
+        F.count(F.lit(1)).alias("_n_occ"),
     )
     n = F.lit(int(n_cells))
-    vmr = F.try_divide(
+    num = F.when(
+        F.col("_n_occ") <= n,
         (n * F.col("q_sumsq") - F.col("q_sum") * F.col("q_sum")).cast("double"),
-        (n * F.col("q_sum")).cast("double"),
+    ).otherwise(
+        F.raise_error(
+            "quadrat_vmr: n_cells is smaller than the occupied tile count — "
+            "pass the FULL grid size (nrows*ncols of the GridSpec)"
+        ).cast("double")
     )
+    vmr = F.try_divide(num, (n * F.col("q_sum")).cast("double"))
+    chi2 = F.try_divide(num, F.col("q_sum").cast("double"))
     return qs.select(
         n.cast("long").alias("q_cells"),
         "q_sum",
         "q_sumsq",
         vmr.alias("q_vmr"),
-        (F.lit(float(n_cells - 1)) * vmr).alias("q_chi2"),
+        chi2.alias("q_chi2"),
     )
 
 

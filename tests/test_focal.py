@@ -301,8 +301,12 @@ def test_quadrat_vmr_matches_naive(spark):
     s, q = int(xs.sum()), int((xs * xs).sum())
     assert got["q_cells"] == n_cells and got["q_sum"] == s and got["q_sumsq"] == q
     assert got["q_vmr"] == (n_cells * q - s * s) / (n_cells * s)
-    assert got["q_chi2"] == (n_cells - 1.0) * ((n_cells * q - s * s) / (n_cells * s))
+    assert got["q_chi2"] == (n_cells * q - s * s) / s
     assert got["q_vmr"] == pytest.approx(xs.var() / xs.mean(), rel=1e-12)
+    # X^2 = sum((x-mean)^2)/mean — the spatstat quadrat.test statistic
+    assert got["q_chi2"] == pytest.approx(
+        ((xs - xs.mean()) ** 2).sum() / xs.mean(), rel=1e-12
+    )
     # clustered: one tile holds everything -> VMR = (N·S² − S²)/(N·S)
     clus = quadrat_vmr(_raster(spark, [(0, 0, 12)]), "n", 9).collect()[0]
     assert clus["q_vmr"] == pytest.approx((9 * 144 - 144) / (9 * 12.0))
@@ -320,6 +324,11 @@ def test_quadrat_vmr_degenerate(spark):
     assert row["q_sum"] == 0 and row["q_vmr"] is None and row["q_chi2"] is None
     with pytest.raises(ValueError, match="positive"):
         quadrat_vmr(empty, "n", 0)
+    # undersized N (fewer cells than occupied tiles) must raise loudly,
+    # not return an impossible negative VMR
+    three = _raster(spark, [(0, 0, 1), (0, 1, 1), (0, 2, 1)])
+    with pytest.raises(Exception, match="n_cells is smaller"):
+        quadrat_vmr(three, "n", 2).collect()
 
 
 def test_local_moran_constant_raster_null(spark):

@@ -12,7 +12,9 @@ from .focal import (
     grid_distance,
     grid_distance_coarse,
     label_regions,
+    local_morans_i,
     morans_i,
+    quadrat_vmr,
     terrain,
     viewshed,
 )
@@ -30,7 +32,7 @@ from .sketch import (
     md5_uniform,
 )
 from .permutate import angle_schedule, midrange_origin, permutate_by_rotation
-from .pointpat import pair_stats
+from .pointpat import grid_centers, kde_raster, knox, nn_stats, pair_stats
 from .rasterize import (
     RasterizedMatrix,
     assign_tiles,
@@ -86,7 +88,13 @@ __all__ = [
     "viewshed",
     "label_regions",
     "morans_i",
+    "local_morans_i",
+    "quadrat_vmr",
     "pair_stats",
+    "nn_stats",
+    "kde_raster",
+    "knox",
+    "grid_centers",
     "terrain",
     "heavy_hitters",
     "histogram_quantiles",

@@ -116,3 +116,32 @@ def test_kring_contains_all_within_distance(pt, k):
         for dc in range(-k, k + 1):
             nb = grid.pack(0, 0, r0 + dr, c0 + dc)
             assert nb[0] in ring
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.floats(-1e6, 1e6, allow_nan=False, allow_infinity=False),
+            st.floats(-1e6, 1e6, allow_nan=False, allow_infinity=False),
+        ),
+        min_size=2,
+        max_size=25,
+    ),
+    st.floats(0.1, 1e4, allow_nan=False, allow_infinity=False),
+)
+def test_pointpat_bucket_cover_complete(pts, r_max):
+    """The 9-neighbor bucket-cover lemma behind pointpat.pair_stats /
+    nn_stats / knox: ANY pair within distance r_max lands in the same or
+    8-adjacent buckets of the r_max grid — including negative coords,
+    boundary-exact coords, and float rounding near bucket edges."""
+    xs = np.array([p[0] for p in pts])
+    ys = np.array([p[1] for p in pts])
+    bx = np.floor(xs / r_max)
+    by = np.floor(ys / r_max)
+    d2 = (xs[:, None] - xs[None, :]) ** 2 + (ys[:, None] - ys[None, :]) ** 2
+    close = d2 <= r_max * r_max
+    np.fill_diagonal(close, False)
+    ii, jj = np.nonzero(close)
+    assert np.all(np.abs(bx[ii] - bx[jj]) <= 1)
+    assert np.all(np.abs(by[ii] - by[jj]) <= 1)

@@ -2,16 +2,21 @@
 spatstat session, run BEFORE rasterization decides what to keep (the
 second-order structure is exactly what binning throws away):
 
-    1. Ripley-K pair counts + semivariogram at multiple radii (pair_stats)
+    1. Ripley-K pair counts + semivariogram at multiple radii, with the
+       EW/NS directional (anisotropic) variogram split (pair_stats)
+    1b. Knox space-time interaction on a derived pseudo-timestamp (knox)
     2. nearest-neighbor G function + Clark-Evans aggregation index
        (nn_stats; R < 0.9 clustered, 0.9-1.1 ~CSR, > 1.1 dispersed —
        up to the 2.149 hexagonal-lattice maximum)
+    2b. empty-space F function from the full grid's tile centers
+       (nn_stats cross mode) and the van Lieshout-Baddeley J = (1-G)/(1-F)
     3. quartic KDE density surface + Nadaraya-Watson value smoothing at
        tile centers (kde_raster)
     4. Local Moran's I (LISA) quadrants over the binned counts — where
-       the clustering lives (HH cores, LH/HL outliers)
-    5. one JSON line: global diagnostics + the densest KDE peaks + the
-       LISA quadrant census
+       the clustering lives (HH cores, LH/HL outliers) — plus the
+       quadrat-count VMR / chi-square CSR test (quadrat_vmr)
+    5. one JSON line: all global diagnostics + the densest KDE peaks +
+       the LISA quadrant census
 
 Every statistic here is the exact estimator (no sampling, no edge
 correction) computed by bucketed candidate joins + single hash
@@ -34,8 +39,8 @@ from pyspark.sql import functions as F
 from seraster_spark import assign_tiles, grid_spec_for
 from seraster_spark.driver_queries import docs_with_coords
 from seraster_spark.expressions import unpack_rowcol
-from seraster_spark.focal import local_morans_i
-from seraster_spark.pointpat import grid_centers, kde_raster, nn_stats, pair_stats
+from seraster_spark.focal import local_morans_i, quadrat_vmr
+from seraster_spark.pointpat import grid_centers, kde_raster, knox, nn_stats, pair_stats
 from seraster_spark.session import get_spark
 
 
@@ -47,17 +52,26 @@ def main() -> None:
     area = 3000.0 * 2000.0
     radii = [50.0, 100.0, 200.0]
 
-    # 1. second-order structure: K(r) vs CSR expectation pi*r^2
-    pp = pair_stats(d, radii, area=area).first()
+    # 1. second-order structure: K(r) vs CSR expectation pi*r^2, plus the
+    # EW/NS directional variogram (anisotropy check before kriging)
+    pp = pair_stats(d, radii, area=area, split_axes=True).first()
     ripley = {
         f"r{int(r)}": {
             "pairs": pp[f"pc_{int(r)}"],
             "khat": pp[f"khat_{int(r)}"],
             "csr_expect": math.pi * r * r,
             "gamma": pp[f"gamma_{int(r)}"],
+            "gamma_ew": pp[f"gamma_ew_{int(r)}"],
+            "gamma_ns": pp[f"gamma_ns_{int(r)}"],
         }
         for r in radii
     }
+
+    # 1b. space-time interaction (Knox): pairs close in space AND time vs
+    # the independence expectation (t here is a derived pseudo-timestamp)
+    kx = knox(
+        d.withColumn("t", (F.col("doc_id") * 13 % 1000).cast("long")), 100.0, 50.0
+    ).first()
 
     # 2. first-order structure: G function + Clark-Evans index
     nn = nn_stats(d.where(F.col("val").isNotNull()), radii).first()
@@ -106,6 +120,7 @@ def main() -> None:
         .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
     )
     lisa = local_morans_i(raster, "n_docs")
+    qv = quadrat_vmr(raster, "n_docs", spec.nrows * spec.ncols).first()
     census = {
         r["quadrant"]: r["n"]
         for r in lisa.groupBy("quadrant").agg(F.count(F.lit(1)).alias("n")).collect()
@@ -146,6 +161,13 @@ def main() -> None:
         "kde_peaks": peaks,
         "lisa_census": census,
         "kde_peaks_on_hh_tiles": cores,
+        "quadrat_vmr": qv["q_vmr"],
+        "quadrat_chi2": qv["q_chi2"],
+        "knox": {
+            "s_pairs": kx["s_pairs"], "t_pairs": kx["t_pairs"],
+            "st_pairs": kx["st_pairs"], "expected": kx["knox_expected"],
+            "ratio": kx["knox_ratio"],
+        },
     }))
     spark.stop()
 

@@ -11,9 +11,11 @@ Algorithm (exact within ``max(radii)``, no sampling, no edge correction —
 the naive estimator; counts are raw ordered pairs):
 
 1. Bucket every point into a square grid of cell size ``max(radii)``
-   (pure Column ``floor`` math). Any pair within distance r_max lies in
-   the same or 8-adjacent buckets — the candidate join is provably
-   complete.
+   widened one part in 2²⁰ (pure Column ``floor`` math; see
+   :func:`_cover_divisor` for why the widening makes the lemma hold on
+   raw floats, not just integer coords). Any pair the float d² predicate
+   accepts lies in the same or 8-adjacent buckets — the candidate join
+   is complete for grids under ~2³¹ buckets per axis.
 2. Fan each point out to its 9 neighbor buckets (literal-offset
    ``explode`` of a slim (id, x, y, v) projection) and equi-join back on
    the bucket key. Each unordered pair matches exactly once per
@@ -58,6 +60,26 @@ def _rlabel(r: float) -> str:
     return str(int(r)) if float(r).is_integer() else str(r).replace(".", "p")
 
 
+def _cover_divisor(r_max: float) -> float:
+    """Bucket size for the candidate covers: ``r_max`` widened by 2⁻²⁰.
+
+    Why not ``r_max`` itself: the float d² the radius predicate compares can
+    round DOWN across the threshold (a pair with true distance up to
+    ~r_max·(1+3·2⁻⁵³) still qualifies), and the float division ``x / B``
+    inside the bucket index adds up to ``(|x|/B)·2⁻⁵³`` of absolute error per
+    point — so with B exactly r_max, a qualifying pair can straddle buckets
+    two apart (found by Hypothesis: points (0, 1) and (0, −1.11e−308),
+    r_max = 1). Widening B by 2⁻²⁰ restores the 9-neighbor lemma with margin:
+    the pair's bucket-index gap is ≤ (1+3·2⁻⁵³)/(1+2⁻²⁰) + 2·(|x|/B)·2⁻⁵³
+    < 1 whenever |coord|/B < 2³¹ — i.e. for any grid of fewer than ~2 billion
+    buckets per axis. Over-generation is free: membership is always decided
+    by the exact d²/|dt| predicate, never by the cover, so results are
+    identical — only completeness improves. (Cross-checked by the
+    ``test_pointpat_bucket_cover_complete`` Hypothesis fuzz, which replays
+    this exact arithmetic.)"""
+    return r_max * (1.0 + 2.0**-20)
+
+
 def _bucket_candidates(
     slim: DataFrame,
     r_max: float,
@@ -91,8 +113,9 @@ def _bucket_candidates(
     """
     has_v = "_v" in slim.columns
     has_t = "_t" in slim.columns
-    bx = F.floor(F.col("_x") / F.lit(r_max))
-    by = F.floor(F.col("_y") / F.lit(r_max))
+    bsize = _cover_divisor(r_max)
+    bx = F.floor(F.col("_x") / F.lit(bsize))
+    by = F.floor(F.col("_y") / F.lit(bsize))
     rcols = [
         F.col("_pid").alias("_bid"),
         F.col("_x").alias("_bx_pt"),
@@ -234,7 +257,12 @@ def pair_stats(
         out = []
         for r in radii:
             lbl = _rlabel(r) if not lbl_suffix else f"{lbl_suffix}_{_rlabel(r)}"
-            r2 = F.lit(r * r) if not exact_int else F.lit(int(round(r * r)))
+            # TRUE threshold as a double even when exact_int: a round()ed
+            # integer threshold can exceed r² (frac(r²) ≥ 0.5) and admit
+            # pairs beyond the cover's completeness guarantee (the knox bug
+            # class); BIGINT-vs-DOUBLE comparison is exact below 2^53 and
+            # identical in DuckDB
+            r2 = F.lit(r * r)
             within = (F.col("_d2") <= r2) & extra
             out.append(
                 F.coalesce(F.sum(within.cast("long")), F.lit(0).cast("long")).alias(
@@ -387,7 +415,9 @@ def nn_stats(
     slim = _slim(points)
     oslim = _slim(other) if other is not None else None
 
-    rmax2 = F.lit(int(round(r_max * r_max))) if exact_int else F.lit(r_max * r_max)
+    # TRUE threshold as a double even when exact_int (see pair_stats): exact
+    # BIGINT-vs-DOUBLE comparison below 2^53, never a rounded-up integer
+    rmax2 = F.lit(r_max * r_max)
     nnd = (
         _bucket_candidates(slim, r_max, broadcast_side, exact_int, right_slim=oslim)
         .where(F.col("_d2") <= rmax2)
@@ -406,7 +436,7 @@ def nn_stats(
         ).alias("nn_q20_sum"),
     ]
     for r in radii:
-        r2 = F.lit(int(round(r * r))) if exact_int else F.lit(r * r)
+        r2 = F.lit(r * r)
         aggs.append(
             F.coalesce(
                 F.sum((F.col("_nnd2") <= r2).cast("long")), F.lit(0).cast("long")
@@ -517,9 +547,10 @@ def knox(
         )
     )
 
-    # 1-D time cover: bucket size tau, 3 neighbor offsets — complete for
-    # |dt| <= tau, each ordered pair matched exactly once per direction
-    tb = F.floor(F.col("_t") / F.lit(float(tau)))
+    # 1-D time cover: bucket size tau (widened one part in 2^20 — see
+    # _cover_divisor), 3 neighbor offsets — complete for |dt| <= tau, each
+    # ordered pair matched exactly once per direction
+    tb = F.floor(F.col("_t") / F.lit(_cover_divisor(float(tau))))
     tright = slim.select(
         F.col("_pid").alias("_bid"), F.col("_t").alias("_bt"), tb.alias("_jt")
     )

@@ -132,16 +132,51 @@ def test_kring_contains_all_within_distance(pt, k):
 )
 def test_pointpat_bucket_cover_complete(pts, r_max):
     """The 9-neighbor bucket-cover lemma behind pointpat.pair_stats /
-    nn_stats / knox: ANY pair within distance r_max lands in the same or
-    8-adjacent buckets of the r_max grid — including negative coords,
-    boundary-exact coords, and float rounding near bucket edges."""
+    nn_stats / knox: ANY pair the float d² predicate accepts lands in the
+    same or 8-adjacent buckets of the widened grid — including negative
+    coords, boundary-exact coords, and float rounding near bucket edges.
+    Replays the engine's exact arithmetic: buckets come from
+    ``_cover_divisor(r_max)`` (r_max widened 2⁻²⁰ — with the raw r_max
+    divisor the lemma is FALSE on floats; Hypothesis found (0, 1) vs
+    (0, −1.11e−308) at r_max=1, d² rounding to exactly 1.0 while the
+    buckets sit two apart)."""
+    from seraster_spark.pointpat import _cover_divisor
+
     xs = np.array([p[0] for p in pts])
     ys = np.array([p[1] for p in pts])
-    bx = np.floor(xs / r_max)
-    by = np.floor(ys / r_max)
+    bsize = _cover_divisor(r_max)
+    bx = np.floor(xs / bsize)
+    by = np.floor(ys / bsize)
     d2 = (xs[:, None] - xs[None, :]) ** 2 + (ys[:, None] - ys[None, :]) ** 2
     close = d2 <= r_max * r_max
     np.fill_diagonal(close, False)
     ii, jj = np.nonzero(close)
     assert np.all(np.abs(bx[ii] - bx[jj]) <= 1)
     assert np.all(np.abs(by[ii] - by[jj]) <= 1)
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.floats(-1e6, 1e6, allow_nan=False, allow_infinity=False),
+    st.sampled_from([5, 20, 100]),
+    st.sampled_from([7, 30, 150]),
+    st.sampled_from([-50, 0, 17]),
+)
+def test_kde_sequence_range_cover_complete(p, resolution, bandwidth, origin):
+    """kde_raster's per-axis candidate range [floor((p−h−o)/res),
+    floor((p+h−o)/res)+1] covers every index c whose DOUBLED-coordinate
+    center satisfies the kernel predicate D2 ≤ (2h)² — the ±1 slop plus the
+    half-tile gap between a range endpoint and the nearest qualifying
+    center make it immune to the few-ulp rounding that bit the pointpat
+    bucket cover (margin ≈ res/2 ≫ ulp for any sane |p|/res)."""
+    res, h, o = float(resolution), float(bandwidth), float(origin)
+    lo = np.floor((p - h - o) / res)
+    hi = np.floor((p + h - o) / res) + 1.0
+    # qualifying indices by the engine's exact integer-free predicate:
+    # center_c = o + (c + 1/2)·res, qualify iff (2(p − center_c))² ≤ (2h)²
+    cand = np.arange(lo - 3, hi + 4)  # widen for the scan; assert none
+    dx2 = 2.0 * p - (2.0 * o + (2.0 * cand + 1.0) * res)
+    qual = dx2 * dx2 <= 4.0 * h * h
+    qc = cand[qual]
+    if len(qc):
+        assert qc.min() >= lo and qc.max() <= hi

@@ -307,9 +307,16 @@ def segment_tile_fractions(
 
     px0, py0, px1, py1 = (F.col(c) for c in (x0, y0, x1, y1))
     # a NULL delta would otherwise satisfy NOT(sdx != 0) and silently turn
-    # the row into an axis-degenerate segment via the otherwise(tie) branch
+    # the row into an axis-degenerate segment via the otherwise(tie) branch;
+    # NaN/Inf coords would flow into floor()/sequence() (ANSI raises, or
+    # mis-buckets) — drop them like the arrow impl's np.isfinite does
+    inf = F.lit(float("inf"))
+
+    def _finite(c):
+        return c.isNotNull() & ~F.isnan(c) & (F.abs(c) != inf)
+
     segs = segs.filter(
-        px0.isNotNull() & py0.isNotNull() & px1.isNotNull() & py1.isNotNull()
+        _finite(px0) & _finite(py0) & _finite(px1) & _finite(py1)
     )
     sdx = px1 - px0
     sdy = py1 - py0
@@ -353,11 +360,17 @@ def segment_tile_fractions(
     tx_ex = F.when(sdx != 0, F.greatest(ta, tb)).otherwise(F.lit(1.0))
     u0 = F.greatest(tx_en, F.lit(0.0))
     u1 = F.least(tx_ex, F.lit(1.0))
+    d = d.withColumn("_u0", u0).withColumn("_u1", u1)
     # rows this strip can touch: y-extent of the segment WITHIN the strip,
     # widened ±1 against float rounding at row boundaries (over-generation
-    # is filtered by frac > 0; under-generation would be a correctness bug)
-    ya = py0 + u0 * sdy
-    yb = py0 + u1 * sdy
+    # is filtered by frac > 0; under-generation would be a correctness bug).
+    # NB build ya/yb from the MATERIALIZED _u0/_u1 columns, not the u0/u1
+    # expression trees: inlining the clip trees 4x into r_lo/r_hi blew the
+    # generated code past the JVM's 8 KB JIT limit, leaving the whole stage
+    # running as interpreted bytecode (measured ~4x slower end to end);
+    # same arithmetic, so per-(segment, tile) results are bit-identical
+    ya = py0 + F.col("_u0") * sdy
+    yb = py0 + F.col("_u1") * sdy
     r_lo_raw = F.when(
         sdy != 0, F.floor((F.least(ya, yb) - ymn) / res) - F.lit(1)
     ).otherwise(tie_row)
@@ -366,9 +379,7 @@ def segment_tile_fractions(
     ).otherwise(tie_row)
 
     d = (
-        d.withColumn("_u0", u0)
-        .withColumn("_u1", u1)
-        .filter(F.col("_u0") <= F.col("_u1"))
+        d.filter(F.col("_u0") <= F.col("_u1"))
         .withColumn("_r_lo", F.greatest(r_lo_raw, F.lit(0).cast("long")))
         .withColumn("_r_hi", F.least(r_hi_raw, F.lit(nrows - 1).cast("long")))
         .filter(F.col("_r_lo") <= F.col("_r_hi"))

@@ -33,6 +33,17 @@ def get_spark(
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
+        # Fall back from whole-stage codegen exactly when HotSpot would
+        # refuse to JIT the fused method (DontCompileHugeMethods limit is
+        # 8000 bytecode bytes): Spark's default of 65535 knowingly leaves
+        # oversized fused stages running as INTERPRETED bytecode — measured
+        # ~4x slower on the segment-supercover expression pipeline. A JVM
+        # property, not a data-scale tunable, so the same value is right on
+        # a cluster; override via SPARK_GRAFT_HUGE_METHOD_LIMIT.
+        .config(
+            "spark.sql.codegen.hugeMethodLimit",
+            os.environ.get("SPARK_GRAFT_HUGE_METHOD_LIMIT", "8000"),
+        )
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
     )
     if shuffle_partitions is None:

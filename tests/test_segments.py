@@ -309,3 +309,22 @@ def test_null_coordinate_rows_dropped_both_impls(spark):
     for impl in ("arrow", "column"):
         got = segment_tile_fractions(df, SPEC, impl=impl).collect()
         assert {r["seg_id"] for r in got} == {1}, impl
+
+
+def test_nonfinite_coordinate_rows_dropped_both_impls(spark):
+    """NaN/Inf coordinates are dropped by BOTH impls (the column path used
+    to pass them into floor()/sequence(); the docstring claimed parity)."""
+    nan, inf = float("nan"), float("inf")
+    df = spark.createDataFrame(
+        [
+            (0, nan, 10.0, 20.0, 20.0),
+            (1, 10.0, inf, 20.0, 20.0),
+            (2, 10.0, 10.0, -inf, 20.0),
+            (3, 10.0, 10.0, 20.0, nan),
+            (4, 10.0, 10.0, 20.0, 20.0),
+        ],
+        "seg_id long, x0 double, y0 double, x1 double, y1 double",
+    )
+    for impl in ("arrow", "column"):
+        got = segment_tile_fractions(df, SPEC, impl=impl).collect()
+        assert {r["seg_id"] for r in got} == {4}, impl

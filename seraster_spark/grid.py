@@ -456,6 +456,131 @@ def point_polygon_distance(px: np.ndarray, py: np.ndarray, ring: np.ndarray) -> 
     return np.sqrt((px - qx) ** 2 + (py - qy) ** 2).min(axis=1)
 
 
+def _pad_rings(
+    flat_x: np.ndarray, flat_y: np.ndarray, offs: np.ndarray, lens: np.ndarray
+) -> np.ndarray:
+    """(B, E, 2) padded CLOSED ring array from ragged vertex storage: per
+    ring, its vertices, then v0 (closure), then v0-padding to the common
+    length. Decision-identical to each individually-closed ring for
+    ray-cast PIP and boundary distance: a zero-length padding edge never
+    straddles a scanline (adds no crossing), its on-segment test only fires
+    when the point equals the repeated vertex (already on the real ring),
+    and its point-distance equals the distance to that vertex (already an
+    endpoint of a real edge). Rings whose input is already closed get their
+    last vertex repeated instead — same argument."""
+    E = int(lens.max()) + 1
+    J = np.arange(E, dtype=np.int64)
+    IDX = np.where(J[None, :] < lens[:, None], J[None, :], 0)
+    gather = offs[:, None] + IDX
+    return np.stack([flat_x[gather], flat_y[gather]], axis=2)
+
+
+def _pip_on_pad(
+    px: np.ndarray,
+    py: np.ndarray,
+    x0: np.ndarray,
+    y0: np.ndarray,
+    x1: np.ndarray,
+    y1: np.ndarray,
+) -> np.ndarray:
+    """Ray-cast PIP given per-point gathered edge arrays (n, E): the shared
+    arithmetic of :func:`point_in_polygon` (same expressions, same order —
+    bit-decision-identical)."""
+    pxc = px[:, None]
+    pyc = py[:, None]
+    cross = (x1 - x0) * (pyc - y0) - (y1 - y0) * (pxc - x0)
+    on_seg = (
+        (cross == 0)
+        & (pxc >= np.minimum(x0, x1))
+        & (pxc <= np.maximum(x0, x1))
+        & (pyc >= np.minimum(y0, y1))
+        & (pyc <= np.maximum(y0, y1))
+    ).any(axis=1)
+    cond = (y0 > pyc) != (y1 > pyc)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        xint = x0 + (pyc - y0) * (x1 - x0) / (y1 - y0)
+    crossings = (cond & (pxc < xint)).sum(axis=1)
+    return ((crossings % 2) == 1) | on_seg
+
+
+def _dist_on_pad(
+    px: np.ndarray,
+    py: np.ndarray,
+    x0: np.ndarray,
+    y0: np.ndarray,
+    x1: np.ndarray,
+    y1: np.ndarray,
+) -> np.ndarray:
+    """Min point→boundary distance given gathered edge arrays (n, E) — the
+    :func:`point_polygon_distance` arithmetic; zero-length padding edges
+    yield the distance to their (real) vertex, which never lowers the min."""
+    pxc = px[:, None]
+    pyc = py[:, None]
+    ex = x1 - x0
+    ey = y1 - y0
+    ee = ex * ex + ey * ey
+    with np.errstate(divide="ignore", invalid="ignore"):
+        t = ((pxc - x0) * ex + (pyc - y0) * ey) / ee
+    t = np.nan_to_num(np.clip(t, 0.0, 1.0))
+    qx = x0 + t * ex
+    qy = y0 + t * ey
+    return np.sqrt((pxc - qx) ** 2 + (pyc - qy) ** 2).min(axis=1)
+
+
+def covering_cells_batch(
+    flat_x: np.ndarray,
+    flat_y: np.ndarray,
+    offs: np.ndarray,
+    lens: np.ndarray,
+    spec: GridSpec,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized :func:`covering_cells` over MANY rings at once (ragged
+    storage: ``flat_x``/``flat_y`` concatenated vertices, ``offs``/``lens``
+    per ring). Returns ``(ring_idx, cell_id)`` candidate pairs — the same
+    cell set per ring as calling ``covering_cells`` on each closed ring
+    (identical corner-encode bounds, centroid PIP and boundary-distance
+    arithmetic; see :func:`_pad_rings` for why padding changes no
+    decision), without the per-ring Python/numpy dispatch overhead that
+    dominated the polygon-corpus cover kernel."""
+    B = len(offs)
+    bx0 = np.minimum.reduceat(flat_x, offs)
+    bx1 = np.maximum.reduceat(flat_x, offs)
+    by0 = np.minimum.reduceat(flat_y, offs)
+    by1 = np.maximum.reduceat(flat_y, offs)
+    cx4 = np.concatenate([bx0, bx1, bx0, bx1])
+    cy4 = np.concatenate([by0, by1, by1, by0])
+    _, _, r4, c4 = unpack(encode(cx4, cy4, spec))
+    r4 = r4.reshape(4, B)
+    c4 = c4.reshape(4, B)
+    r0 = r4.min(axis=0) - 1
+    r1 = r4.max(axis=0) + 1
+    c0 = c4.min(axis=0) - 1
+    c1 = c4.max(axis=0) + 1
+    counts = (r1 - r0 + 1) * (c1 - c0 + 1)
+    tot = int(counts.sum())
+    poly = np.repeat(np.arange(B, dtype=np.int64), counts)
+    local = np.arange(tot, dtype=np.int64) - np.repeat(
+        np.cumsum(counts) - counts, counts
+    )
+    ncc = c1 - c0 + 1
+    rr = r0[poly] + local // ncc[poly]
+    cc = c0[poly] + local % ncc[poly]
+    cand = pack(spec.mode, spec.level, rr, cc)
+    cxx, cyy = centroid(cand, spec)
+    pad = _pad_rings(flat_x, flat_y, offs, lens)
+    ex0 = pad[poly, :-1, 0]
+    ey0 = pad[poly, :-1, 1]
+    ex1 = pad[poly, 1:, 0]
+    ey1 = pad[poly, 1:, 1]
+    inside = _pip_on_pad(cxx, cyy, ex0, ey0, ex1, ey1)
+    circum = (
+        spec.resolution * math.sqrt(2.0) / 2.0 if spec.square else spec.resolution / SQRT3
+    )
+    near = _dist_on_pad(cxx, cyy, ex0, ey0, ex1, ey1) <= circum * (1 + 1e-12)
+    m = inside | near
+    return poly[m], cand[m]
+
+
 def covering_cells(ring: np.ndarray, spec: GridSpec) -> np.ndarray:
     """Vector→raster: guaranteed-conservative cover of the polygon.
 

@@ -202,7 +202,13 @@ def spatial_join_corpus(
     rings (NULL / < 3 vertices / non-finite) are dropped; a polygon whose
     bbox cover exceeds ``max_tiles_per_poly`` raises loudly.
     """
-    from pyspark.sql.types import BinaryType, LongType, StructField, StructType
+    from pyspark.sql.types import (
+        BinaryType,
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
 
     id_field = polys.schema[poly_id]
     cover_schema = StructType(
@@ -213,71 +219,130 @@ def spatial_join_corpus(
             # ~2/3 of the PIP stage in Arrow->pandas deserialization;
             # bytes objects are ~an order of magnitude cheaper to box
             StructField("_ring", BinaryType()),
+            # ring bbox: lets the exact path drop definitely-outside
+            # candidates with a codegen'd JVM filter BEFORE they pay the
+            # Arrow boundary + ray-cast (exact-conservative: ray-cast PIP
+            # is False strictly outside the bbox, and boundary points
+            # satisfy the closed comparisons)
+            StructField("_pbx0", DoubleType()),
+            StructField("_pbx1", DoubleType()),
+            StructField("_pby0", DoubleType()),
+            StructField("_pby1", DoubleType()),
         ]
     )
     cap = max_tiles_per_poly
+    # bound the vectorized cover's transient arrays (candidates × padded
+    # edges) regardless of Arrow batch sizing
+    chunk_rows = 8192
 
     def cover_kernel(batches):
-        from .grid import encode as _encode
-        from .grid import unpack as _unpack
+        from .grid import covering_cells_batch
 
         for pdf in batches:
-            cells_acc: list[np.ndarray] = []
-            pids: list = []
-            rings_acc: list = []
-            for i in range(len(pdf)):
-                raw_x, raw_y = pdf[xs].iloc[i], pdf[ys].iloc[i]
-                if raw_x is None or raw_y is None:
+            for lo in range(0, len(pdf), chunk_rows):
+                sub = pdf.iloc[lo : lo + chunk_rows]
+                if not len(sub):
                     continue
-                rx = np.asarray(raw_x, dtype=np.float64)
-                ry = np.asarray(raw_y, dtype=np.float64)
-                if rx.ndim != 1 or ry.ndim != 1 or len(rx) != len(ry) or len(rx) < 3:
-                    continue
-                if not (np.isfinite(rx).all() and np.isfinite(ry).all()):
-                    continue
-                ring = np.column_stack([rx, ry])
-                if ring[0, 0] != ring[-1, 0] or ring[0, 1] != ring[-1, 1]:
-                    ring = np.vstack([ring, ring[:1]])
-                bx = np.array([rx.min(), rx.max(), rx.min(), rx.max()])
-                by = np.array([ry.min(), ry.min(), ry.max(), ry.max()])
-                _, _, crows, ccols = _unpack(_encode(bx, by, spec))
-                span = int(crows.max() - crows.min() + 3) * int(
-                    ccols.max() - ccols.min() + 3
+                xs_l = sub[xs].tolist()
+                ys_l = sub[ys].tolist()
+                pid_vals = sub[poly_id]
+                # structural validity, vectorized: NULL cells, length
+                # mismatch, < 3 vertices, NaN ids (pd.factorize codes NaN
+                # ids as -1, which would gather the WRONG ring in the PIP
+                # stage)
+                lx = np.fromiter(
+                    (-1 if v is None else len(v) for v in xs_l), np.int64, len(xs_l)
                 )
-                if span > cap:
+                ly = np.fromiter(
+                    (-1 if v is None else len(v) for v in ys_l), np.int64, len(ys_l)
+                )
+                ok = (lx == ly) & (lx >= 3) & ~pd.isna(pid_vals).to_numpy()
+                if not ok.any():
+                    continue
+                sel = np.flatnonzero(ok)
+                lens = lx[sel]
+                flat_x = np.concatenate(
+                    [np.asarray(xs_l[i], dtype=np.float64) for i in sel]
+                )
+                flat_y = np.concatenate(
+                    [np.asarray(ys_l[i], dtype=np.float64) for i in sel]
+                )
+                offs = np.cumsum(lens) - lens
+                fin = np.isfinite(flat_x) & np.isfinite(flat_y)
+                allfin = np.bitwise_and.reduceat(fin.astype(np.int8), offs).astype(bool)
+                if not allfin.all():
+                    sel = sel[allfin]
+                    if not len(sel):
+                        continue
+                    keep_v = np.repeat(allfin, lens)
+                    lens = lens[allfin]
+                    flat_x = flat_x[keep_v]
+                    flat_y = flat_y[keep_v]
+                    offs = np.cumsum(lens) - lens
+                # span guard (identical semantics/message to the per-ring
+                # path: bbox-corner encode bounds, +3 slop per axis)
+                from .grid import encode as _encode
+                from .grid import unpack as _unpack
+
+                nB = len(sel)
+                bx0 = np.minimum.reduceat(flat_x, offs)
+                bx1 = np.maximum.reduceat(flat_x, offs)
+                by0 = np.minimum.reduceat(flat_y, offs)
+                by1 = np.maximum.reduceat(flat_y, offs)
+                _, _, cr4, cc4 = _unpack(
+                    _encode(
+                        np.concatenate([bx0, bx1, bx0, bx1]),
+                        np.concatenate([by0, by0, by1, by1]),
+                        spec,
+                    )
+                )
+                cr4 = cr4.reshape(4, nB)
+                cc4 = cc4.reshape(4, nB)
+                span = (cr4.max(axis=0) - cr4.min(axis=0) + 3) * (
+                    cc4.max(axis=0) - cc4.min(axis=0) + 3
+                )
+                if (span > cap).any():
+                    bad = int(span[span > cap][0])
                     raise ValueError(
-                        f"polygon bbox covers {span} candidate tiles > "
+                        f"polygon bbox covers {bad} candidate tiles > "
                         f"max_tiles_per_poly={cap}; coarsen the grid or "
                         "split the geometry"
                     )
-                cells = covering_cells(ring, spec)
-                if len(cells) == 0:
+                ridx, cells = covering_cells_batch(flat_x, flat_y, offs, lens, spec)
+                if not len(cells):
                     continue
-                pid = pdf[poly_id].iloc[i]
-                if pd.isna(pid):
-                    # pd.factorize codes NaN ids as -1, which would gather
-                    # the WRONG ring in the PIP stage — drop them here
-                    continue
-                rb = np.ascontiguousarray(ring).tobytes()
-                cells_acc.append(cells)
-                pids.extend([pid] * len(cells))
-                rings_acc.extend([rb] * len(cells))
-            if not cells_acc:
-                continue
-            yield pd.DataFrame(
-                {
-                    "cell_id": np.concatenate(cells_acc),
-                    poly_id: pids,
-                    "_ring": rings_acc,
-                }
-            )
+                # closed-ring bytes per ring, exactly the per-ring layout:
+                # vertices (+ closing v0 only when the input ring is open)
+                from .grid import _pad_rings
+
+                pad = _pad_rings(flat_x, flat_y, offs, lens)
+                closed = (flat_x[offs] == flat_x[offs + lens - 1]) & (
+                    flat_y[offs] == flat_y[offs + lens - 1]
+                )
+                clen = lens + (~closed).astype(np.int64)
+                ring_bytes = np.empty(nB, dtype=object)
+                for i in range(nB):
+                    ring_bytes[i] = pad[i, : clen[i]].tobytes()
+                pid_np = pid_vals.to_numpy()[sel]
+                yield pd.DataFrame(
+                    {
+                        "cell_id": cells,
+                        poly_id: pid_np[ridx],
+                        "_ring": ring_bytes[ridx],
+                        "_pbx0": bx0[ridx],
+                        "_pbx1": bx1[ridx],
+                        "_pby0": by0[ridx],
+                        "_pby1": by1[ridx],
+                    }
+                )
 
     cover = polys.mapInPandas(cover_kernel, cover_schema)
+    _aux = ["_ring", "_pbx0", "_pbx1", "_pby0", "_pby1"]
     coarse = docs_with_cell.join(
         F.broadcast(cover) if broadcast_cover else cover, "cell_id"
     )
     if not exact:
-        return coarse.drop("_ring")
+        return coarse.drop(*_aux)
 
     @F.pandas_udf("boolean")
     def _pip_ring(
@@ -302,9 +367,20 @@ def spatial_join_corpus(
             )
         )
 
-    return coarse.filter(
-        _pip_ring(F.col("x"), F.col("y"), F.col(poly_id), F.col("_ring"))
-    ).drop("_ring")
+    # JVM bbox prefilter first (codegen, no Python): ray-cast PIP is False
+    # strictly outside the ring bbox and boundary-inclusive on it, so this
+    # drops only rows the Arrow kernel would reject — measured ~2-3x fewer
+    # rows paying the Python boundary on parcel-sized polygons
+    return (
+        coarse.filter(
+            (F.col("x") >= F.col("_pbx0"))
+            & (F.col("x") <= F.col("_pbx1"))
+            & (F.col("y") >= F.col("_pby0"))
+            & (F.col("y") <= F.col("_pby1"))
+        )
+        .filter(_pip_ring(F.col("x"), F.col("y"), F.col(poly_id), F.col("_ring")))
+        .drop(*_aux)
+    )
 
 
 def zonal_weighted(

@@ -87,6 +87,7 @@ def _bucket_candidates(
     exact_int: bool,
     right_slim: DataFrame | None = None,
     with_axis: bool = False,
+    half: bool = False,
 ) -> DataFrame:
     """Ordered candidate pairs from the r_max bucket grid's 9-neighbor cover.
 
@@ -110,6 +111,17 @@ def _bucket_candidates(
 
     When ``slim`` carries ``_t`` (a time coordinate), the output also
     carries ``_adt`` = |tᵢ − tⱼ| — the space–time (Knox) shape.
+
+    ``half=True`` (univariate only) generates each UNORDERED pair exactly
+    once instead of once per direction, halving both the explode fan-out
+    (5 offsets instead of 9) and the join output: the offset set
+    {(0,1), (1,−1), (1,0), (1,1)} is antisymmetric-free (never contains
+    both d and −d) yet together with its negations covers all 8 neighbor
+    directions, and same-bucket pairs take a ``_pid < _bid`` tie-break —
+    so symmetric aggregates recover the ordered totals by doubling
+    (exact for BIGINT counts/sums). Requires orderable unique ids; the
+    output then also carries ``_bid`` (callers that need per-point state
+    re-emit both directions after their distance filter).
     """
     has_v = "_v" in slim.columns
     has_t = "_t" in slim.columns
@@ -128,11 +140,21 @@ def _bucket_candidates(
     if has_t:
         rcols.insert(3, F.col("_t").alias("_bt"))
     right = (slim if right_slim is None else right_slim).select(*rcols)
+    if half and right_slim is not None:
+        raise ValueError("half cover is defined for the univariate case only")
+    offs = (
+        [(0, 0), (0, 1), (1, -1), (1, 0), (1, 1)]
+        if half
+        else [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)]
+    )
     offsets = F.array(
         *[
-            F.struct(F.lit(dx).alias("ox"), F.lit(dy).alias("oy"))
-            for dx in (-1, 0, 1)
-            for dy in (-1, 0, 1)
+            F.struct(
+                F.lit(dx).alias("ox"),
+                F.lit(dy).alias("oy"),
+                F.lit(dx == 0 and dy == 0).alias("c0"),
+            )
+            for dx, dy in offs
         ]
     )
     lcols = ["_pid", "_x", "_y"] + (["_v"] if has_v else []) + (
@@ -147,11 +169,17 @@ def _bucket_candidates(
         *lcols,
         (F.col("_bx0") + F.col("_o.ox")).alias("_jx"),
         (F.col("_by0") + F.col("_o.oy")).alias("_jy"),
+        F.col("_o.c0").alias("_c0"),
     )
     rhs = F.broadcast(right) if broadcast_side else right
     cand = left.join(rhs, ["_jx", "_jy"])
     if right_slim is None:
-        cand = cand.where(F.col("_pid") != F.col("_bid"))
+        if half:
+            # same-bucket pairs once via the id tie-break; cross-bucket
+            # offsets are inherently one-directional (and never self-pairs)
+            cand = cand.where(~F.col("_c0") | (F.col("_pid") < F.col("_bid")))
+        else:
+            cand = cand.where(F.col("_pid") != F.col("_bid"))
 
     if exact_int:
         dx = F.col("_x").cast("long") - F.col("_bx_pt").cast("long")
@@ -160,6 +188,8 @@ def _bucket_candidates(
         dx = F.col("_x") - F.col("_bx_pt")
         dy = F.col("_y") - F.col("_by_pt")
     out = [F.col("_pid"), (dx * dx + dy * dy).alias("_d2")]
+    if half:
+        out.insert(1, F.col("_bid"))
     if has_v:
         dv = F.col("_v") - F.col("_bv")
         out.append((dv * dv).alias("_sq"))
@@ -247,10 +277,16 @@ def pair_stats(
     slim = _slim(points)
     oslim = _slim(other) if other is not None else None
 
+    # univariate: HALF cover — each unordered pair joins once, the ordered
+    # totals below are recovered by doubling (exact: BIGINT counts always;
+    # BIGINT sums when exact_int — with floats only the documented
+    # order-sensitivity of Σ changes, never the pair set)
+    halved = oslim is None
     cand = _bucket_candidates(
         slim, r_max, broadcast_side, exact_int, right_slim=oslim,
-        with_axis=split_axes,
+        with_axis=split_axes, half=halved,
     ).select("_d2", "_sq", *(["_ax"] if split_axes else []))
+    mult = F.lit(2).cast("long") if halved else F.lit(1).cast("long")
 
     def _pair_aggs(lbl_suffix: str, extra) -> list:
         """pc/sv aggregate pair under an extra predicate (axis class)."""
@@ -265,18 +301,16 @@ def pair_stats(
             r2 = F.lit(r * r)
             within = (F.col("_d2") <= r2) & extra
             out.append(
-                F.coalesce(F.sum(within.cast("long")), F.lit(0).cast("long")).alias(
-                    f"pc_{lbl}"
-                )
+                (
+                    F.coalesce(F.sum(within.cast("long")), F.lit(0).cast("long"))
+                    * mult
+                ).alias(f"pc_{lbl}")
             )
             sv = F.sum(F.when(within, F.col("_sq")).otherwise(F.lit(0)))
             if exact_int:
                 sv = sv.cast("long")
-            out.append(
-                F.coalesce(sv, F.lit(0).cast("long" if exact_int else "double")).alias(
-                    f"sv_{lbl}"
-                )
-            )
+            sv = F.coalesce(sv, F.lit(0).cast("long" if exact_int else "double"))
+            out.append((sv * mult).alias(f"sv_{lbl}"))
         return out
 
     aggs = _pair_aggs("", F.lit(True))
@@ -418,12 +452,28 @@ def nn_stats(
     # TRUE threshold as a double even when exact_int (see pair_stats): exact
     # BIGINT-vs-DOUBLE comparison below 2^53, never a rounded-up integer
     rmax2 = F.lit(r_max * r_max)
-    nnd = (
-        _bucket_candidates(slim, r_max, broadcast_side, exact_int, right_slim=oslim)
-        .where(F.col("_d2") <= rmax2)
-        .groupBy("_pid")
-        .agg(F.min("_d2").alias("_nnd2"))
-    )
+    if oslim is None:
+        # HALF cover: each unordered pair joins once; after the distance
+        # filter (which keeps only true pairs — far fewer rows than
+        # candidates) both endpoints' (id, d²) states are re-emitted, so
+        # every point still sees the d² of each of its in-range neighbors
+        # and the per-point min is unchanged
+        pairs = _bucket_candidates(
+            slim, r_max, broadcast_side, exact_int, half=True
+        ).where(F.col("_d2") <= rmax2)
+        both = pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("_pid").alias("p"), F.col("_d2").alias("d")),
+                    F.struct(F.col("_bid").alias("p"), F.col("_d2").alias("d")),
+                )
+            ).alias("_e")
+        ).select(F.col("_e.p").alias("_pid"), F.col("_e.d").alias("_d2"))
+    else:
+        both = _bucket_candidates(
+            slim, r_max, broadcast_side, exact_int, right_slim=oslim
+        ).where(F.col("_d2") <= rmax2)
+    nnd = both.groupBy("_pid").agg(F.min("_d2").alias("_nnd2"))
 
     aggs = [
         F.count(F.lit(1)).alias("nn_found"),
@@ -536,20 +586,28 @@ def knox(
     # identical in DuckDB
     r2 = F.lit(float(radius) * float(radius))
     tau_l = F.lit(float(tau))
+    # HALF covers (see _bucket_candidates): each unordered pair joins once,
+    # ordered counts recovered by doubling — exact BIGINT arithmetic
+    two = F.lit(2).cast("long")
     sp = (
-        _bucket_candidates(slim, float(radius), broadcast_side, exact_int)
+        _bucket_candidates(slim, float(radius), broadcast_side, exact_int, half=True)
         .where(F.col("_d2") <= r2)
         .agg(
-            F.count(F.lit(1)).alias("s_pairs"),
-            F.coalesce(
-                F.sum((F.col("_adt") <= tau_l).cast("long")), F.lit(0).cast("long")
+            (F.count(F.lit(1)) * two).alias("s_pairs"),
+            (
+                F.coalesce(
+                    F.sum((F.col("_adt") <= tau_l).cast("long")),
+                    F.lit(0).cast("long"),
+                )
+                * two
             ).alias("st_pairs"),
         )
     )
 
     # 1-D time cover: bucket size tau (widened one part in 2^20 — see
-    # _cover_divisor), 3 neighbor offsets — complete for |dt| <= tau, each
-    # ordered pair matched exactly once per direction
+    # _cover_divisor), HALF offsets {0, +1} with the same-bucket id
+    # tie-break — complete for |dt| <= tau, each unordered pair matched
+    # exactly once, count doubled back to ordered
     tb = F.floor(F.col("_t") / F.lit(_cover_divisor(float(tau))))
     tright = slim.select(
         F.col("_pid").alias("_bid"), F.col("_t").alias("_bt"), tb.alias("_jt")
@@ -557,15 +615,25 @@ def knox(
     tleft = slim.select(
         "_pid",
         "_t",
-        F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1))).alias("_o"),
+        F.explode(
+            F.array(
+                F.struct(F.lit(0).alias("o"), F.lit(True).alias("c0")),
+                F.struct(F.lit(1).alias("o"), F.lit(False).alias("c0")),
+            )
+        ).alias("_o"),
         tb.alias("_tb0"),
-    ).select("_pid", "_t", (F.col("_tb0") + F.col("_o")).alias("_jt"))
+    ).select(
+        "_pid",
+        "_t",
+        (F.col("_tb0") + F.col("_o.o")).alias("_jt"),
+        F.col("_o.c0").alias("_c0"),
+    )
     trhs = F.broadcast(tright) if broadcast_side else tright
     tp = (
         tleft.join(trhs, ["_jt"])
-        .where(F.col("_pid") != F.col("_bid"))
+        .where(~F.col("_c0") | (F.col("_pid") < F.col("_bid")))
         .where(F.abs(F.col("_t") - F.col("_bt")) <= tau_l)
-        .agg(F.count(F.lit(1)).alias("t_pairs"))
+        .agg((F.count(F.lit(1)) * two).alias("t_pairs"))
     )
 
     n_row = slim.agg(F.count(F.lit(1)).alias("n_pts"))

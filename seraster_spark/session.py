@@ -31,6 +31,16 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
+        # Let the planner pick shuffled-hash join when its size conditions
+        # hold (it still falls back to sort-merge when the build side is too
+        # big to hash per partition): the pointpat bucket self-joins flipped
+        # SortMergeJoin -> ShuffledHashJoin and stopped paying two 10M-row
+        # sorts. Size-guarded by the planner, so safe at cluster scale;
+        # override via SPARK_GRAFT_PREFER_SMJ=true.
+        .config(
+            "spark.sql.join.preferSortMergeJoin",
+            os.environ.get("SPARK_GRAFT_PREFER_SMJ", "false"),
+        )
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
         # Fall back from whole-stage codegen exactly when HotSpot would

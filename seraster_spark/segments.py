@@ -478,12 +478,18 @@ def rasterize_segments(
                 for c in value_cols:
                     v = pdf[c].to_numpy(np.float64)[orig_ix]
                     # NULL values contribute nothing to the weighted sum
-                    # (Column-path F.sum skips NULL products); an all-NULL
-                    # cell reports 0.0 here vs NULL there — documented gap
-                    v = np.where(np.isfinite(v), v, 0.0)
-                    data[f"w_{c}"] = np.bincount(
-                        inv, weights=frac * v, minlength=ncell
+                    # (Column-path F.sum skips NULL products); a cell whose
+                    # contributions are ALL NULL emits a NULL partial so the
+                    # final F.sum yields NULL exactly like the Column path
+                    # (and the SQL twin's sum(frac*val)) — not 0.0
+                    good = np.isfinite(v)
+                    wsum = np.bincount(
+                        inv, weights=frac * np.where(good, v, 0.0), minlength=ncell
                     )
+                    col = pd.array(wsum, dtype="Float64")
+                    nn = np.bincount(inv, weights=good, minlength=ncell)
+                    col[nn == 0.0] = pd.NA
+                    data[f"w_{c}"] = col
                 if length_weighted:
                     dx = (
                         pdf[x1].to_numpy(np.float64)[orig_ix]

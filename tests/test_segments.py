@@ -311,6 +311,31 @@ def test_null_coordinate_rows_dropped_both_impls(spark):
         assert {r["seg_id"] for r in got} == {1}, impl
 
 
+def test_all_null_value_cell_yields_null_weighted_sum_both_impls(spark):
+    """A tile crossed only by NULL-val segments reports w_v = NULL (SQL sum
+    semantics) on BOTH impls — the arrow kernel used to coerce it to 0.0."""
+    df = spark.createDataFrame(
+        [
+            # horizontal segment inside one tile, NULL value
+            (10.0, 10.0, 40.0, 10.0, None),
+            # another tile entirely, real value
+            (110.0, 110.0, 140.0, 110.0, 3.0),
+        ],
+        "x0 double, y0 double, x1 double, y1 double, v double",
+    )
+    for impl in ("arrow", "column"):
+        rows = {
+            r["cell_id"]: (r["w_v"], r["n_segs"])
+            for r in rasterize_segments(
+                df, SPEC, value_cols=("v",), impl=impl
+            ).collect()
+        }
+        vals = sorted(rows.values(), key=lambda t: (t[0] is not None, t[0]))
+        assert len(rows) == 2, impl
+        assert vals[0][0] is None and vals[0][1] == 1, impl
+        assert vals[1][0] == pytest.approx(3.0) and vals[1][1] == 1, impl
+
+
 def test_nonfinite_coordinate_rows_dropped_both_impls(spark):
     """NaN/Inf coordinates are dropped by BOTH impls (the column path used
     to pass them into floor()/sequence(); the docstring claimed parity)."""

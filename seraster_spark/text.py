@@ -640,7 +640,11 @@ def minhash_lsh_candidates(
 
         def band_hash(elems):
             return F.md5(F.concat_ws(",", *elems))
-    sig = base.withColumn("_sig", sig_expr).persist()
+    # persist ONLY the slim (_id, _sig) projection: the banded path never
+    # reads the shingle arrays again (verification re-derives them for
+    # candidates only), so caching _sh would hold corpus-sized arrays in
+    # memory for nothing
+    sig = base.select("_id", sig_expr.alias("_sig")).persist()
     banded = sig.select(
         "_id",
         F.explode(
@@ -957,16 +961,19 @@ def simhash(
         "_id", F.explode(tokens_expr(F.col("_text"))).alias("_t")
     )
     h = tok.withColumn("_h", F.xxhash64("_t"))
-    votes = [
-        F.sum(
-            F.when(F.shiftrightunsigned("_h", b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-        ).alias(f"_v{b}")
+    # branch-free votes: ±1 vote sum v_b = 2·ones_b − n, so sign(v_b) > 0
+    # ⟺ 2·ones_b > n — exact integer equivalence, with plain bit sums
+    # instead of 64 CASE WHEN branches per row in the hot aggregate
+    ones = [
+        F.sum(F.shiftrightunsigned("_h", b).bitwiseAND(F.lit(1))).alias(f"_o{b}")
         for b in range(bits)
     ]
-    agg = h.groupBy("_id").agg(*votes)
+    agg = h.groupBy("_id").agg(F.count(F.lit(1)).alias("_n"), *ones)
     sim = None
     for b in range(bits):
-        bit = F.when(F.col(f"_v{b}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        bit = F.when(
+            F.col(f"_o{b}") * F.lit(2) > F.col("_n"), F.lit(1).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
         term = F.shiftleft(bit, b)
         sim = term if sim is None else sim.bitwiseOR(term)
     return agg.select(F.col("_id").alias(id_col), sim.alias("simhash"))
@@ -994,15 +1001,15 @@ def simhash_md5(
     nib = [
         F.expr(f"instr('{_HEX}', substr(_m, {j + 1}, 1)) - 1") for j in range(16)
     ]
-    votes = [
-        F.sum(
-            F.when(F.shiftright(nib[b // 4], b % 4).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-        ).alias(f"_v{b}")
+    # branch-free votes (see simhash): sign(v_b) > 0 ⟺ 2·ones_b > n
+    ones = [
+        F.sum(F.shiftright(nib[b // 4], b % 4).bitwiseAND(F.lit(1))).alias(f"_o{b}")
         for b in range(64)
     ]
-    agg = h.groupBy("_id").agg(*votes)
+    agg = h.groupBy("_id").agg(F.count(F.lit(1)).alias("_n"), *ones)
     bits = [
-        F.when(F.col(f"_v{b}") > 0, F.lit(1)).otherwise(F.lit(0)) for b in range(64)
+        F.when(F.col(f"_o{b}") * F.lit(2) > F.col("_n"), F.lit(1)).otherwise(F.lit(0))
+        for b in range(64)
     ]
     chars = []
     for j in range(16):

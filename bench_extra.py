@@ -357,7 +357,10 @@ def main() -> None:
         return
     if not names:
         names = list(bs)
-    if mode == "plan":
+    if mode in ("plan", "planx"):
+        # "plan"  = formatted initial plan (pre-AQE; cheap, no execution)
+        # "planx" = execute the query once, then append the FINAL adaptive
+        #           plan (AQE join rewrites, codegen ids) — what actually ran
         plan_dir = os.environ.get("PLAN_DIR", "plans/r06")
         suffix = os.environ.get("PLAN_SUFFIX", "before")
         os.makedirs(plan_dir, exist_ok=True)
@@ -368,6 +371,15 @@ def main() -> None:
                     "formatted"
                 )
             )
+            if mode == "planx":
+                # collect() runs the Dataset's OWN QueryExecution, so the
+                # adaptive plan below is the final one that actually ran
+                # (safe: every builder returns an aggregated/small frame)
+                df.collect()
+                p += (
+                    "\n\n== Final adaptive plan (after execution) ==\n"
+                    + df._jdf.queryExecution().executedPlan().toString()
+                )
             path = os.path.join(plan_dir, f"{nme}_{suffix}.txt")
             with open(path, "w") as f:
                 f.write(p)

@@ -56,18 +56,35 @@ def permutate_by_rotation(
     """
     if x_col not in df.columns or y_col not in df.columns:
         raise ValueError(f"expected coordinate columns '{x_col}','{y_col}' (R/main.R:648,682)")
+    import math
+
     ox, oy = origin or midrange_origin(df, x_col, y_col)
     angles = angle_schedule(n_perm)
+    # cos/sin precomputed per ANGLE and exploded as struct literals: after
+    # the explode `angle` is data, so F.cos/F.sin would run per ROW (4 trig
+    # calls × every fanned row). math.radians/cos/sin are the same
+    # double-precision arithmetic (libm) the numpy replay and the DuckDB
+    # twin use — the parity/oracle gates pin the values bit-for-bit.
     fanned = df.withColumn(
-        "angle", F.explode(F.array(*[F.lit(a) for a in angles]))
-    )
-    # cos/sin of literal angles are constant-folded by Catalyst per branch;
-    # computing via radians() keeps it one generic expression.
-    theta = F.radians(F.col("angle"))
+        "_rot",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(a).alias("a"),
+                        F.lit(math.cos(math.radians(a))).alias("c"),
+                        F.lit(math.sin(math.radians(a))).alias("s"),
+                    )
+                    for a in angles
+                ]
+            )
+        ),
+    ).withColumn("angle", F.col("_rot.a"))
+    cosc, sinc = F.col("_rot.c"), F.col("_rot.s")
     dx = F.col(x_col) - F.lit(ox)
     dy = F.col(y_col) - F.lit(oy)
-    x_rot = dx * F.cos(theta) - dy * F.sin(theta) + F.lit(ox)
-    y_rot = dx * F.sin(theta) + dy * F.cos(theta) + F.lit(oy)
+    x_rot = dx * cosc - dy * sinc + F.lit(ox)
+    y_rot = dx * sinc + dy * cosc + F.lit(oy)
     label = F.format_string(
         "rotated_%s",
         F.when(F.col("angle") == F.floor(F.col("angle")).cast("double"),
@@ -76,4 +93,6 @@ def permutate_by_rotation(
     )
     # single withColumns: x_rot and y_rot both read the ORIGINAL coords
     # (sequential withColumn would feed rotated x into y's expression)
-    return fanned.withColumns({x_col: x_rot, y_col: y_rot, "perm": label})
+    return fanned.withColumns({x_col: x_rot, y_col: y_rot, "perm": label}).drop(
+        "_rot"
+    )

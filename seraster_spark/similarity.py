@@ -94,6 +94,89 @@ def _cosine_arrow(a: pd.Series, b: pd.Series) -> pd.Series:
     return pd.Series(res, dtype="Float64")
 
 
+def _cosine_pairs_map_arrow(
+    pairs: DataFrame,
+    a_col: str,
+    b_col: str,
+    keep_cols: list[str],
+    threshold: float | None = None,
+) -> DataFrame:
+    """Fused cosine evaluation as ``mapInArrow``: emits ``keep_cols`` +
+    ``cosine`` per input row (rows in input order within each batch).
+
+    Same VALUES as ``cosine_expr(..., "arrow")`` — identical float64 cast,
+    identical einsum order — but zero-copy: vectors are read straight from
+    the Arrow list offsets + flat child buffer instead of being boxed into
+    one numpy object per cell by the pandas-UDF path (measured ~2.6 s of
+    pure conversion overhead on a 640k-pair verify). Degenerate rows (NULL
+    side, mismatched/zero lengths, zero norm, non-finite outcome) yield a
+    NULL cosine, exactly like the pandas kernel. With ``threshold`` the
+    kernel also applies ``cosine >= threshold`` (NULL never passes —
+    identical to the Column filter) so dropped rows never cross back."""
+    import pyarrow as pa
+
+    out_schema = T.StructType(
+        [pairs.schema[c] for c in keep_cols]
+        + [T.StructField("cosine", T.DoubleType())]
+    )
+
+    def _list_parts(col):
+        # a RecordBatch column can be a slice: offsets are absolute into
+        # the child values buffer, so use them as-is (never assume [0]==0)
+        offs = col.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        vals = col.values.to_numpy(zero_copy_only=False).astype(
+            np.float64, copy=False
+        )
+        valid = ~np.asarray(col.is_null())
+        return offs, vals, valid
+
+    def kernel(batches):
+        for b in batches:
+            n = b.num_rows
+            if n == 0:
+                continue
+            ia = b.schema.get_field_index(a_col)
+            ib = b.schema.get_field_index(b_col)
+            oa, fa, va_ok = _list_parts(b.column(ia))
+            ob, fb, vb_ok = _list_parts(b.column(ib))
+            la = oa[1:] - oa[:-1]
+            lb = ob[1:] - ob[:-1]
+            cos = np.full(n, np.nan, dtype=np.float64)
+            ok = va_ok & vb_ok & (la == lb) & (la > 0)
+            if ok.any():
+                for dim in np.unique(la[ok]):
+                    sel = np.flatnonzero(ok & (la == dim))
+                    gi = np.arange(dim, dtype=np.int64)[None, :]
+                    ma = fa[oa[sel][:, None] + gi]
+                    mb = fb[ob[sel][:, None] + gi]
+                    num = np.einsum("ij,ij->i", ma, mb)
+                    den = np.sqrt(np.einsum("ij,ij->i", ma, ma)) * np.sqrt(
+                        np.einsum("ij,ij->i", mb, mb)
+                    )
+                    good = den > 0  # False for NaN dens too
+                    sub = np.full(len(sel), np.nan, dtype=np.float64)
+                    sub[good] = num[good] / den[good]
+                    cos[sel] = sub
+            if threshold is not None:
+                keep = cos >= threshold  # NaN compares False = NULL semantics
+                if not keep.any():
+                    continue
+                kidx = pa.array(np.flatnonzero(keep))
+                arrays = [
+                    b.column(b.schema.get_field_index(c)).take(kidx)
+                    for c in keep_cols
+                ] + [pa.array(cos[keep], type=pa.float64())]
+            else:
+                arrays = [
+                    b.column(b.schema.get_field_index(c)) for c in keep_cols
+                ] + [pa.array(cos, mask=~np.isfinite(cos), type=pa.float64())]
+            yield pa.RecordBatch.from_arrays(
+                arrays, names=list(keep_cols) + ["cosine"]
+            )
+
+    return pairs.select(*keep_cols, a_col, b_col).mapInArrow(kernel, out_schema)
+
+
 def cosine_expr(a, b, exact_impl: str = "arrow"):
     """cosine(a, b) as a Column: ``"arrow"`` = vectorized numpy kernel (the
     default — the 100 TB verify path), ``"hof"`` = interpreted
@@ -127,9 +210,16 @@ def brute_force_topk(
     )
     it = items.select(F.col(id_col).alias("_iid"), F.col(vec_col).alias("_ivec"))
     joined = it.crossJoin(F.broadcast(q))
-    cos = cosine_expr(F.col("_ivec"), F.col("_qvec"), exact_impl)
+    if exact_impl == "arrow":
+        scored = _cosine_pairs_map_arrow(
+            joined, "_ivec", "_qvec", ["_qid", "_iid"]
+        )
+    else:
+        scored = joined.withColumn(
+            "cosine", cosine_expr(F.col("_ivec"), F.col("_qvec"), exact_impl)
+        )
     ranked = (
-        joined.withColumn("cosine", cos)
+        scored
         .withColumn(
             "rank",
             F.row_number().over(
@@ -423,11 +513,18 @@ def ivf_topk(
         .withColumn("_list", F.explode(probe_lists(F.col("_qvec"))))
     )
     joined = it.join(F.broadcast(q) if broadcast_queries else q, "_list")
-    cos = cosine_expr(F.col(vec_col), F.col("_qvec"), exact_impl)
+    if exact_impl == "arrow":
+        scored = _cosine_pairs_map_arrow(
+            joined, vec_col, "_qvec", ["_qid", id_col]
+        )
+    else:
+        scored = joined.withColumn(
+            "cosine", cosine_expr(F.col(vec_col), F.col("_qvec"), exact_impl)
+        )
     # no dedup pass: an item is assigned to exactly ONE list and a query's
     # probe lists are distinct, so a (query, item) pair matches at most once
     ranked = (
-        joined.withColumn("cosine", cos)
+        scored
         .withColumn(
             "rank",
             F.row_number().over(
@@ -508,12 +605,19 @@ def lsh_topk(
     ]
     qp = q.withColumn("bucket", F.explode(F.array(*probes))).drop("bucket0")
     joined = it.join(F.broadcast(qp) if broadcast_queries else qp, "bucket")
-    cos = cosine_expr(F.col("_ivec"), F.col("_qvec"), exact_impl)
+    if exact_impl == "arrow":
+        scored = _cosine_pairs_map_arrow(
+            joined, "_ivec", "_qvec", ["_qid", "_iid"]
+        )
+    else:
+        scored = joined.withColumn(
+            "cosine", cosine_expr(F.col("_ivec"), F.col("_qvec"), exact_impl)
+        )
     # no dedup pass before the window: an item owns ONE bucket and the
     # probe buckets of a query are distinct, so a (query, item) pair can
     # match at most once
     ranked = (
-        joined.withColumn("cosine", cos)
+        scored
         .withColumn(
             "rank",
             F.row_number().over(
@@ -579,6 +683,12 @@ def cosine_near_duplicates(
         pairs.join(it.select(F.col("_id").alias("id_a"), F.col("_vec").alias("_va")), "id_a")
         .join(it.select(F.col("_id").alias("id_b"), F.col("_vec").alias("_vb")), "id_b")
     )
+    if exact_impl == "arrow":
+        # fused mapInArrow verify: same einsum values, zero per-cell boxing,
+        # threshold applied in-kernel so rejected pairs never cross back
+        return _cosine_pairs_map_arrow(
+            j, "_va", "_vb", ["id_a", "id_b"], threshold=float(threshold)
+        )
     cos = cosine_expr(F.col("_va"), F.col("_vb"), exact_impl)
     return (
         j.withColumn("cosine", cos)
